@@ -1,0 +1,12 @@
+"""Compute ops: kernels, convolution, pyramid, selection, LK tracking, affine."""
+
+from .kernels import MAX_KERNEL_WIDTH, compute_kernels, get_kernel_widths  # noqa: F401
+from .convolve import (  # noqa: F401
+    compute_gradients,
+    compute_smoothed_image,
+    convolve_horiz,
+    convolve_separate,
+    convolve_vert,
+    to_float_image,
+)
+from .pyramid import Pyramid, compute_gradient_pyramids, compute_pyramid  # noqa: F401

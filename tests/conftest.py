@@ -1,0 +1,58 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set env BEFORE jax is imported anywhere (SURVEY.md section 7.4:
+distributed tests use XLA's multi-device CPU simulation).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_textured_image(nrows, ncols, seed=0, smooth=True):
+    """Synthetic textured test image with rich gradients, values 0..255."""
+    r = np.random.default_rng(seed)
+    img = r.uniform(0, 255, size=(nrows, ncols))
+    if smooth:
+        # cheap separable binomial smoothing to create trackable structure
+        k = np.array([1, 4, 6, 4, 1], dtype=np.float64)
+        k /= k.sum()
+        for axis in (0, 1):
+            img = np.apply_along_axis(
+                lambda m: np.convolve(m, k, mode="same"), axis, img)
+    lo, hi = img.min(), img.max()
+    img = (img - lo) / (hi - lo) * 255.0
+    return np.floor(img).astype(np.float64)
+
+
+def shift_image_bilinear(img, dx, dy):
+    """Translate an image by (dx, dy) with bilinear resampling (for synthetic
+    known-flow pairs). Edges replicate."""
+    nrows, ncols = img.shape
+    ys, xs = np.mgrid[0:nrows, 0:ncols].astype(np.float64)
+    xs = np.clip(xs - dx, 0, ncols - 1)
+    ys = np.clip(ys - dy, 0, nrows - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, ncols - 2)
+    y0 = np.clip(np.floor(ys).astype(int), 0, nrows - 2)
+    ax, ay = xs - x0, ys - y0
+    return ((1 - ax) * (1 - ay) * img[y0, x0] +
+            ax * (1 - ay) * img[y0, x0 + 1] +
+            (1 - ax) * ay * img[y0 + 1, x0] +
+            ax * ay * img[y0 + 1, x0 + 1])
+
+
+@pytest.fixture(scope="session")
+def textured_image():
+    return make_textured_image(120, 160, seed=3)
