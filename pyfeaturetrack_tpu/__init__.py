@@ -33,4 +33,19 @@ from .features import (  # noqa: F401
     count_remaining_features,
 )
 
+from .models import (  # noqa: F401
+    KLTCountRemainingFeatures,
+    KLTCreateFeatureList,
+    KLTCreateFeatureTable,
+    KLTCreateTrackingContext,
+    KLTExtractFeatureList,
+    KLTReplaceLostFeatures,
+    KLTSelectGoodFeatures,
+    KLTStoreFeatureList,
+    KLTTrackFeatures,
+    SequenceTracker,
+    Tracker,
+    track_sequence,
+)
+
 __version__ = "0.1.0"

@@ -1,0 +1,106 @@
+"""Multi-frame sequence driver: the example3-shaped loop as a library.
+
+Reference parity: example3.py flow (SURVEY.md section 3.5) — sequential-mode
+tracking through a frame sequence with lost-feature replacement and a
+feature-table history:
+
+    select(frame0) -> store(0)
+    for i in 1..F-1:
+        track(frame[i-1] -> frame[i])   # reusing cached pyramids
+        replace_lost(frame[i])
+        store(i)
+
+The per-frame metrics dict is the observability layer the reference lacks
+(SURVEY.md section 5.5): counts by status code, mean residue proxy, and
+features/s are reported per frame.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+from ..config import TrackerConfig, create_config
+from ..features import (STATUS_NAMES, FeatureState, FeatureTable,
+                        create_feature_table, feature_state_to_numpy,
+                        store_feature_list)
+from ..ops.select import replace_lost_features, select_good_features
+from ..ops.track import build_track_pyramids, track_features
+import jax.numpy as jnp
+
+
+def frame_metrics(fl: FeatureState, elapsed_s: float | None = None) -> dict:
+    """Per-frame tracking metrics (SURVEY.md section 5.5)."""
+    arr = feature_state_to_numpy(fl)
+    val = arr[:, 2].astype(np.int64)
+    counts = {name: int((val == code).sum())
+              for code, name in STATUS_NAMES.items()}
+    m = {"n_features": int(val.shape[0]),
+         "n_live": int((val >= 0).sum()),
+         "status_counts": counts}
+    if elapsed_s is not None and elapsed_s > 0:
+        m["elapsed_s"] = elapsed_s
+        m["features_per_s"] = val.shape[0] / elapsed_s
+    return m
+
+
+class SequenceTracker:
+    """Streaming sequence tracker with explicit functional state."""
+
+    def __init__(self, cfg: Optional[TrackerConfig] = None,
+                 n_features: int = 150, replace_lost: bool = True):
+        self.cfg = (cfg if cfg is not None
+                    else create_config()).replace(sequentialMode=True)
+        self.n_features = n_features
+        self.replace_lost = replace_lost
+        self.fl: Optional[FeatureState] = None
+        self._cache = None
+        self.metrics: list[dict] = []
+
+    def start(self, frame) -> FeatureState:
+        frame = np.asarray(frame)
+        self.fl = select_good_features(frame, self.n_features, self.cfg)
+        self._cache = build_track_pyramids(
+            jnp.asarray(frame, jnp.float32), self.cfg.validated_window())
+        self._prev = frame
+        self.metrics.append(frame_metrics(self.fl))
+        return self.fl
+
+    def step(self, frame) -> FeatureState:
+        if self.fl is None:
+            return self.start(frame)
+        frame = np.asarray(frame)
+        t0 = time.perf_counter()
+        self.fl, self._cache = track_features(
+            self._prev, frame, self.fl, self.cfg, pyr1=self._cache)
+        if self.replace_lost:
+            self.fl = replace_lost_features(frame, self.fl, self.cfg)
+        elapsed = time.perf_counter() - t0
+        self._prev = frame
+        self.metrics.append(frame_metrics(self.fl, elapsed))
+        return self.fl
+
+
+def track_sequence(frames: Iterable[np.ndarray],
+                   cfg: Optional[TrackerConfig] = None,
+                   n_features: int = 150,
+                   replace_lost: bool = True,
+                   on_frame: Optional[Callable[[int, FeatureState], None]] = None
+                   ) -> tuple[FeatureTable, list[dict]]:
+    """Track through a whole sequence, returning the feature table.
+
+    Reference parity: example3.py end-to-end flow. ``on_frame(i, fl)`` is
+    called after each frame (e.g. to write overlay PPMs).
+    """
+    frames = list(frames)
+    st = SequenceTracker(cfg, n_features=n_features,
+                         replace_lost=replace_lost)
+    ft = create_feature_table(len(frames), n_features)
+    for i, frame in enumerate(frames):
+        fl = st.step(frame)
+        ft = store_feature_list(fl, ft, i)
+        if on_frame is not None:
+            on_frame(i, fl)
+    return ft, st.metrics

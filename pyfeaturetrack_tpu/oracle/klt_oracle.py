@@ -68,11 +68,12 @@ def get_kernel_widths(sigma: float) -> tuple[int, int]:
 
 def convolve_horiz(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     radius = kernel.shape[0] // 2
-    nrows, ncols = img.shape
     out = np.zeros_like(img)
     krev = kernel[::-1]
-    for i in range(radius, ncols - radius):
-        out[:, i] = img[:, i - radius:i + radius + 1] @ krev
+    if radius == 0:
+        return img * krev[0]
+    sw = np.lib.stride_tricks.sliding_window_view(img, kernel.shape[0], axis=1)
+    out[:, radius:-radius] = sw @ krev
     return out
 
 
@@ -107,10 +108,7 @@ def compute_pyramid(img: np.ndarray, subsampling: int, nlevels: int,
         prev = levels[-1]
         sm = compute_smoothed_image(prev, sigma)
         h, w = prev.shape[0] // subsampling, prev.shape[1] // subsampling
-        lvl = np.empty((h, w), dtype=np.float64)
-        for y in range(h):
-            for x in range(w):
-                lvl[y, x] = sm[subsampling * y + subhalf, subsampling * x + subhalf]
+        lvl = sm[subhalf::subsampling, subhalf::subsampling][:h, :w].copy()
         levels.append(lvl)
     return levels
 
@@ -124,16 +122,18 @@ def min_eig_map(gradx: np.ndarray, grady: np.ndarray, window_width: int,
     """Per-pixel windowed structure tensor -> min eigenvalue (float64)."""
     nrows, ncols = gradx.shape
     hw, hh = window_width // 2, window_height // 2
+
+    def wsum(a):
+        sw = np.lib.stride_tricks.sliding_window_view(
+            a, (window_height, window_width))
+        return sw.sum(axis=(-2, -1))
+
+    gxx = wsum(gradx * gradx)
+    gxy = wsum(gradx * grady)
+    gyy = wsum(grady * grady)
+    val = ((gxx + gyy) - np.sqrt((gxx - gyy) ** 2 + 4.0 * gxy * gxy)) / 2.0
     out = np.zeros((nrows, ncols), dtype=np.float64)
-    for y in range(hh, nrows - hh):
-        for x in range(hw, ncols - hw):
-            gx = gradx[y - hh:y + hh + 1, x - hw:x + hw + 1]
-            gy = grady[y - hh:y + hh + 1, x - hw:x + hw + 1]
-            gxx = float((gx * gx).sum())
-            gxy = float((gx * gy).sum())
-            gyy = float((gy * gy).sum())
-            out[y, x] = ((gxx + gyy) -
-                         math.sqrt((gxx - gyy) ** 2 + 4.0 * gxy * gxy)) / 2.0
+    out[hh:nrows - hh, hw:ncols - hw] = val
     return out
 
 
@@ -246,21 +246,33 @@ def _window_iter(hw, hh):
             yield i, j
 
 
-def compute_intensity_difference(img1, img2, x1, y1, x2, y2, w, h):
+def interpolate_window(img, x, y, w, h):
+    """Vectorized bilinear samples on the (w x h) window grid around (x, y),
+    flattened j-outer/i-inner like the reference's window iteration."""
     hw, hh = w // 2, h // 2
-    return np.array([interpolate(x1 + i, y1 + j, img1) -
-                     interpolate(x2 + i, y2 + j, img2)
-                     for i, j in _window_iter(hw, hh)])
+    xs = x + np.arange(-hw, hw + 1, dtype=np.float64)[None, :]
+    ys = y + np.arange(-hh, hh + 1, dtype=np.float64)[:, None]
+    xs, ys = np.broadcast_arrays(xs + 0.0 * ys, ys + 0.0 * xs)
+    xt = xs.astype(np.int64)  # int() truncation, as in scalar interpolate
+    yt = ys.astype(np.int64)
+    ax, ay = xs - xt, ys - yt
+    vals = ((1 - ax) * (1 - ay) * img[yt, xt] +
+            ax * (1 - ay) * img[yt, xt + 1] +
+            (1 - ax) * ay * img[yt + 1, xt] +
+            ax * ay * img[yt + 1, xt + 1])
+    return vals.ravel()
+
+
+def compute_intensity_difference(img1, img2, x1, y1, x2, y2, w, h):
+    return (interpolate_window(img1, x1, y1, w, h) -
+            interpolate_window(img2, x2, y2, w, h))
 
 
 def compute_gradient_sum(gx1, gy1, gx2, gy2, x1, y1, x2, y2, w, h):
-    hw, hh = w // 2, h // 2
-    gx = np.array([interpolate(x1 + i, y1 + j, gx1) +
-                   interpolate(x2 + i, y2 + j, gx2)
-                   for i, j in _window_iter(hw, hh)])
-    gy = np.array([interpolate(x1 + i, y1 + j, gy1) +
-                   interpolate(x2 + i, y2 + j, gy2)
-                   for i, j in _window_iter(hw, hh)])
+    gx = (interpolate_window(gx1, x1, y1, w, h) +
+          interpolate_window(gx2, x2, y2, w, h))
+    gy = (interpolate_window(gy1, x1, y1, w, h) +
+          interpolate_window(gy2, x2, y2, w, h))
     return gx, gy
 
 
@@ -268,9 +280,8 @@ def compute_intensity_difference_li(img1, img2, x1, y1, x2, y2, w, h):
     """Lighting-insensitive residual: gain (alpha) from RMS ratio, bias (beta)
     from means. Reference parity: trackFeatures.py ->
     _computeIntensityDifferenceLightingInsensitive."""
-    hw, hh = w // 2, h // 2
-    g1 = np.array([interpolate(x1 + i, y1 + j, img1) for i, j in _window_iter(hw, hh)])
-    g2 = np.array([interpolate(x2 + i, y2 + j, img2) for i, j in _window_iter(hw, hh)])
+    g1 = interpolate_window(img1, x1, y1, w, h)
+    g2 = interpolate_window(img2, x2, y2, w, h)
     n = w * h
     alpha = math.sqrt((g1 * g1).sum() / n / ((g2 * g2).sum() / n))
     beta = g1.sum() / n - alpha * (g2.sum() / n)
@@ -280,17 +291,14 @@ def compute_intensity_difference_li(img1, img2, x1, y1, x2, y2, w, h):
 def compute_gradient_sum_li(gx1, gy1, gx2, gy2, img1, img2,
                             x1, y1, x2, y2, w, h):
     """Reference parity: trackFeatures.py -> _computeGradientSumLightingInsensitive."""
-    hw, hh = w // 2, h // 2
-    i1 = np.array([interpolate(x1 + i, y1 + j, img1) for i, j in _window_iter(hw, hh)])
-    i2 = np.array([interpolate(x2 + i, y2 + j, img2) for i, j in _window_iter(hw, hh)])
+    i1 = interpolate_window(img1, x1, y1, w, h)
+    i2 = interpolate_window(img2, x2, y2, w, h)
     n = w * h
     alpha = math.sqrt((i1 * i1).sum() / n / ((i2 * i2).sum() / n))
-    gx = np.array([interpolate(x1 + i, y1 + j, gx1) +
-                   alpha * interpolate(x2 + i, y2 + j, gx2)
-                   for i, j in _window_iter(hw, hh)])
-    gy = np.array([interpolate(x1 + i, y1 + j, gy1) +
-                   alpha * interpolate(x2 + i, y2 + j, gy2)
-                   for i, j in _window_iter(hw, hh)])
+    gx = (interpolate_window(gx1, x1, y1, w, h) +
+          alpha * interpolate_window(gx2, x2, y2, w, h))
+    gy = (interpolate_window(gy1, x1, y1, w, h) +
+          alpha * interpolate_window(gy2, x2, y2, w, h))
     return gx, gy
 
 

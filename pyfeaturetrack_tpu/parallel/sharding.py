@@ -1,0 +1,121 @@
+"""Multi-device sharding for the tracker.
+
+The reference is single-threaded (SURVEY.md section 2.4) — this layer is
+greenfield, designed per SURVEY.md sections 5.7/5.8: the parallel axes of
+the KLT problem are
+
+* ``frame`` — independent frame *pairs* (selection / two-frame LK), a
+  data-parallel axis across chips;
+* ``feature`` — features within a frame are fully independent (the
+  reference's inner for-loop proves it), a model-parallel-like axis with
+  zero cross-feature communication.
+
+Communication is XLA collectives over ICI via ``jax.sharding`` +
+``pjit``-style jit shardings on a `jax.sharding.Mesh`; images replicate
+over the feature axis (cheap: one 640x480 frame is ~1.2 MB) while feature
+state shards over it, so the batched bilinear gathers partition cleanly
+with no resharding. Sequence chunk-and-stitch across hosts lives in
+models/sequence.py's chunked driver.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..features import FeatureState
+from ..ops.track import build_track_pyramids, track_features_pyramids
+
+FRAME_AXIS = "frame"
+FEATURE_AXIS = "feature"
+
+
+def make_mesh(n_frame: int | None = None, n_feature: int = 1,
+              devices=None) -> Mesh:
+    """Build a (frame, feature) device mesh over all available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_frame is None:
+        n_frame = devices.size // n_feature
+    devices = devices[:n_frame * n_feature].reshape(n_frame, n_feature)
+    return Mesh(devices, (FRAME_AXIS, FEATURE_AXIS))
+
+
+def shard_feature_state(fl: FeatureState, mesh: Mesh) -> FeatureState:
+    """Place feature arrays sharded over the feature axis."""
+    sh = NamedSharding(mesh, P(FEATURE_AXIS))
+    return FeatureState(
+        x=jax.device_put(fl.x, sh),
+        y=jax.device_put(fl.y, sh),
+        val=jax.device_put(fl.val, sh),
+        aff=fl.aff,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _track_pair_batch(imgs1, imgs2, x, y, val, cfg):
+    """vmapped two-frame track over a batch of frame pairs.
+
+    imgs*: [B, H, W]; x/y/val: [B, N]."""
+    def one(i1, i2, xx, yy, vv):
+        p1 = build_track_pyramids(i1, cfg)
+        p2 = build_track_pyramids(i2, cfg)
+        return track_features_pyramids(p1, p2, xx, yy, vv, cfg)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(imgs1, imgs2, x, y, val)
+
+
+def track_batch_sharded(imgs1, imgs2, x, y, val, cfg, mesh: Mesh):
+    """Track B frame pairs x N features over the device mesh.
+
+    Frame pairs shard over the ``frame`` axis, features over ``feature``;
+    images are replicated along ``feature``. Everything below is one jit:
+    XLA partitions the batched gathers and window reductions with no
+    collectives on the hot path (features are independent).
+    """
+    img_sh = NamedSharding(mesh, P(FRAME_AXIS, None, None))
+    feat_sh = NamedSharding(mesh, P(FRAME_AXIS, FEATURE_AXIS))
+    imgs1 = jax.device_put(jnp.asarray(imgs1, jnp.float32), img_sh)
+    imgs2 = jax.device_put(jnp.asarray(imgs2, jnp.float32), img_sh)
+    x = jax.device_put(jnp.asarray(x, jnp.float32), feat_sh)
+    y = jax.device_put(jnp.asarray(y, jnp.float32), feat_sh)
+    val = jax.device_put(jnp.asarray(val, jnp.int32), feat_sh)
+    return _track_pair_batch(imgs1, imgs2, x, y, val, cfg)
+
+
+def multichip_track_step(n_devices: int, cfg=None,
+                         image_shape=(64, 96), n_features: int = 64):
+    """Compile + run ONE sharded tracking step on tiny shapes.
+
+    Used by __graft_entry__.dryrun_multichip to validate the multi-chip
+    sharding path compiles and executes (typically on a virtual CPU mesh).
+    Returns the tracked (x, y, val) arrays.
+    """
+    from ..config import create_config
+    if cfg is None:
+        cfg = create_config()
+
+    devices = jax.devices()
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)}")
+    n_feat_axis = 2 if n_devices % 2 == 0 else 1
+    mesh = make_mesh(n_frame=n_devices // n_feat_axis,
+                     n_feature=n_feat_axis, devices=devices[:n_devices])
+
+    b = int(np.prod(mesh.devices.shape[:1]))
+    h, w = image_shape
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, size=(b, h, w))
+    imgs1 = base
+    imgs2 = np.roll(base, 1, axis=-1)
+    xs = rng.uniform(cfg.borderx + 1, w - cfg.borderx - 2, (b, n_features))
+    ys = rng.uniform(cfg.bordery + 1, h - cfg.bordery - 2, (b, n_features))
+    vals = np.ones((b, n_features), np.int32)
+
+    with mesh:
+        nx, ny, nval = track_batch_sharded(imgs1, imgs2, xs, ys, vals,
+                                           cfg, mesh)
+        jax.block_until_ready((nx, ny, nval))
+    return nx, ny, nval

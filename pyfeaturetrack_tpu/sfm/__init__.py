@@ -1,0 +1,16 @@
+"""SfM back-end: pose graph + distributed bundle adjustment.
+
+Greenfield subsystem (the reference has no SfM layer — SURVEY.md section
+5.7/5.8): consumes the tracker's FeatureTable and produces camera poses +
+landmarks. The Schur-complement reduction of the bundle adjustment runs as
+batched linear algebra on the MXU, with camera-block all-reduce over ICI
+when landmarks are sharded across devices.
+"""
+
+from .geometry import (se3_apply, se3_compose, se3_exp, se3_inverse,  # noqa: F401
+                       so3_exp, so3_log, project)
+from .triangulate import triangulate_dlt  # noqa: F401
+from .ba import BAProblem, bundle_adjust  # noqa: F401
+from .posegraph import PoseGraph, optimize_pose_graph  # noqa: F401
+from .pipeline import (ate_rmse, observations_from_feature_table,  # noqa: F401
+                       run_sfm)

@@ -1,0 +1,282 @@
+"""PNM image I/O and feature list/table persistence.
+
+Reference parity: pnmio.py (PGM/PPM read+write), writeFeatures.py
+(KLTWriteFeatureList / KLTReadFeatureList / KLTWriteFeatureTable /
+KLTReadFeatureTable) and storeFeatures.py table layout.
+
+Format notes: the reference repo was unavailable at build time (SURVEY.md
+section 0), so the binary encodings below follow the documented KLT-lineage
+structure — magic header (``KLTFL`` / ``KLTFT``) + int32 dims + per-feature
+(float32 x, float32 y, int32 val) records, feature lists frame-major and
+tables feature-major — and are guaranteed self round-trippable; byte parity
+with the reference is tagged [VERIFY] until a reference mount exists.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from ..errors import KLTError
+from ..features import (FeatureState, FeatureTable, feature_state_from_numpy,
+                        feature_state_to_numpy)
+
+BINHEADER_FL = b"KLTFL"
+BINHEADER_FT = b"KLTFT"
+
+
+# ---------------------------------------------------------------------------
+# PNM (reference parity: pnmio.py)
+# ---------------------------------------------------------------------------
+
+def _read_pnm_token(f) -> bytes:
+    """Read one whitespace-delimited token, skipping '#' comments."""
+    tok = b""
+    while True:
+        c = f.read(1)
+        if not c:
+            if tok:
+                return tok
+            raise KLTError("(pnm) unexpected end of file in header")
+        if c == b"#":
+            f.readline()
+            continue
+        if c.isspace():
+            if tok:
+                return tok
+            continue
+        tok += c
+
+
+def pgm_read(path) -> np.ndarray:
+    """Read a binary (P5) or ascii (P2) PGM file -> uint8 [H, W].
+
+    Reference parity: pnmio.py -> pgmReadFile.
+    """
+    with open(path, "rb") as f:
+        magic = _read_pnm_token(f)
+        if magic not in (b"P5", b"P2"):
+            raise KLTError(f"(pgm_read) {path}: not a PGM file (magic {magic!r})")
+        ncols = int(_read_pnm_token(f))
+        nrows = int(_read_pnm_token(f))
+        maxval = int(_read_pnm_token(f))
+        if maxval > 255:
+            raise KLTError(f"(pgm_read) {path}: maxval {maxval} > 255 unsupported")
+        if magic == b"P5":
+            data = f.read(nrows * ncols)
+            if len(data) != nrows * ncols:
+                raise KLTError(f"(pgm_read) {path}: truncated pixel data")
+            img = np.frombuffer(data, dtype=np.uint8)
+        else:
+            vals = f.read().split()
+            img = np.array([int(v) for v in vals[:nrows * ncols]], dtype=np.uint8)
+    return img.reshape(nrows, ncols)
+
+
+def pgm_write(path, img: np.ndarray) -> None:
+    """Write a binary (P5) PGM. Reference parity: pnmio.py -> pgmWriteFile."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    nrows, ncols = img.shape
+    with open(path, "wb") as f:
+        f.write(b"P5\n%d %d\n255\n" % (ncols, nrows))
+        f.write(img.tobytes())
+
+
+def ppm_write(path, rgb: np.ndarray) -> None:
+    """Write a binary (P6) PPM from an [H, W, 3] array.
+
+    Reference parity: pnmio.py -> ppmWriteFileRGB.
+    """
+    rgb = np.asarray(rgb)
+    if rgb.dtype != np.uint8:
+        rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+    nrows, ncols, _ = rgb.shape
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (ncols, nrows))
+        f.write(rgb.tobytes())
+
+
+def ppm_read(path) -> np.ndarray:
+    """Read a binary (P6) PPM -> uint8 [H, W, 3]."""
+    with open(path, "rb") as f:
+        magic = _read_pnm_token(f)
+        if magic != b"P6":
+            raise KLTError(f"(ppm_read) {path}: not a binary PPM")
+        ncols = int(_read_pnm_token(f))
+        nrows = int(_read_pnm_token(f))
+        maxval = int(_read_pnm_token(f))
+        if maxval > 255:
+            raise KLTError(f"(ppm_read) {path}: maxval {maxval} > 255 unsupported")
+        data = f.read(nrows * ncols * 3)
+    return np.frombuffer(data, dtype=np.uint8).reshape(nrows, ncols, 3).copy()
+
+
+def float_image_to_pgm(path, img: np.ndarray, scale: bool = True) -> None:
+    """Debug-dump a float image to PGM (abs then optionally rescaled to 255).
+
+    Reference parity: klt_util.py -> _KLTWriteFloatImageToPGM /
+    _KLTWriteAbsFloatImageToPGM.
+    """
+    a = np.abs(np.asarray(img, dtype=np.float64))
+    mx = a.max()
+    if scale and mx > 0:
+        a = a * (255.0 / mx)
+    pgm_write(path, np.floor(a))
+
+
+# ---------------------------------------------------------------------------
+# Feature list files (reference parity: writeFeatures.py)
+# ---------------------------------------------------------------------------
+
+def write_feature_list(fl: FeatureState, path, fmt: str | None = None) -> None:
+    """Write a feature list; binary if ``fmt`` is None, else formatted text
+    with ``fmt`` as the per-coordinate %-format (e.g. "%5.1f").
+
+    Reference parity: writeFeatures.py -> KLTWriteFeatureList.
+    """
+    arr = feature_state_to_numpy(fl)
+    path = Path(path)
+    if fmt is None:
+        with open(path, "wb") as f:
+            f.write(BINHEADER_FL)
+            f.write(struct.pack("<i", arr.shape[0]))
+            for x, y, v in arr:
+                f.write(struct.pack("<ffi", float(x), float(y), int(v)))
+        return
+    with open(path, "w") as f:
+        f.write("\n")
+        f.write("Feature List\n")
+        f.write("------------\n\n")
+        f.write(f"nFeatures = {arr.shape[0]}\n\n")
+        f.write("feature | (x,y) = val\n")
+        f.write("--------|------------\n")
+        for i, (x, y, v) in enumerate(arr):
+            sx, sy = fmt % x, fmt % y
+            f.write(f"{i:7d} | ({sx},{sy}) = {int(v)}\n")
+
+
+def read_feature_list(path) -> FeatureState:
+    """Read a feature list file (binary or text).
+
+    Reference parity: writeFeatures.py -> KLTReadFeatureList.
+    """
+    path = Path(path)
+    with open(path, "rb") as f:
+        head = f.read(5)
+        if head == BINHEADER_FL:
+            (n,) = struct.unpack("<i", f.read(4))
+            arr = np.zeros((n, 3), dtype=np.float64)
+            for i in range(n):
+                x, y, v = struct.unpack("<ffi", f.read(12))
+                arr[i] = (x, y, v)
+            return feature_state_from_numpy(arr)
+    text = path.read_text()
+    m = re.search(r"nFeatures\s*=\s*(\d+)", text)
+    if not m:
+        raise KLTError(f"(read_feature_list) {path}: no nFeatures header")
+    n = int(m.group(1))
+    rows = re.findall(
+        r"^\s*(\d+)\s*\|\s*\(\s*([-\d.eE+]+)\s*,\s*([-\d.eE+]+)\s*\)\s*=\s*(-?\d+)",
+        text, re.M)
+    if len(rows) != n:
+        raise KLTError(
+            f"(read_feature_list) {path}: expected {n} rows, found {len(rows)}")
+    arr = np.zeros((n, 3), dtype=np.float64)
+    for idx, x, y, v in rows:
+        arr[int(idx)] = (float(x), float(y), int(v))
+    return feature_state_from_numpy(arr)
+
+
+# ---------------------------------------------------------------------------
+# Feature table files (reference parity: writeFeatures.py / storeFeatures.py)
+# ---------------------------------------------------------------------------
+
+def write_feature_table(ft: FeatureTable, path, fmt: str | None = None) -> None:
+    """Write a feature table; binary if ``fmt`` is None (feature-major
+    record order, as in the KLT lineage), else formatted text.
+
+    Reference parity: writeFeatures.py -> KLTWriteFeatureTable.
+    """
+    x = np.asarray(ft.x, np.float64)
+    y = np.asarray(ft.y, np.float64)
+    v = np.asarray(ft.val, np.int64)
+    n_frames, n_features = x.shape
+    path = Path(path)
+    if fmt is None:
+        with open(path, "wb") as f:
+            f.write(BINHEADER_FT)
+            f.write(struct.pack("<ii", n_frames, n_features))
+            for j in range(n_features):
+                for i in range(n_frames):
+                    f.write(struct.pack("<ffi", float(x[i, j]),
+                                        float(y[i, j]), int(v[i, j])))
+        return
+    with open(path, "w") as f:
+        f.write("\n")
+        f.write("Feature Table\n")
+        f.write("-------------\n\n")
+        f.write(f"nFrames = {n_frames}, nFeatures = {n_features}\n\n")
+        f.write("feature |          frame\n")
+        f.write("        |" + "".join(f"{i:^22d}" for i in range(n_frames)) + "\n")
+        f.write("--------|" + "-" * (22 * n_frames) + "\n")
+        for j in range(n_features):
+            cells = []
+            for i in range(n_frames):
+                sx, sy = fmt % x[i, j], fmt % y[i, j]
+                cells.append(f"({sx},{sy})={int(v[i, j]):<4d}")
+            f.write(f"{j:7d} |" + " ".join(cells) + "\n")
+
+
+def read_feature_table(path) -> FeatureTable:
+    """Read a feature table file (binary or text).
+
+    Reference parity: writeFeatures.py -> KLTReadFeatureTable.
+    """
+    import jax.numpy as jnp
+    path = Path(path)
+    with open(path, "rb") as f:
+        head = f.read(5)
+        if head == BINHEADER_FT:
+            n_frames, n_features = struct.unpack("<ii", f.read(8))
+            x = np.zeros((n_frames, n_features), np.float64)
+            y = np.zeros((n_frames, n_features), np.float64)
+            v = np.zeros((n_frames, n_features), np.int64)
+            for j in range(n_features):
+                for i in range(n_frames):
+                    xx, yy, vv = struct.unpack("<ffi", f.read(12))
+                    x[i, j], y[i, j], v[i, j] = xx, yy, vv
+            return FeatureTable(x=jnp.asarray(x, jnp.float32),
+                                y=jnp.asarray(y, jnp.float32),
+                                val=jnp.asarray(v, jnp.int32))
+    text = path.read_text()
+    m = re.search(r"nFrames\s*=\s*(\d+),\s*nFeatures\s*=\s*(\d+)", text)
+    if not m:
+        raise KLTError(f"(read_feature_table) {path}: no dims header")
+    n_frames, n_features = int(m.group(1)), int(m.group(2))
+    x = np.zeros((n_frames, n_features), np.float64)
+    y = np.zeros((n_frames, n_features), np.float64)
+    v = np.zeros((n_frames, n_features), np.int64)
+    cell_re = re.compile(
+        r"\(\s*([-\d.eE+]+)\s*,\s*([-\d.eE+]+)\s*\)\s*=\s*(-?\d+)")
+    row_re = re.compile(r"^\s*(\d+)\s*\|(.*)$", re.M)
+    nrows = 0
+    for mrow in row_re.finditer(text):
+        j = int(mrow.group(1))
+        cells = cell_re.findall(mrow.group(2))
+        if len(cells) != n_frames:
+            continue
+        for i, (xx, yy, vv) in enumerate(cells):
+            x[i, j], y[i, j], v[i, j] = float(xx), float(yy), int(vv)
+        nrows += 1
+    if nrows != n_features:
+        raise KLTError(
+            f"(read_feature_table) {path}: expected {n_features} rows, "
+            f"found {nrows}")
+    return FeatureTable(x=jnp.asarray(x, jnp.float32),
+                        y=jnp.asarray(y, jnp.float32),
+                        val=jnp.asarray(v, jnp.int32))

@@ -1,0 +1,140 @@
+"""Affine-consistency check vs the float64 oracle (SURVEY.md section 3.3)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pyfeaturetrack_tpu as pft
+from pyfeaturetrack_tpu.features import feature_state_from_numpy
+from pyfeaturetrack_tpu.ops.affine import _affine_track_batch
+from pyfeaturetrack_tpu.oracle import klt_oracle as oracle
+from pyfeaturetrack_tpu.oracle import affine_oracle
+
+from conftest import make_textured_image, shift_image_bilinear
+
+
+def warp_image_affine(img, A, dx, dy):
+    """img2(x) = img1(A_inv (x - t)) so features move by ~(dx, dy) with
+    local deformation A around each point."""
+    nrows, ncols = img.shape
+    ys, xs = np.mgrid[0:nrows, 0:ncols].astype(np.float64)
+    cx, cy = ncols / 2.0, nrows / 2.0
+    Ainv = np.linalg.inv(A)
+    u = xs - cx - dx
+    v = ys - cy - dy
+    sx = Ainv[0, 0] * u + Ainv[0, 1] * v + cx
+    sy = Ainv[1, 0] * u + Ainv[1, 1] * v + cy
+    sx = np.clip(sx, 0, ncols - 1.001)
+    sy = np.clip(sy, 0, nrows - 1.001)
+    x0 = sx.astype(np.int64)
+    y0 = sy.astype(np.int64)
+    ax, ay = sx - x0, sy - y0
+    return ((1 - ax) * (1 - ay) * img[y0, x0] +
+            ax * (1 - ay) * img[y0, np.minimum(x0 + 1, ncols - 1)] +
+            (1 - ax) * ay * img[np.minimum(y0 + 1, nrows - 1), x0] +
+            ax * ay * img[np.minimum(y0 + 1, nrows - 1),
+                          np.minimum(x0 + 1, ncols - 1)])
+
+
+@pytest.fixture(scope="module")
+def frames():
+    img0 = make_textured_image(120, 160, seed=31)
+    img1 = shift_image_bilinear(img0, 0.7, -0.5)
+    A = np.array([[1.01, 0.008], [-0.008, 1.01]])
+    img2 = warp_image_affine(img1, A, 0.7, -0.5)
+    return img0, img1, img2
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_affine_modes_keep_good_tracks(frames, mode):
+    img0, img1, img2 = frames
+    cfg = pft.create_config(affineConsistencyCheck=mode)
+    fl = pft.KLTSelectGoodFeatures(cfg, img0, 30)
+    n0 = pft.KLTCountRemainingFeatures(fl)
+    # frame 0 -> 1: templates are captured (no check yet)
+    fl1, _ = pft.KLTTrackFeatures(cfg, img0, img1, fl)
+    assert fl1.aff is not None
+    n_cap = int(np.asarray(fl1.aff.valid).sum())
+    assert n_cap == pft.KLTCountRemainingFeatures(fl1) > 0.5 * n0
+    # frame 1 -> 2: mild warp, the check should keep most tracks
+    fl2, _ = pft.KLTTrackFeatures(cfg, img1, img2, fl1)
+    n2 = pft.KLTCountRemainingFeatures(fl2)
+    assert n2 >= 0.6 * n_cap
+
+
+def test_affine_check_drops_appearance_change(frames):
+    img0, img1, _ = frames
+    cfg = pft.create_config(affineConsistencyCheck=2)
+    fl = pft.KLTSelectGoodFeatures(cfg, img0, 30)
+    fl1, _ = pft.KLTTrackFeatures(cfg, img0, img1, fl)
+    kept = pft.KLTCountRemainingFeatures(fl1)
+    # now the scene changes completely; translation LK already loses most,
+    # and whatever survives must fail the template check
+    alien = make_textured_image(120, 160, seed=99)
+    fl2, _ = pft.KLTTrackFeatures(cfg, img1, alien, fl1)
+    assert pft.KLTCountRemainingFeatures(fl2) < 0.3 * max(kept, 1)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_affine_batch_matches_oracle(frames, mode):
+    img1, img2, _ = frames
+    cfg = pft.create_config(affineConsistencyCheck=mode)
+
+    smooth_sigma = cfg.smooth_sigma_fact * max(cfg.window_width,
+                                               cfg.window_height)
+    s1 = oracle.compute_smoothed_image(np.asarray(img1, np.float64),
+                                       smooth_sigma)
+    s2 = oracle.compute_smoothed_image(np.asarray(img2, np.float64),
+                                       smooth_sigma)
+    gx2, gy2 = oracle.compute_gradients(s2, cfg.grad_sigma)
+    gx1, gy1 = oracle.compute_gradients(s1, cfg.grad_sigma)
+
+    feats = oracle.select_good_features(img1, 12, cfg)
+    live = feats[:, 2] >= 0
+    xs, ys = feats[live, 0], feats[live, 1]
+    n = xs.shape[0]
+    assert n >= 5
+
+    # capture templates at frame-1 positions, start GN from a shifted guess
+    tw, th = cfg.affine_window_width, cfg.affine_window_height
+    tmpls = [affine_oracle.get_template(s1, gx1, gy1, x, y, tw, th)
+             for x, y in zip(xs, ys)]
+    x0 = xs + 0.7
+    y0 = ys - 0.5
+    A0 = np.eye(2)
+
+    want = np.array([
+        affine_oracle.am_track_feature_affine(
+            x0[i], y0[i], tmpls[i], s2, gx2, gy2, A0, cfg, mode)[:2] +
+        (affine_oracle.am_track_feature_affine(
+            x0[i], y0[i], tmpls[i], s2, gx2, gy2, A0, cfg, mode)[3],)
+        for i in range(n)])
+
+    tmpl_b = jnp.asarray(np.stack([t[0] for t in tmpls]), jnp.float32)
+    gx, gy, gA, gstatus = _affine_track_batch(
+        tmpl_b, jnp.asarray(s2, jnp.float32), jnp.asarray(gx2, jnp.float32),
+        jnp.asarray(gy2, jnp.float32),
+        jnp.asarray(x0, jnp.float32), jnp.asarray(y0, jnp.float32),
+        jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (n, 2, 2)),
+        jnp.ones((n,), bool), cfg)
+
+    gstatus = np.asarray(gstatus)
+    same_status = gstatus == want[:, 2]
+    assert same_status.mean() >= 0.8
+    ok = same_status & (gstatus == 0)
+    if ok.any():
+        np.testing.assert_allclose(np.asarray(gx)[ok], want[ok, 0], atol=0.02)
+        np.testing.assert_allclose(np.asarray(gy)[ok], want[ok, 1], atol=0.02)
+
+
+def test_affine_state_persists_through_replace(frames):
+    img0, img1, img2 = frames
+    cfg = pft.create_config(affineConsistencyCheck=2)
+    fl = pft.KLTSelectGoodFeatures(cfg, img0, 30)
+    fl1, _ = pft.KLTTrackFeatures(cfg, img0, img1, fl)
+    fl1r = pft.KLTReplaceLostFeatures(cfg, img1, fl1)
+    assert fl1r.aff is not None
+    # refilled slots must have invalid templates (to be captured next track)
+    was_lost = np.asarray(fl1.val) < 0
+    assert not np.asarray(fl1r.aff.valid)[was_lost].any()

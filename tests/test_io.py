@@ -1,0 +1,100 @@
+"""PNM + feature-file round trips (SURVEY.md section 5.4)."""
+
+import numpy as np
+
+import pyfeaturetrack_tpu as pft
+from pyfeaturetrack_tpu.features import (create_feature_table,
+                                         feature_state_from_numpy,
+                                         feature_state_to_numpy,
+                                         store_feature_list)
+from pyfeaturetrack_tpu.utils import io, viz
+
+
+def _random_feats(n, seed=0):
+    r = np.random.default_rng(seed)
+    arr = np.zeros((n, 3))
+    arr[:, 0] = np.round(r.uniform(0, 100, n), 2)
+    arr[:, 1] = np.round(r.uniform(0, 80, n), 2)
+    arr[:, 2] = r.choice([0, -1, -2, -3, -4, -5, 5000], n)
+    return arr
+
+
+def test_pgm_roundtrip(tmp_path):
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    p = tmp_path / "t.pgm"
+    io.pgm_write(p, img)
+    np.testing.assert_array_equal(io.pgm_read(p), img)
+
+
+def test_pgm_ascii_read(tmp_path):
+    p = tmp_path / "a.pgm"
+    p.write_text("P2\n# comment\n3 2\n255\n0 1 2\n3 4 5\n")
+    np.testing.assert_array_equal(io.pgm_read(p),
+                                  np.arange(6, dtype=np.uint8).reshape(2, 3))
+
+
+def test_ppm_roundtrip(tmp_path):
+    rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    p = tmp_path / "t.ppm"
+    io.ppm_write(p, rgb)
+    np.testing.assert_array_equal(io.ppm_read(p), rgb)
+
+
+def test_feature_list_binary_roundtrip(tmp_path):
+    arr = _random_feats(17)
+    fl = feature_state_from_numpy(arr)
+    p = tmp_path / "fl.bin"
+    io.write_feature_list(fl, p)
+    back = feature_state_to_numpy(io.read_feature_list(p))
+    np.testing.assert_allclose(back, arr, atol=1e-5)
+
+
+def test_feature_list_text_roundtrip(tmp_path):
+    arr = _random_feats(9, seed=1)
+    fl = feature_state_from_numpy(arr)
+    p = tmp_path / "fl.txt"
+    io.write_feature_list(fl, p, fmt="%7.2f")
+    back = feature_state_to_numpy(io.read_feature_list(p))
+    np.testing.assert_allclose(back[:, :2], arr[:, :2], atol=0.01)
+    np.testing.assert_array_equal(back[:, 2], arr[:, 2])
+
+
+def test_feature_table_binary_roundtrip(tmp_path):
+    ft = create_feature_table(4, 6)
+    for i in range(4):
+        ft = store_feature_list(feature_state_from_numpy(
+            _random_feats(6, seed=i)), ft, i)
+    p = tmp_path / "ft.bin"
+    io.write_feature_table(ft, p)
+    back = io.read_feature_table(p)
+    np.testing.assert_allclose(np.asarray(back.x), np.asarray(ft.x), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(back.val), np.asarray(ft.val))
+
+
+def test_feature_table_text_roundtrip(tmp_path):
+    ft = create_feature_table(3, 5)
+    for i in range(3):
+        ft = store_feature_list(feature_state_from_numpy(
+            _random_feats(5, seed=10 + i)), ft, i)
+    p = tmp_path / "ft.txt"
+    io.write_feature_table(ft, p, fmt="%7.2f")
+    back = io.read_feature_table(p)
+    np.testing.assert_allclose(np.asarray(back.x), np.asarray(ft.x), atol=0.01)
+    np.testing.assert_array_equal(np.asarray(back.val), np.asarray(ft.val))
+
+
+def test_overlay_marks_live_features():
+    img = np.zeros((20, 30))
+    arr = np.array([[10.0, 5.0, 0.0], [20.0, 15.0, -1.0]])
+    rgb = viz.overlay_features(img, feature_state_from_numpy(arr))
+    assert tuple(rgb[5, 10]) == (255, 0, 0)       # live -> red
+    assert tuple(rgb[15, 20]) == (0, 0, 0)        # lost -> untouched
+
+
+def test_float_image_debug_dump(tmp_path):
+    img = np.linspace(-1, 1, 24).reshape(4, 6)
+    p = tmp_path / "dbg.pgm"
+    io.float_image_to_pgm(p, img)
+    back = io.pgm_read(p)
+    assert back.shape == (4, 6)
+    assert back.max() == 255

@@ -1,0 +1,166 @@
+"""Tracking vs the float64 oracle + dedicated status-code triggers
+(SURVEY.md sections 3.2, 7.4)."""
+
+import numpy as np
+import pytest
+
+import pyfeaturetrack_tpu as pft
+from pyfeaturetrack_tpu.features import feature_state_from_numpy
+from pyfeaturetrack_tpu.oracle import klt_oracle as oracle
+
+from conftest import make_textured_image, shift_image_bilinear
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return pft.create_config()
+
+
+@pytest.fixture(scope="module")
+def pair():
+    img1 = make_textured_image(96, 128, seed=11)
+    img2 = shift_image_bilinear(img1, 1.6, -1.1)
+    return img1, img2
+
+
+@pytest.fixture(scope="module")
+def tracked(cfg, pair):
+    img1, img2 = pair
+    feats = oracle.select_good_features(img1, 40, cfg)
+    fl = feature_state_from_numpy(feats)
+    fl2, _ = pft.KLTTrackFeatures(cfg, img1, img2, fl)
+    want, _ = oracle.track_features(img1, img2, feats, cfg)
+    got = np.stack([np.asarray(fl2.x, np.float64),
+                    np.asarray(fl2.y, np.float64),
+                    np.asarray(fl2.val, np.float64)], 1)
+    return got, want
+
+
+def test_statuses_match_oracle(tracked):
+    got, want = tracked
+    assert (got[:, 2] == want[:, 2]).mean() >= 0.95
+
+
+def test_positions_match_oracle(tracked):
+    got, want = tracked
+    both = (got[:, 2] == 0) & (want[:, 2] == 0)
+    assert both.sum() >= 10
+    np.testing.assert_allclose(got[both, :2], want[both, :2], atol=5e-3)
+
+
+def test_known_flow_recovered(cfg, pair):
+    img1, img2 = pair
+    feats = oracle.select_good_features(img1, 40, cfg)
+    fl = feature_state_from_numpy(feats)
+    fl2, _ = pft.KLTTrackFeatures(cfg, img1, img2, fl)
+    tv = np.asarray(fl2.val)
+    live = tv == 0
+    assert live.sum() >= 10
+    dx = np.asarray(fl2.x)[live] - feats[live, 0]
+    dy = np.asarray(fl2.y)[live] - feats[live, 1]
+    # interior flow is the constant shift; tolerate interpolation error
+    assert abs(np.median(dx) - 1.6) < 0.1
+    assert abs(np.median(dy) - (-1.1)) < 0.1
+
+
+def test_bilinear_matches_oracle(pair):
+    from pyfeaturetrack_tpu.ops.interp import bilinear
+    import jax.numpy as jnp
+    img1, _ = pair
+    r = np.random.default_rng(0)
+    xs = r.uniform(1, img1.shape[1] - 2, 50)
+    ys = r.uniform(1, img1.shape[0] - 2, 50)
+    want = np.array([oracle.interpolate(x, y, img1) for x, y in zip(xs, ys)])
+    got = np.asarray(bilinear(jnp.asarray(img1, jnp.float32),
+                              jnp.asarray(xs, jnp.float32),
+                              jnp.asarray(ys, jnp.float32)), np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+def _track_single(cfg, img1, img2, x, y):
+    fl = feature_state_from_numpy(np.array([[x, y, 100.0]]))
+    fl2, _ = pft.KLTTrackFeatures(cfg, img1, img2, fl)
+    return (float(fl2.x[0]), float(fl2.y[0]), int(fl2.val[0]))
+
+
+def test_status_oob(pair):
+    """Feature right at the border walks out -> KLT_OOB."""
+    cfg = pft.create_config()
+    img1, img2 = pair
+    x, y, v = _track_single(cfg, img1, img2, cfg.borderx + 1.0,
+                            cfg.bordery + 1.0)
+    # shifted image moves features toward the border; whatever the track
+    # result, a lost feature must be parked at (-1, -1)
+    if v != pft.KLT_TRACKED:
+        assert (x, y) == (-1.0, -1.0)
+
+
+def test_status_small_det():
+    """Flat image -> zero gradients -> KLT_SMALL_DET."""
+    cfg = pft.create_config()
+    img = np.full((96, 128), 100.0)
+    x, y, v = _track_single(cfg, img, img, 60.0, 48.0)
+    assert v == pft.KLT_SMALL_DET
+    assert (x, y) == (-1.0, -1.0)
+
+
+def test_status_large_residue():
+    """step_factor=0 freezes the solve; tracking between uncorrelated
+    images then fails the residue check."""
+    cfg = pft.create_config(step_factor=0.0)
+    img1 = make_textured_image(96, 128, seed=1)
+    img2 = make_textured_image(96, 128, seed=2)
+    x, y, v = _track_single(cfg, img1, img2, 60.0, 48.0)
+    assert v == pft.KLT_LARGE_RESIDUE
+
+
+def test_status_max_iterations():
+    """min_displacement=0 never converges -> KLT_MAX_ITERATIONS."""
+    cfg = pft.create_config(min_displacement=0.0)
+    img = make_textured_image(96, 128, seed=1)
+    x, y, v = _track_single(cfg, img, img, 60.0, 48.0)
+    assert v == pft.KLT_MAX_ITERATIONS
+
+
+def test_status_tracked_identity():
+    """Identity tracking converges immediately with zero residue."""
+    cfg = pft.create_config()
+    img = make_textured_image(96, 128, seed=1)
+    x, y, v = _track_single(cfg, img, img, 60.0, 48.0)
+    assert v == pft.KLT_TRACKED
+    assert abs(x - 60.0) < 1e-3 and abs(y - 48.0) < 1e-3
+
+
+def test_lighting_insensitive_tracks_gain_bias(cfg):
+    """Gain+bias change breaks plain LK residue, lighting-insensitive
+    mode survives it (reference trackFeatures.py LI variants)."""
+    img1 = make_textured_image(96, 128, seed=5)
+    img2 = np.clip(shift_image_bilinear(img1, 0.8, 0.5) * 0.6 + 40.0, 0, 255)
+    feats = oracle.select_good_features(img1, 20, cfg)
+    li_cfg = cfg.replace(lighting_insensitive=True)
+    fl = feature_state_from_numpy(feats)
+    fl_li, _ = pft.KLTTrackFeatures(li_cfg, img1, img2, fl)
+    v_li = np.asarray(fl_li.val)
+    assert (v_li == 0).sum() >= 10
+    # and it matches the oracle's LI path
+    want, _ = oracle.track_features(
+        img1, img2, feats, li_cfg)
+    both = (v_li == 0) & (want[:, 2] == 0)
+    np.testing.assert_allclose(
+        np.stack([np.asarray(fl_li.x)[both], np.asarray(fl_li.y)[both]], 1),
+        want[both, :2], atol=5e-3)
+
+
+def test_sequential_cache_equivalence(cfg, pair):
+    """Passing the cached pyramid must equal rebuilding it."""
+    img1, img2 = pair
+    feats = oracle.select_good_features(img1, 20, cfg)
+    fl = feature_state_from_numpy(feats)
+    from pyfeaturetrack_tpu.ops.track import build_track_pyramids
+    import jax.numpy as jnp
+    cache = build_track_pyramids(jnp.asarray(img1, jnp.float32),
+                                 cfg.validated_window())
+    a, _ = pft.KLTTrackFeatures(cfg, img1, img2, fl)
+    b, _ = pft.KLTTrackFeatures(cfg, img1, img2, fl, pyramid_last=cache)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    np.testing.assert_array_equal(np.asarray(a.val), np.asarray(b.val))
