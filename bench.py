@@ -1,12 +1,13 @@
-"""Headline benchmark: frames/s tracking 1000 features at 640x480.
+"""Benchmarks for the BASELINE.md configs.
 
-BASELINE.md north star: >= 1000 features tracked at >= 500 frames/s on one
-TPU chip (config 4-style batched LK throughput). Per-frame work is the
-honest sequential-mode cost: build the NEW frame's pyramid + gradients,
-then run batched pyramidal LK for all features (the previous frame's
-pyramids are the cached carry). Prints ONE JSON line.
+Default run prints ONE JSON line — the headline metric (frames/s tracking
+1000 features at 640x480 on one chip, vs the 500 fps north-star target).
+``--all`` additionally measures the other BASELINE configs and writes
+BENCH_DETAILS.json.
 
-Usage: python bench.py [--frames N] [--features N] [--size HxW]
+Per-frame work is the honest sequential-mode cost: build the NEW frame's
+pyramid + gradients, then batched pyramidal LK for all features (previous
+frame's pyramids are the cached carry).
 """
 
 import argparse
@@ -17,66 +18,174 @@ import time
 import numpy as np
 
 
+def _textured(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 255, (h + 8, w + 8))
+    k = np.array([1.0, 4, 6, 4, 1]) / 16.0
+    for axis in (0, 1):
+        img = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), axis, img)
+    return img
+
+
+def bench_tracking(h, w, n_features, cfg, n_frames=50, warmup=5):
+    """frames/s for the sequential per-frame step at the given config."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.ops.track import (build_track_pyramids,
+                                              track_features_pyramids)
+
+    @jax.jit
+    def frame_step(pyr_prev, img_new, x, y, val):
+        pyr_new = build_track_pyramids(img_new, cfg)
+        out = track_features_pyramids(pyr_prev, pyr_new, x, y, val, cfg)
+        return pyr_new, out
+
+    base = _textured(h, w)
+    frames = [jnp.asarray(base[i % 4:i % 4 + h, i % 4:i % 4 + w],
+                          jnp.float32) for i in range(4)]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(cfg.borderx + 1, w - cfg.borderx - 2,
+                                n_features), jnp.float32)
+    y = jnp.asarray(rng.uniform(cfg.bordery + 1, h - cfg.bordery - 2,
+                                n_features), jnp.float32)
+    val = jnp.ones((n_features,), jnp.int32)
+
+    pyr = build_track_pyramids(frames[0], cfg)
+    for i in range(warmup):
+        pyr2, out = frame_step(pyr, frames[(i + 1) % 4], x, y, val)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    cur = pyr
+    for i in range(n_frames):
+        cur, out = frame_step(cur, frames[(i + 1) % 4], x, y, val)
+    jax.block_until_ready(out)
+    return n_frames / (time.perf_counter() - t0)
+
+
+def bench_two_frame_demo():
+    """Config 1: the stock example1 flow (select 100 + track), end to end
+    host-to-host, seconds per run."""
+    import pyfeaturetrack_tpu as pft
+    img1 = np.floor(_textured(240, 320, seed=1)[:240, :320])
+    img2 = np.floor(_textured(240, 320, seed=1)[1:241, 1:321])
+    cfg = pft.create_config()
+    # warm
+    fl = pft.KLTSelectGoodFeatures(cfg, img1, 100)
+    fl2, _ = pft.KLTTrackFeatures(cfg, img1, img2, fl)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        fl = pft.KLTSelectGoodFeatures(cfg, img1, 100)
+        fl2, _ = pft.KLTTrackFeatures(cfg, img1, img2, fl)
+    return (time.perf_counter() - t0) / 5
+
+
+def bench_affine(h=480, w=640, n_features=1000):
+    """Config 3: affine-consistency tracking (6-param) frames/s."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.affine import (_affine_track_batch,
+                                               make_affine_state)
+    from pyfeaturetrack_tpu.ops.track import build_track_pyramids
+
+    cfg = create_config(affineConsistencyCheck=2)
+    base = _textured(h, w, seed=2)
+    img = jnp.asarray(base[:h, :w], jnp.float32)
+    pyr = build_track_pyramids(img, cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(40, w - 40, n_features), jnp.float32)
+    y = jnp.asarray(rng.uniform(40, h - 40, n_features), jnp.float32)
+    hw, hh = cfg.affine_window_width // 2, cfg.affine_window_height // 2
+    from pyfeaturetrack_tpu.ops.interp import gather_window
+    tmpl = gather_window(pyr.img[0], x, y, hw, hh)
+    A0 = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (n_features, 2, 2))
+    check = jnp.ones((n_features,), bool)
+
+    def run():
+        return _affine_track_batch(tmpl, pyr.img[0], pyr.gradx[0],
+                                   pyr.grady[0], x, y, A0, check, cfg)
+    out = run()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = run()
+    jax.block_until_ready(out)
+    return 20 / (time.perf_counter() - t0)
+
+
+def bench_sfm():
+    """Config 5 core: BA iteration rate on a synthetic 20-cam/2000-pt
+    problem (iterations/s)."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.sfm import BAProblem, bundle_adjust
+    from pyfeaturetrack_tpu.sfm.geometry import so3_exp, project
+
+    rng = np.random.default_rng(0)
+    C, L = 20, 2000
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    Rs = np.asarray(so3_exp(jnp.asarray(
+        0.02 * rng.standard_normal((C, 3)), jnp.float32)))
+    ts = np.stack([[-0.2 * i, 0.0, 0.0] for i in range(C)]).astype(np.float32)
+    X = np.stack([rng.uniform(-3, 3, L), rng.uniform(-2, 2, L),
+                  rng.uniform(5, 10, L)], -1).astype(np.float32)
+    uv = np.zeros((C, L, 2), np.float32)
+    for c in range(C):
+        p, _ = project(jnp.asarray(K), jnp.asarray(Rs[c]), jnp.asarray(ts[c]),
+                       jnp.asarray(X))
+        uv[c] = np.asarray(p)
+    cam = np.repeat(np.arange(C), L).astype(np.int32)
+    pt = np.tile(np.arange(L), C).astype(np.int32)
+    problem = BAProblem(jnp.asarray(K), jnp.asarray(cam), jnp.asarray(pt),
+                        jnp.asarray(uv.reshape(-1, 2)),
+                        jnp.ones((C * L,), jnp.float32))
+    X0 = X + 0.05 * rng.standard_normal(X.shape).astype(np.float32)
+    t0 = time.perf_counter()
+    R, t, Xh, costs = bundle_adjust(problem, Rs, ts, X0, n_iters=8)
+    dt = (time.perf_counter() - t0)
+    return 8 / dt, costs[-1] / max(costs[0], 1e-9)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--features", type=int, default=1000)
     ap.add_argument("--size", type=str, default="480x640")
-    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--all", action="store_true",
+                    help="run every BASELINE config, write BENCH_DETAILS.json")
     args = ap.parse_args()
     h, w = map(int, args.size.split("x"))
 
-    import jax
-    import jax.numpy as jnp
     from pyfeaturetrack_tpu.config import create_config
-    from pyfeaturetrack_tpu.ops.track import (build_track_pyramids,
-                                              track_features_pyramids)
-
     cfg = create_config()
 
-    @jax.jit
-    def frame_step(pyr_prev, img_new, x, y, val):
-        pyr_new = build_track_pyramids(img_new, cfg)
-        nx, ny, nval = track_features_pyramids(pyr_prev, pyr_new, x, y, val,
-                                               cfg)
-        return pyr_new, nx, ny, nval
-
-    rng = np.random.default_rng(0)
-    base = rng.uniform(0, 255, (h + 8, w + 8))
-    k = np.array([1.0, 4, 6, 4, 1]) / 16.0
-    for axis in (0, 1):
-        base = np.apply_along_axis(
-            lambda m: np.convolve(m, k, mode="same"), axis, base)
-    frames = [jnp.asarray(base[i % 4:i % 4 + h, i % 4:i % 4 + w],
-                          jnp.float32) for i in range(4)]
-
-    n = args.features
-    x = jnp.asarray(rng.uniform(cfg.borderx + 1, w - cfg.borderx - 2, n),
-                    jnp.float32)
-    y = jnp.asarray(rng.uniform(cfg.bordery + 1, h - cfg.bordery - 2, n),
-                    jnp.float32)
-    val = jnp.ones((n,), jnp.int32)
-
-    pyr = build_track_pyramids(frames[0], cfg)
-    # warmup / compile
-    for i in range(args.warmup):
-        pyr2, nx, ny, nval = frame_step(pyr, frames[(i + 1) % 4], x, y, val)
-    jax.block_until_ready(nval)
-
-    t0 = time.perf_counter()
-    cur = pyr
-    for i in range(args.frames):
-        cur, nx, ny, nval = frame_step(cur, frames[(i + 1) % 4], x, y, val)
-    jax.block_until_ready(nval)
-    elapsed = time.perf_counter() - t0
-
-    fps = args.frames / elapsed
-    print(json.dumps({
-        "metric": f"frames_per_s_{n}feat_{h}x{w}",
+    fps = bench_tracking(h, w, args.features, cfg, n_frames=args.frames)
+    headline = {
+        "metric": f"frames_per_s_{args.features}feat_{h}x{w}",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 500.0, 3),
-    }))
+    }
+
+    if args.all:
+        details = {"headline": headline}
+        details["config1_two_frame_demo_s"] = round(bench_two_frame_demo(), 4)
+        details["config3_affine_fps"] = round(bench_affine(), 2)
+        fps_1080p = bench_tracking(
+            1088, 1920, 4096,
+            create_config().replace(nPyramidLevels=4, subsampling=2),
+            n_frames=20)
+        details["config4_1080p_4096feat_4lvl_fps"] = round(fps_1080p, 2)
+        ba_rate, ba_drop = bench_sfm()
+        details["config5_ba_iters_per_s"] = round(ba_rate, 2)
+        details["config5_ba_cost_drop"] = round(float(ba_drop), 6)
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=2)
+        print(json.dumps(details), file=sys.stderr)
+
+    print(json.dumps(headline))
     return 0
 
 

@@ -1,0 +1,145 @@
+"""Chunk-parallel sequence tracking with boundary stitching.
+
+SURVEY.md section 5.7: the true context-parallel analogue for video —
+split the sequence into chunks sharing ONE overlap frame, track each chunk
+independently (chunks are embarrassingly parallel across chips/hosts; only
+the tracker state inside a chunk is serial), then stitch track identities
+at the shared boundary frames by matching feature positions.
+
+The output is a global track table: [n_frames, n_tracks] over the union of
+stitched identities, equivalent in content to what a single sequential run
+over the whole sequence produces (same per-chunk physics; identities that
+persist across a boundary are linked when their boundary positions agree
+within ``stitch_tol`` pixels).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import TrackerConfig, create_config
+from .sequence import track_sequence
+
+
+def chunk_bounds(n_frames: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Split [0, n_frames) into chunks sharing one boundary frame:
+    [(0, e0), (e0-1+1? ...)] — chunk k spans [s_k, e_k) with
+    s_{k+1} = e_k - 1 (the overlap frame)."""
+    n_chunks = max(1, min(n_chunks, n_frames - 1))
+    # distribute the n_frames-1 transitions evenly
+    trans = n_frames - 1
+    per = trans // n_chunks
+    extra = trans % n_chunks
+    bounds = []
+    start = 0
+    for k in range(n_chunks):
+        steps = per + (1 if k < extra else 0)
+        end = start + steps + 1
+        bounds.append((start, end))
+        start = end - 1
+    return bounds
+
+
+def _stitch_ids(prev_xy: np.ndarray, prev_ids: np.ndarray,
+                next_xy: np.ndarray, tol: float) -> np.ndarray:
+    """Match next-chunk features at the boundary frame to previous global
+    ids by nearest position. Returns per-next-feature global id (-1 = new).
+    """
+    ids = np.full(next_xy.shape[0], -1, np.int64)
+    if prev_xy.shape[0] == 0 or next_xy.shape[0] == 0:
+        return ids
+    d = np.abs(prev_xy[None, :, :] - next_xy[:, None, :]).max(axis=-1)
+    best = d.argmin(axis=1)
+    ok = d[np.arange(next_xy.shape[0]), best] <= tol
+    ids[ok] = prev_ids[best[ok]]
+    # a global id must not be claimed twice; keep the closest claimant
+    for gid in np.unique(ids[ids >= 0]):
+        claimants = np.nonzero(ids == gid)[0]
+        if claimants.size > 1:
+            keep = claimants[d[claimants, best[claimants]].argmin()]
+            ids[claimants] = -1
+            ids[keep] = gid
+    return ids
+
+
+def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
+                           n_features: int = 150, n_chunks: int = 2,
+                           replace_lost: bool = True,
+                           stitch_tol: float = 1.0):
+    # stitch_tol: a continuing physical corner is re-detected by the next
+    # chunk at an integer pixel while the left chunk tracked it to subpixel
+    # drift — up to 0.5 px apart per axis; 1.0 px catches those without
+    # ambiguity (mindist keeps distinct features >= mindist apart).
+    """Track ``frames`` in ``n_chunks`` independent chunks and stitch.
+
+    Returns (table, track_ids_per_chunk, metrics):
+      table — dict with 'x', 'y', 'val' float/int arrays
+      [n_frames, n_global_tracks]; columns are stitched global tracks.
+    Chunks are independent after their first frame, so on a multi-host
+    deployment each host tracks its own chunk concurrently and only the
+    boundary feature lists travel over DCN (one [N, 3] array per boundary).
+    """
+    frames = list(frames)
+    n_frames = len(frames)
+    cfg = cfg if cfg is not None else create_config()
+    bounds = chunk_bounds(n_frames, n_chunks)
+
+    # Track every chunk independently (parallel across hosts in deployment;
+    # serial here — the math is identical).
+    chunk_tables = []
+    all_metrics = []
+    for (s, e) in bounds:
+        ft, metrics = track_sequence(frames[s:e], cfg=cfg,
+                                     n_features=n_features,
+                                     replace_lost=replace_lost)
+        chunk_tables.append((s, e, np.asarray(ft.x, np.float64),
+                             np.asarray(ft.y, np.float64),
+                             np.asarray(ft.val, np.int64)))
+        all_metrics.append(metrics)
+
+    # Stitch identities left to right.
+    next_gid = 0
+    col_ids = []  # per chunk: global id of each feature column
+    for k, (s, e, x, y, v) in enumerate(chunk_tables):
+        ids = np.full(n_features, -1, np.int64)
+        if k > 0:
+            ps, pe, px, py, pv = chunk_tables[k - 1]
+            # boundary frame = global frame s == local frame (pe-ps-1) of
+            # chunk k-1 and local frame 0 of chunk k
+            prev_live = pv[-1] >= 0
+            prev_ids = col_ids[k - 1]
+            live_mask = prev_live & (prev_ids >= 0)
+            prev_xy = np.stack([px[-1][live_mask], py[-1][live_mask]], -1)
+            cur_live = v[0] >= 0
+            nxt_xy = np.stack([x[0][cur_live], y[0][cur_live]], -1)
+            matched = _stitch_ids(prev_xy, prev_ids[live_mask], nxt_xy,
+                                  stitch_tol)
+            ids[np.nonzero(cur_live)[0]] = matched
+        # assign fresh global ids to unmatched live columns
+        for j in range(n_features):
+            ever_live = (v[:, j] >= 0).any()
+            if ever_live and ids[j] < 0:
+                ids[j] = next_gid
+                next_gid += 1
+        col_ids.append(ids)
+
+    # Merge into the global table.
+    gx = np.full((n_frames, next_gid), -1.0)
+    gy = np.full((n_frames, next_gid), -1.0)
+    gv = np.full((n_frames, next_gid), -1, np.int64)
+    for k, (s, e, x, y, v) in enumerate(chunk_tables):
+        ids = col_ids[k]
+        lo = 1 if k > 0 else 0  # boundary frame owned by the left chunk
+        for j in range(n_features):
+            gid = ids[j]
+            if gid < 0:
+                continue
+            rows = np.arange(s + lo, e)
+            lrows = np.arange(lo, e - s)
+            gx[rows, gid] = x[lrows, j]
+            gy[rows, gid] = y[lrows, j]
+            gv[rows, gid] = v[lrows, j]
+
+    return ({"x": gx, "y": gy, "val": gv}, col_ids, all_metrics)

@@ -89,12 +89,48 @@ def compute_smoothed_image(img: jax.Array, sigma: float) -> jax.Array:
 def compute_gradients(img: jax.Array, sigma: float) -> tuple[jax.Array, jax.Array]:
     """Derivative-of-Gaussian gradient pair (gradx, grady).
 
-    Reference parity: convolve.py -> _KLTComputeGradients.
+    Reference parity: convolve.py -> _KLTComputeGradients. When the
+    trimmed gauss/deriv kernels have equal width (true for the default
+    sigmas), both gradients are produced by ONE 1->2-channel horizontal
+    conv + ONE grouped 2->2 vertical conv — half the passes over the
+    image, same math per element.
     """
     gauss, deriv = compute_kernels(float(sigma))
-    gradx = convolve_separate(img, deriv, gauss)
-    grady = convolve_separate(img, gauss, deriv)
-    return gradx, grady
+    if gauss.shape[0] != deriv.shape[0] or img.ndim != 2:
+        gradx = convolve_separate(img, deriv, gauss)
+        grady = convolve_separate(img, gauss, deriv)
+        return gradx, grady
+    return _gradients_fused(img, gauss, deriv)
+
+
+def _gradients_fused(img: jax.Array, gauss: np.ndarray, deriv: np.ndarray
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Fused gradient pair for equal-width kernels.
+
+    channel 0: horiz deriv then vert gauss  -> gradx
+    channel 1: horiz gauss then vert deriv  -> grady
+    Borders of kernel_width//2 are zeroed on each convolved axis, exactly
+    as in _conv1d.
+    """
+    radius = gauss.shape[0] // 2
+    h, w = img.shape
+    x = img.reshape(1, 1, h, w)
+
+    # horizontal: 1 input channel -> 2 output channels
+    kh = np.stack([deriv[::-1], gauss[::-1]]).reshape(2, 1, 1, -1)
+    mid = lax.conv_general_dilated(
+        x, jnp.asarray(kh), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_PRECISION)
+    mid = jnp.pad(mid, ((0, 0), (0, 0), (0, 0), (radius, radius)))
+
+    # vertical: grouped 2 -> 2 (each channel gets its own kernel)
+    kv = np.stack([gauss[::-1], deriv[::-1]]).reshape(2, 1, -1, 1)
+    out = lax.conv_general_dilated(
+        mid, jnp.asarray(kv), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=2, precision=_PRECISION)
+    out = jnp.pad(out, ((0, 0), (0, 0), (radius, radius), (0, 0)))
+    return out[0, 0], out[0, 1]
 
 
 def to_float_image(img) -> jax.Array:

@@ -53,3 +53,49 @@ def gather_window(img: jax.Array, x: jax.Array, y: jax.Array,
     """Bilinear window stack [N, h, w] centered at per-feature (x, y)."""
     xs, ys = window_coords(x, y, hw, hh)
     return bilinear(img, xs, ys)
+
+
+def gather_patch(img: jax.Array, x: jax.Array, y: jax.Array,
+                 hw: int, hh: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Integer patch [N, h+1, w+1] whose top-left is floor(x)-hw/floor(y)-hh,
+    plus the per-feature fractional offsets (ax, ay).
+
+    Because window offsets are integers, every bilinear tap of the window
+    shares the same fractional part — so ONE integer gather of the
+    (h+1)x(w+1) patch replaces 4 gathers per tap (3x fewer loads), and the
+    window is reconstructed by blending four shifted views of the patch
+    (see window_from_patch). Values are identical to gather_window.
+    """
+    hsz, wsz = img.shape[-2], img.shape[-1]
+    xt = jnp.floor(x).astype(jnp.int32)
+    yt = jnp.floor(y).astype(jnp.int32)
+    ax = x - xt
+    ay = y - yt
+    # clamp so the whole patch is in-bounds (parity: active lanes are
+    # bounds-checked upstream, clamping only protects masked lanes)
+    x0 = jnp.clip(xt - hw, 0, wsz - 2 - 2 * hw)
+    y0 = jnp.clip(yt - hh, 0, hsz - 2 - 2 * hh)
+    rows = y0[:, None, None] + jnp.arange(2 * hh + 2, dtype=jnp.int32)[None, :, None]
+    cols = x0[:, None, None] + jnp.arange(2 * hw + 2, dtype=jnp.int32)[None, None, :]
+    return img[rows, cols], ax, ay
+
+
+def window_from_patch(patch: jax.Array, ax: jax.Array, ay: jax.Array
+                      ) -> jax.Array:
+    """Blend the four shifted (h x w) views of an (h+1 x w+1) patch with
+    the shared per-feature bilinear weights. Equals gather_window."""
+    a = ax[:, None, None]
+    b = ay[:, None, None]
+    p00 = patch[:, :-1, :-1]
+    p01 = patch[:, :-1, 1:]
+    p10 = patch[:, 1:, :-1]
+    p11 = patch[:, 1:, 1:]
+    return ((1.0 - a) * (1.0 - b) * p00 + a * (1.0 - b) * p01 +
+            (1.0 - a) * b * p10 + a * b * p11)
+
+
+def gather_window_fast(img: jax.Array, x: jax.Array, y: jax.Array,
+                       hw: int, hh: int) -> jax.Array:
+    """Patch-gather + blend form of gather_window (identical values)."""
+    patch, ax, ay = gather_patch(img, x, y, hw, hh)
+    return window_from_patch(patch, ax, ay)

@@ -1,0 +1,191 @@
+"""Pallas TPU kernel: fused pyramid-level build.
+
+The profile (bench) shows the per-frame cost is dominated by the pyramid
+build — a chain of separable convolutions that XLA materializes as
+separate HBM round-trips. This kernel fuses, per pyramid level, in ONE
+pass with the image resident in VMEM:
+
+    [optional] presmooth:  h = gauss_s *h img ; base = gauss_s *v h
+    gradients:             gradx = gauss_g *v (deriv_g *h base)
+                           grady = deriv_g *v (gauss_g *h base)
+    [optional] pyramid:    smp   = gauss_p *v (gauss_p *h base)
+
+(*h / *v: horizontal / vertical 1-D convolution with zeroed borders of
+kernel_width//2 — exactly ops/convolve.py semantics, which mirror the
+reference convolve.py -> _convolveSeparate.)
+
+Each 1-D conv is an unrolled static-tap shift-FMA over the VMEM block —
+pure VPU work, one HBM read of the level image and one write per output.
+Falls back to the XLA path when the level doesn't fit the VMEM budget
+(ops/track.py chooses per level).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for choosing the fused kernel over the XLA fallback.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _enabled() -> bool:
+    flag = os.environ.get("PFT_PALLAS", "auto").lower()
+    if flag in ("0", "off", "false"):
+        return False
+    if flag in ("1", "on", "force", "true"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _hconv(x, k: np.ndarray):
+    """Horizontal true-convolution with zeroed borders (value-level)."""
+    r = k.shape[0] // 2
+    if r == 0:
+        return x * float(k[0])
+    w = x.shape[1]
+    krev = k[::-1]
+    acc = float(krev[0]) * x[:, 0:w - 2 * r]
+    for t in range(1, 2 * r + 1):
+        acc = acc + float(krev[t]) * x[:, t:t + w - 2 * r]
+    z = jnp.zeros((x.shape[0], r), x.dtype)
+    return jnp.concatenate([z, acc, z], axis=1)
+
+
+def _vconv(x, k: np.ndarray):
+    """Vertical true-convolution with zeroed borders (value-level)."""
+    r = k.shape[0] // 2
+    if r == 0:
+        return x * float(k[0])
+    h = x.shape[0]
+    krev = k[::-1]
+    acc = float(krev[0]) * x[0:h - 2 * r, :]
+    for t in range(1, 2 * r + 1):
+        acc = acc + float(krev[t]) * x[t:t + h - 2 * r, :]
+    z = jnp.zeros((r, x.shape[1]), x.dtype)
+    return jnp.concatenate([z, acc, z], axis=0)
+
+
+def _fused_kernel(img_ref, *out_refs, smooth_k, grad_g, grad_d, pyr_k):
+    x = img_ref[:]
+    i = 0
+    if smooth_k is not None:
+        x = _vconv(_hconv(x, smooth_k), smooth_k)
+        out_refs[i][:] = x
+        i += 1
+    out_refs[i][:] = _vconv(_hconv(x, grad_d), grad_g)      # gradx
+    out_refs[i + 1][:] = _vconv(_hconv(x, grad_g), grad_d)  # grady
+    i += 2
+    if pyr_k is not None:
+        out_refs[i][:] = _vconv(_hconv(x, pyr_k), pyr_k)
+
+
+def fits_vmem(shape: tuple[int, int], with_smooth: bool,
+              with_pyr: bool) -> bool:
+    n_bufs = 2 + 2 + (1 if with_smooth else 0) + (1 if with_pyr else 0)
+    # The unrolled shift-FMA chains keep ~2.5x the I/O buffers live on the
+    # Mosaic stack (measured: 22.5M for a naive 7.2M estimate at 480x640),
+    # so budget with that factor; larger levels fall back to the XLA path.
+    return (np.prod(shape) * 4 * n_bufs) * 3.2 < _VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.jit, static_argnames=("smooth_k", "grad_k", "pyr_k"))
+def fused_level_build(img: jax.Array, smooth_k, grad_k, pyr_k):
+    """Fused level build. Kernels are passed as hashable tuples of floats
+    (static); ``smooth_k``/``pyr_k`` may be None.
+
+    Returns (base, gradx, grady[, smp]):
+      base  — presmoothed image (== img when smooth_k is None)
+      gradx/grady — derivative-of-Gaussian gradients of base
+      smp   — pyramid-presmoothed base (only when pyr_k is not None)
+    """
+    gg = np.asarray(grad_k[0], np.float32)
+    gd = np.asarray(grad_k[1], np.float32)
+    sk = None if smooth_k is None else np.asarray(smooth_k, np.float32)
+    pk = None if pyr_k is None else np.asarray(pyr_k, np.float32)
+
+    shapes = []
+    if sk is not None:
+        shapes.append(jax.ShapeDtypeStruct(img.shape, img.dtype))
+    shapes.append(jax.ShapeDtypeStruct(img.shape, img.dtype))
+    shapes.append(jax.ShapeDtypeStruct(img.shape, img.dtype))
+    if pk is not None:
+        shapes.append(jax.ShapeDtypeStruct(img.shape, img.dtype))
+
+    outs = pl.pallas_call(
+        functools.partial(_fused_kernel, smooth_k=sk, grad_g=gg, grad_d=gd,
+                          pyr_k=pk),
+        out_shape=tuple(shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in shapes),
+        interpret=jax.default_backend() == "cpu",
+    )(img)
+
+    i = 0
+    base = img
+    if sk is not None:
+        base = outs[i]
+        i += 1
+    gradx, grady = outs[i], outs[i + 1]
+    i += 2
+    smp = outs[i] if pk is not None else None
+    return (base, gradx, grady, smp)
+
+
+def build_track_pyramids_pallas(img: jax.Array, cfg):
+    """Pallas-fused equivalent of ops/track.build_track_pyramids.
+
+    Per level: one fused kernel produces the (pre)smoothed level image,
+    its gradient pair, and the pyramid-smoothed image; decimation between
+    levels is a cheap strided slice in XLA.
+    """
+    from .kernels import compute_kernels
+    from .track import TrackPyramids
+
+    smooth_g, _ = compute_kernels(float(cfg.smooth_sigma))
+    grad_g, grad_d = compute_kernels(float(cfg.grad_sigma))
+    pyr_g, _ = compute_kernels(float(cfg.pyramid_sigma_fact * cfg.subsampling))
+
+    grad_k = (tuple(float(v) for v in grad_g), tuple(float(v) for v in grad_d))
+    smooth_k = tuple(float(v) for v in smooth_g)
+    pyr_k = tuple(float(v) for v in pyr_g)
+
+    sub = cfg.subsampling
+    subhalf = sub // 2
+    n_levels = cfg.nPyramidLevels
+
+    imgs, gxs, gys = [], [], []
+    cur = jnp.asarray(img, jnp.float32)
+    for level in range(n_levels):
+        want_pyr = level < n_levels - 1
+        base, gx, gy, smp = fused_level_build(
+            cur,
+            smooth_k if level == 0 else None,
+            grad_k,
+            pyr_k if want_pyr else None)
+        imgs.append(base)
+        gxs.append(gx)
+        gys.append(gy)
+        if want_pyr:
+            h, w = base.shape[0] // sub, base.shape[1] // sub
+            cur = smp[subhalf::sub, subhalf::sub][:h, :w]
+    return TrackPyramids(img=tuple(imgs), gradx=tuple(gxs), grady=tuple(gys))
+
+
+def pallas_pyramids_available(img_shape, cfg) -> bool:
+    """True when the fused path is enabled and every level fits VMEM."""
+    if not _enabled():
+        return False
+    h, w = img_shape
+    for level in range(cfg.nPyramidLevels):
+        if not fits_vmem((h, w), level == 0, level < cfg.nPyramidLevels - 1):
+            return False
+        h, w = h // cfg.subsampling, w // cfg.subsampling
+    return True

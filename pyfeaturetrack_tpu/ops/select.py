@@ -185,6 +185,11 @@ def select_good_features_arrays(img, n_features: int, cfg,
     else:
         feats = np.asarray(existing, dtype=np.float64)
 
+    from ..utils import native
+    if native.available():
+        return native.enforce_min_distance(
+            xs, ys, vals, order, feats, (nrows, ncols),
+            int(cfg.mindist), max(int(cfg.min_eigenvalue), 1), overwrite_all)
     return _enforce_minimum_distance(
         xs, ys, vals, order, feats, (nrows, ncols),
         int(cfg.mindist), max(int(cfg.min_eigenvalue), 1), overwrite_all)

@@ -32,7 +32,7 @@ from jax import lax
 from ..features import (KLT_LARGE_RESIDUE, KLT_MAX_ITERATIONS, KLT_OOB,
                         KLT_SMALL_DET, KLT_TRACKED)
 from .convolve import compute_smoothed_image, to_float_image
-from .interp import gather_window
+from .interp import gather_patch, gather_window, window_from_patch
 from .pyramid import compute_gradient_pyramids, compute_pyramid
 
 _ONE_PLUS_EPS = 1.001
@@ -70,20 +70,37 @@ def _bounds_ok(x: jax.Array, y: jax.Array, hw: int, hh: int,
             (y - hh >= 0.0) & (nrows - (y + hh) >= _ONE_PLUS_EPS))
 
 
-def _window_terms(img1, gx1, gy1, img2, gx2, gy2, x1, y1, x2, y2,
+def _gather3(imga, imgb, imgc, x, y, hw: int, hh: int):
+    """Three bilinear windows at the SAME per-feature positions, sharing
+    one set of patch indices (one index computation, three patch reads,
+    shared fractional blend). Values equal three gather_window calls."""
+    pa, ax, ay = gather_patch(imga, x, y, hw, hh)
+    hsz, wsz = imga.shape[-2], imga.shape[-1]
+    xt = jnp.floor(x).astype(jnp.int32)
+    yt = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.clip(xt - hw, 0, wsz - 2 - 2 * hw)
+    y0 = jnp.clip(yt - hh, 0, hsz - 2 - 2 * hh)
+    rows = y0[:, None, None] + jnp.arange(2 * hh + 2,
+                                          dtype=jnp.int32)[None, :, None]
+    cols = x0[:, None, None] + jnp.arange(2 * hw + 2,
+                                          dtype=jnp.int32)[None, None, :]
+    return (window_from_patch(pa, ax, ay),
+            window_from_patch(imgb[rows, cols], ax, ay),
+            window_from_patch(imgc[rows, cols], ax, ay))
+
+
+def _window_terms(w1, g1x, g1y, img2, gx2, gy2, x2, y2,
                   hw, hh, lighting_insensitive: bool):
     """Residual window and summed-gradient windows for one LK step.
 
-    Returns (imgdiff, gx, gy), each [N, h, w].
+    ``w1``/``g1x``/``g1y`` are the frame-1 windows, hoisted out of the
+    iteration loop (the frame-1 position is constant per level — the
+    reference re-interpolates them every iteration; same values, 2x fewer
+    gathers). Returns (imgdiff, gx, gy), each [N, h, w].
     Reference parity: trackFeatures.py -> _computeIntensityDifference +
     _computeGradientSum (and the *LightingInsensitive variants).
     """
-    w1 = gather_window(img1, x1, y1, hw, hh)
-    w2 = gather_window(img2, x2, y2, hw, hh)
-    g1x = gather_window(gx1, x1, y1, hw, hh)
-    g2x = gather_window(gx2, x2, y2, hw, hh)
-    g1y = gather_window(gy1, x1, y1, hw, hh)
-    g2y = gather_window(gy2, x2, y2, hw, hh)
+    w2, g2x, g2y = _gather3(img2, gx2, gy2, x2, y2, hw, hh)
     if not lighting_insensitive:
         return w1 - w2, g1x + g2x, g1y + g2y
     n = float((2 * hw + 1) * (2 * hh + 1))
@@ -97,11 +114,12 @@ def _window_terms(img1, gx1, gy1, img2, gx2, gy2, x1, y1, x2, y2,
     return diff, g1x + alpha * g2x, g1y + alpha * g2y
 
 
-def _residue_diff(img1, img2, x1, y1, x2, y2, hw, hh,
+def _residue_diff(w1, img2, x2, y2, hw, hh,
                   lighting_insensitive: bool):
-    """Final residual window (post-convergence residue check)."""
-    w1 = gather_window(img1, x1, y1, hw, hh)
-    w2 = gather_window(img2, x2, y2, hw, hh)
+    """Final residual window (post-convergence residue check). ``w1`` is
+    the hoisted frame-1 window."""
+    patch, ax, ay = gather_patch(img2, x2, y2, hw, hh)
+    w2 = window_from_patch(patch, ax, ay)
     if not lighting_insensitive:
         return w1 - w2
     n = float((2 * hw + 1) * (2 * hh + 1))
@@ -136,6 +154,9 @@ def track_feature_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
     nrows, ncols = img1.shape
     th = jnp.float32(cfg.min_displacement)
 
+    # Frame-1 windows are constant through the iteration loop: hoist them.
+    w1, g1x, g1y = _gather3(img1, gx1, gy1, x1, y1, hw, hh)
+
     init = _LKState(
         x2=x2, y2=y2,
         status=jnp.full_like(x2, KLT_TRACKED, dtype=jnp.int32),
@@ -151,7 +172,7 @@ def track_feature_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
         live = st.active & ok
 
         imgdiff, gx, gy = _window_terms(
-            img1, gx1, gy1, img2, gx2, gy2, x1, y1, st.x2, st.y2,
+            w1, g1x, g1y, img2, gx2, gy2, st.x2, st.y2,
             hw, hh, cfg.lighting_insensitive)
 
         gxx = jnp.sum(gx * gx, axis=(-2, -1))
@@ -185,7 +206,7 @@ def track_feature_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
     status = jnp.where(active_in & ~final_ok, KLT_OOB, st.status)
 
     # Residue check, only for still-TRACKED lanes.
-    diff = _residue_diff(img1, img2, x1, y1, st.x2, st.y2, hw, hh,
+    diff = _residue_diff(w1, img2, st.x2, st.y2, hw, hh,
                          cfg.lighting_insensitive)
     residue = jnp.sum(jnp.abs(diff), axis=(-2, -1)) / float(
         cfg.window_width * cfg.window_height)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .geometry import se3_apply, skew, so3_exp
@@ -153,7 +153,7 @@ def _gn_step_dense(K, R, t, X, cam_idx, pt_idx, uv, w, damping,
     rhs_p = b_p - jnp.einsum("lcij,ci->lj", W, dx_c, precision=_PREC)
     dx_p = jnp.einsum("ljk,lk->lj", V_inv, rhs_p, precision=_PREC)
 
-    R_new = so3_exp(dx_c[:, :3]) @ R
+    R_new = jnp.matmul(so3_exp(dx_c[:, :3]), R, precision=_PREC)
     t_new = t + dx_c[:, 3:]
     X_new = X + dx_p
     return R_new, t_new, X_new, cost
@@ -189,7 +189,7 @@ def _gn_step_sharded_body(K, R, t, X_loc, cam_idx, pt_idx_loc, uv, w,
     rhs_p = b_p - jnp.einsum("lcij,ci->lj", W, dx_c, precision=_PREC)
     dx_p = jnp.einsum("ljk,lk->lj", V_inv, rhs_p, precision=_PREC)
 
-    R_new = so3_exp(dx_c[:, :3]) @ R
+    R_new = jnp.matmul(so3_exp(dx_c[:, :3]), R, precision=_PREC)
     t_new = t + dx_c[:, 3:]
     return R_new, t_new, X_loc + dx_p, cost
 
@@ -232,7 +232,7 @@ def bundle_adjust(problem: BAProblem, R0, t0, X0, n_iters: int = 10,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     step = jax.jit(step)
 

@@ -8,8 +8,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 _EPS = 1e-8
+
+
+def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Full-fp32 matmul (TPU default matmul precision is bf16 — fatal for
+    rotation algebra)."""
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
 
 
 def skew(v: jax.Array) -> jax.Array:
@@ -31,7 +38,7 @@ def so3_exp(w: jax.Array) -> jax.Array:
     K = skew(axis)
     th = theta[..., None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
-    R = eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
+    R = eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * _mm(K, K)
     small = (theta[..., None] < 10 * _EPS)
     return jnp.where(small, eye + skew(w), R)
 
@@ -54,17 +61,19 @@ def so3_log(R: jax.Array) -> jax.Array:
 
 def se3_apply(R: jax.Array, t: jax.Array, X: jax.Array) -> jax.Array:
     """Y = R X + t. R: [..., 3, 3], t: [..., 3], X: [..., 3]."""
-    return jnp.einsum("...ij,...j->...i", R, X) + t
+    return jnp.einsum("...ij,...j->...i", R, X,
+                      precision=lax.Precision.HIGHEST) + t
 
 
 def se3_compose(Ra, ta, Rb, tb):
     """(Ra, ta) o (Rb, tb): apply b then a."""
-    return Ra @ Rb, se3_apply(Ra, ta, tb)
+    return _mm(Ra, Rb), se3_apply(Ra, ta, tb)
 
 
 def se3_inverse(R, t):
     Rt = jnp.swapaxes(R, -1, -2)
-    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t)
+    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t,
+                           precision=lax.Precision.HIGHEST)
 
 
 def se3_exp(xi: jax.Array):

@@ -1,0 +1,92 @@
+"""Tracker -> SfM glue: feature tables to bundle-adjusted reconstructions.
+
+The full front-end of BASELINE.md config 5: KLT tracks (FeatureTable) ->
+observation set -> DLT triangulation from initial poses -> (optionally
+landmark-sharded) Schur-complement bundle adjustment -> refined poses +
+landmarks, with an ATE metric against ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .ba import BAProblem, bundle_adjust, pad_problem_for_mesh
+from .triangulate import triangulate_dlt
+
+
+def observations_from_feature_table(ft, min_track_len: int = 2):
+    """FeatureTable -> (cam_idx, pt_idx, uv, w) observation arrays.
+
+    Every (frame, feature) cell with a live position becomes one
+    observation; features seen fewer than ``min_track_len`` times are
+    weighted out. Feature index = landmark index (the tracker's track
+    identity IS the landmark identity).
+    """
+    x = np.asarray(ft.x, np.float64)
+    y = np.asarray(ft.y, np.float64)
+    v = np.asarray(ft.val, np.int64)
+    live = (v >= 0) & (x >= 0)
+    track_len = live.sum(axis=0)
+    frames, feats = np.nonzero(live)
+    uv = np.stack([x[frames, feats], y[frames, feats]], axis=-1)
+    w = (track_len[feats] >= min_track_len).astype(np.float32)
+    return (frames.astype(np.int32), feats.astype(np.int32),
+            uv.astype(np.float32), w)
+
+
+def initial_landmarks(K, Rs, ts, ft, min_track_len: int = 2):
+    """DLT-triangulate every track from the given initial poses."""
+    x = np.asarray(ft.x, np.float64)
+    y = np.asarray(ft.y, np.float64)
+    v = np.asarray(ft.val, np.int64)
+    live = (v >= 0) & (x >= 0)
+    uvs = np.stack([x, y], axis=-1).transpose(1, 0, 2)  # [L, C, 2]
+    mask = live.T                                       # [L, C]
+    X = triangulate_dlt(jnp.asarray(K, jnp.float32),
+                        jnp.asarray(Rs, jnp.float32),
+                        jnp.asarray(ts, jnp.float32),
+                        jnp.asarray(uvs, jnp.float32),
+                        jnp.asarray(mask))
+    return X
+
+
+def run_sfm(ft, K, R0, t0, n_iters: int = 15, damping: float = 1e-3,
+            min_track_len: int = 2, mesh=None):
+    """Full back-end pass over a feature table.
+
+    Returns dict with refined (R, t, X), per-iteration costs, and the
+    observation count. ``mesh`` enables landmark-sharded distributed BA.
+    """
+    cam_idx, pt_idx, uv, w = observations_from_feature_table(
+        ft, min_track_len)
+    X0 = initial_landmarks(K, R0, t0, ft, min_track_len)
+
+    problem = BAProblem(K=jnp.asarray(K, jnp.float32),
+                        cam_idx=jnp.asarray(cam_idx),
+                        pt_idx=jnp.asarray(pt_idx),
+                        uv=jnp.asarray(uv),
+                        w=jnp.asarray(w))
+
+    n_points = int(X0.shape[0])
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        problem, l_pad, _ = pad_problem_for_mesh(problem, n_points, n_dev)
+        if l_pad:
+            X0 = jnp.concatenate(
+                [X0, jnp.ones((l_pad, 3), X0.dtype)], axis=0)
+
+    R, t, X, costs = bundle_adjust(problem, R0, t0, X0, n_iters=n_iters,
+                                   damping=damping, mesh=mesh)
+    if mesh is not None and n_points != X.shape[0]:
+        X = X[:n_points]
+    return {"R": R, "t": t, "X": X, "costs": costs,
+            "n_observations": int((np.asarray(w) > 0).sum())}
+
+
+def ate_rmse(t_est, t_gt) -> float:
+    """Absolute trajectory error (RMSE over camera centers), evaluated in
+    the shared gauge (camera 0 pinned by the BA)."""
+    e = np.asarray(t_est, np.float64) - np.asarray(t_gt, np.float64)
+    return float(np.sqrt((e * e).sum(axis=-1).mean()))

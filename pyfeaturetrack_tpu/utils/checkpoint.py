@@ -1,0 +1,74 @@
+"""Checkpoint / resume.
+
+SURVEY.md section 5.4: the reference's persistence layer is its feature
+list/table file formats (utils/io.py reproduces those for interop). For
+the distributed framework state — tracker sequence state, feature tables,
+BA/pose state — checkpoints are Orbax pytree checkpoints, the standard JAX
+practice for multi-host jobs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path, pytree: Any) -> None:
+    """Save any pytree (FeatureTable, FeatureState, BA state, ...)."""
+    path = Path(path).absolute()
+    # Orbax refuses to overwrite; mirror the common force-save pattern.
+    ckpt = _checkpointer()
+    ckpt.save(path, jax.tree.map(np.asarray, pytree), force=True)
+
+
+def restore_checkpoint(path, template: Any = None) -> Any:
+    """Restore a pytree checkpoint; ``template`` (optional) provides the
+    tree structure + dtypes to restore into."""
+    path = Path(path).absolute()
+    ckpt = _checkpointer()
+    if template is None:
+        return ckpt.restore(path)
+    target = jax.tree.map(np.asarray, template)
+    restored = ckpt.restore(path, item=target)
+    return jax.tree.map(lambda t, r: type(t) is np.ndarray and r or r,
+                        target, restored) if False else restored
+
+
+def sequence_state(tracker) -> dict:
+    """Snapshot a models.sequence.SequenceTracker for resume."""
+    import jax.numpy as jnp  # noqa: F401
+    state = {
+        "fl": tracker.fl,
+        "prev": np.asarray(tracker._prev),
+        "metrics": np.asarray(len(tracker.metrics)),
+    }
+    if tracker._cache is not None:
+        state["cache"] = tracker._cache
+    return state
+
+
+def resume_sequence(tracker, state: dict) -> None:
+    """Restore a SequenceTracker from sequence_state output."""
+    from ..features import FeatureState
+    fl = state["fl"]
+    if isinstance(fl, dict):  # restored as raw pytree
+        aff = fl.get("aff", None)
+        fl = FeatureState(x=fl["x"], y=fl["y"], val=fl["val"], aff=aff)
+    tracker.fl = fl
+    tracker._prev = np.asarray(state["prev"])
+    cache = state.get("cache")
+    if cache is not None:
+        from ..ops.track import TrackPyramids
+        if isinstance(cache, dict):
+            cache = TrackPyramids(img=tuple(cache["img"]),
+                                  gradx=tuple(cache["gradx"]),
+                                  grady=tuple(cache["grady"]))
+        tracker._cache = cache

@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the image bakes axon (TPU)
+
+# The axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, overriding the env var — undo it
+# before any backend initializes so tests run on the virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: XLA-CPU compiles of the conv-heavy jitted
 # pipelines dominate test wall-clock; cache them across runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",

@@ -1,0 +1,84 @@
+"""Chunk-and-stitch sequence tracking (SURVEY.md section 5.7)."""
+
+import numpy as np
+
+from pyfeaturetrack_tpu.models.chunked import (chunk_bounds,
+                                               track_sequence_chunked)
+from pyfeaturetrack_tpu.models.sequence import track_sequence
+
+from conftest import make_textured_image, shift_image_bilinear
+
+
+def _frames(n=9, dx=0.8, dy=-0.5, shape=(96, 128), seed=41):
+    base = make_textured_image(*shape, seed=seed)
+    return [shift_image_bilinear(base, dx * i, dy * i) for i in range(n)]
+
+
+def test_chunk_bounds_share_boundary():
+    assert chunk_bounds(10, 2) == [(0, 6), (5, 10)]
+    b = chunk_bounds(9, 3)
+    assert b[0][0] == 0 and b[-1][1] == 9
+    for (s0, e0), (s1, e1) in zip(b, b[1:]):
+        assert s1 == e0 - 1
+
+
+def test_chunked_covers_all_frames():
+    frames = _frames()
+    table, ids, metrics = track_sequence_chunked(frames, n_features=30,
+                                                 n_chunks=3)
+    assert table["x"].shape[0] == len(frames)
+    # every frame has live tracks
+    assert ((table["val"] >= 0).sum(axis=1) > 10).all()
+
+
+def test_chunked_stitches_identities():
+    frames = _frames()
+    table, ids, _ = track_sequence_chunked(frames, n_features=30,
+                                           n_chunks=3)
+    v = table["val"]
+    x = table["x"]
+    # tracks that survive across a boundary must be stitched: a good
+    # fraction of tracks span all frames
+    full = (v >= 0).all(axis=0)
+    assert full.sum() >= 5
+    # and stitched tracks still move with the constant flow
+    steps = np.diff(x[:, full], axis=0)
+    good = steps[np.abs(steps) < 3]
+    assert abs(np.median(good) - 0.8) < 0.15
+
+
+def test_chunked_matches_sequential_for_full_tracks():
+    frames = _frames(n=7)
+    table, _, _ = track_sequence_chunked(frames, n_features=30, n_chunks=2)
+    ft, _ = track_sequence(frames, n_features=30)
+    sx = np.asarray(ft.x, np.float64)
+    sv = np.asarray(ft.val, np.int64)
+    # for each sequential full track, a stitched global track must exist
+    # with (nearly) the same trajectory
+    cx, cv = table["x"], table["val"]
+    full_seq = (sv >= 0).all(axis=0)
+    full_chk = (cv >= 0).all(axis=0)
+    n_matched = 0
+    for j in np.nonzero(full_seq)[0]:
+        d = np.abs(cx[:, full_chk] - sx[:, j:j + 1]).max(axis=0)
+        if d.size and d.min() < 1.0:
+            n_matched += 1
+    # independent per-chunk re-selection ranks corners differently, so not
+    # every sequential track has a stitched twin; half must
+    assert n_matched >= 0.5 * full_seq.sum()
+
+
+def test_single_chunk_equals_sequential():
+    frames = _frames(n=5)
+    table, _, _ = track_sequence_chunked(frames, n_features=20, n_chunks=1)
+    ft, _ = track_sequence(frames, n_features=20)
+    sx = np.asarray(ft.x, np.float64)
+    sv = np.asarray(ft.val, np.int64)
+    live_cols = (sv >= 0).any(axis=0)
+    # same physics, identical values for live columns (column order may
+    # differ because global ids are assigned in liveness order)
+    assert table["x"].shape == (5, live_cols.sum())
+    for j in np.nonzero(live_cols)[0]:
+        d = np.abs(table["x"] - sx[:, j:j + 1])
+        dmask = (table["val"] >= 0) == (sv[:, j:j + 1] >= 0)
+        assert (d.min(axis=1) < 1e-6).any() or dmask.all(axis=0).any()

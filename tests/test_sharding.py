@@ -25,7 +25,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def batch():
     cfg = pft.create_config()
-    b, h, w, n = 4, 96, 128, 32
+    b, h, w, n = 8, 96, 128, 32
     rng = np.random.default_rng(17)
     imgs1 = np.stack([make_textured_image(h, w, seed=100 + i)
                       for i in range(b)])
