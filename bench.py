@@ -51,7 +51,8 @@ def bench_tracking(h, w, n_features, cfg, n_frames=50, warmup=5):
                                 n_features), jnp.float32)
     val = jnp.ones((n_features,), jnp.int32)
 
-    pyr = build_track_pyramids(frames[0], cfg)
+    pyr = jax.jit(build_track_pyramids, static_argnames=('cfg',))(
+        frames[0], cfg)
     for i in range(warmup):
         pyr2, out = frame_step(pyr, frames[(i + 1) % 4], x, y, val)
     jax.block_until_ready(out)
@@ -93,7 +94,7 @@ def bench_affine(h=480, w=640, n_features=1000):
     cfg = create_config(affineConsistencyCheck=2)
     base = _textured(h, w, seed=2)
     img = jnp.asarray(base[:h, :w], jnp.float32)
-    pyr = build_track_pyramids(img, cfg)
+    pyr = jax.jit(build_track_pyramids, static_argnames=('cfg',))(img, cfg)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(40, w - 40, n_features), jnp.float32)
     y = jnp.asarray(rng.uniform(40, h - 40, n_features), jnp.float32)
@@ -126,24 +127,28 @@ def bench_sfm():
     rng = np.random.default_rng(0)
     C, L = 20, 2000
     K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
-    Rs = np.asarray(so3_exp(jnp.asarray(
-        0.02 * rng.standard_normal((C, 3)), jnp.float32)))
+    Rs = so3_exp(jnp.asarray(  # stays on device (no d2h before timing)
+        0.02 * rng.standard_normal((C, 3)), jnp.float32))
     ts = np.stack([[-0.2 * i, 0.0, 0.0] for i in range(C)]).astype(np.float32)
     X = np.stack([rng.uniform(-3, 3, L), rng.uniform(-2, 2, L),
                   rng.uniform(5, 10, L)], -1).astype(np.float32)
-    uv = np.zeros((C, L, 2), np.float32)
-    for c in range(C):
-        p, _ = project(jnp.asarray(K), jnp.asarray(Rs[c]), jnp.asarray(ts[c]),
-                       jnp.asarray(X))
-        uv[c] = np.asarray(p)
+    # project all cameras on device without host pulls (a d2h transfer
+    # before the timed region would poison the axon relay's dispatch)
+    uv_dev, _ = jax.vmap(lambda R, t: project(jnp.asarray(K), R, t,
+                                              jnp.asarray(X)))(
+        jnp.asarray(Rs), jnp.asarray(ts))
     cam = np.repeat(np.arange(C), L).astype(np.int32)
     pt = np.tile(np.arange(L), C).astype(np.int32)
     problem = BAProblem(jnp.asarray(K), jnp.asarray(cam), jnp.asarray(pt),
-                        jnp.asarray(uv.reshape(-1, 2)),
+                        uv_dev.reshape(-1, 2),
                         jnp.ones((C * L,), jnp.float32))
     X0 = X + 0.05 * rng.standard_normal(X.shape).astype(np.float32)
+    # warm up (compile) outside the timed region; costs stay on device
+    # inside bundle_adjust so the loop dispatches async
+    R, t, Xh, costs = bundle_adjust(problem, Rs, ts, X0, n_iters=1)
     t0 = time.perf_counter()
     R, t, Xh, costs = bundle_adjust(problem, Rs, ts, X0, n_iters=8)
+    jax.block_until_ready((R, t, Xh))
     dt = (time.perf_counter() - t0)
     return 8 / dt, costs[-1] / max(costs[0], 1e-9)
 
@@ -170,17 +175,28 @@ def main():
     }
 
     if args.all:
+        def log(msg):
+            print(f"[bench] {msg}", file=sys.stderr, flush=True)
+        # ORDER MATTERS: on the axon relay, the first device->host
+        # transfer in a process degrades every later dispatch to a
+        # synchronous ~274ms round-trip. Pure-compute configs (3, 4)
+        # run first; transferring flows (1, 5) run last.
         details = {"headline": headline}
-        details["config1_two_frame_demo_s"] = round(bench_two_frame_demo(), 4)
+        log(f"headline done: {headline['value']} fps")
         details["config3_affine_fps"] = round(bench_affine(), 2)
+        log(f"config3 done: {details['config3_affine_fps']} checks/s")
         fps_1080p = bench_tracking(
             1088, 1920, 4096,
             create_config().replace(nPyramidLevels=4, subsampling=2),
             n_frames=20)
         details["config4_1080p_4096feat_4lvl_fps"] = round(fps_1080p, 2)
+        log(f"config4 done: {fps_1080p:.1f} fps")
         ba_rate, ba_drop = bench_sfm()
         details["config5_ba_iters_per_s"] = round(ba_rate, 2)
         details["config5_ba_cost_drop"] = round(float(ba_drop), 6)
+        log(f"config5 done: {ba_rate:.2f} iters/s")
+        details["config1_two_frame_demo_s"] = round(bench_two_frame_demo(), 4)
+        log(f"config1 done: {details['config1_two_frame_demo_s']} s")
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
         print(json.dumps(details), file=sys.stderr)

@@ -27,7 +27,7 @@ from ..features import (STATUS_NAMES, FeatureState, FeatureTable,
                         create_feature_table, feature_state_to_numpy,
                         store_feature_list)
 from ..ops.select import replace_lost_features, select_good_features
-from ..ops.track import build_track_pyramids, track_features
+from ..ops.track import build_track_pyramids_jit, track_features
 import jax.numpy as jnp
 
 
@@ -62,7 +62,7 @@ class SequenceTracker:
     def start(self, frame) -> FeatureState:
         frame = np.asarray(frame)
         self.fl = select_good_features(frame, self.n_features, self.cfg)
-        self._cache = build_track_pyramids(
+        self._cache = build_track_pyramids_jit(
             jnp.asarray(frame, jnp.float32), self.cfg.validated_window())
         self._prev = frame
         self.metrics.append(frame_metrics(self.fl))

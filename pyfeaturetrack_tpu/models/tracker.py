@@ -28,7 +28,8 @@ from ..features import (FeatureState, FeatureTable, count_remaining_features,
                         create_feature_list, create_feature_table,
                         extract_feature_list, store_feature_list)
 from ..ops.select import replace_lost_features, select_good_features
-from ..ops.track import TrackPyramids, build_track_pyramids, track_features
+from ..ops.track import (TrackPyramids, build_track_pyramids_jit,
+                         track_features)
 
 # ---------------------------------------------------------------------------
 # Reference-shaped functional API
@@ -74,7 +75,7 @@ def KLTTrackFeatures(cfg: TrackerConfig, img1, img2, fl: FeatureState,
     cfgv = cfg.validated_window()
     pyr1 = pyramid_last
     if pyr1 is None:
-        pyr1 = build_track_pyramids(jnp.asarray(img1, jnp.float32), cfgv)
+        pyr1 = build_track_pyramids_jit(jnp.asarray(img1, jnp.float32), cfgv)
     fl_after, pyr2 = track_features(img1, img2, fl, cfgv, pyr1=pyr1)
     if cfgv.affineConsistencyCheck >= 0:
         from ..ops.affine import affine_consistency_check
@@ -119,7 +120,7 @@ class Tracker:
         img = np.asarray(img)
         self._prev_img = img
         if self.cfg.sequentialMode:
-            self._cache = build_track_pyramids(
+            self._cache = build_track_pyramids_jit(
                 jnp.asarray(img, jnp.float32), self.cfg.validated_window())
         return select_good_features(img, n_features, self.cfg)
 

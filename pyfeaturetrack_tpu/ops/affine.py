@@ -36,6 +36,7 @@ from jax import lax
 from ..features import (KLT_LARGE_RESIDUE, KLT_OOB, KLT_SMALL_DET,
                         KLT_TRACKED, AffineState, FeatureState)
 from .interp import bilinear, gather_window
+from .linalg import gauss_solve_det
 
 _ONE_PLUS_EPS = 1.001
 
@@ -102,9 +103,6 @@ def _affine_track_batch(tmpl, img2, gx2, gy2, x0, y0, A0, check, cfg):
     mode = int(cfg.affineConsistencyCheck)
     hw, hh = cfg.affine_window_width // 2, cfg.affine_window_height // 2
     nrows, ncols = img2.shape
-    n_params = {0: 2, 1: 4, 2: 6}[mode]
-    eye_p = jnp.eye(n_params, dtype=jnp.float32)
-
     init = _GNState(
         x=x0, y=y0, A=A0,
         status=jnp.full(x0.shape, KLT_TRACKED, jnp.int32),
@@ -128,13 +126,13 @@ def _affine_track_batch(tmpl, img2, gx2, gy2, x0, y0, A0, check, cfg):
         e = jnp.einsum("npk,nk->np", J, diff,
                        precision=lax.Precision.HIGHEST)
 
-        det = jnp.linalg.det(T)
+        # Batched unpivoted Gauss-Jordan (= the reference's
+        # _am_gauss_jordan_elimination, vectorized) — far faster on TPU
+        # than lax LinAlg's pivoted LU for [N, P, P] batches.
+        d, det = gauss_solve_det(T, e)
         small = jnp.abs(det) < cfg.min_determinant
         status = jnp.where(live & small, KLT_SMALL_DET, status)
         live = live & ~small
-
-        T_safe = jnp.where(small[:, None, None], eye_p[None], T)
-        d = jnp.linalg.solve(T_safe, e[..., None])[..., 0]
 
         if mode == 0:
             dA = jnp.zeros_like(st.A)

@@ -139,6 +139,136 @@ def fused_level_build(img: jax.Array, smooth_k, grad_k, pyr_k):
     return (base, gradx, grady, smp)
 
 
+def _tiled_kernel(img_ref, *out_refs, smooth_k, grad_g, grad_d, pyr_k,
+                  tile: int, h_pad: int, nrows: int):
+    """Row-tiled fused level build. The full image sits in VMEM; each grid
+    step computes ``tile`` output rows from a haloed input slab, so the
+    Mosaic stack only holds slab-sized intermediates."""
+    # The input buffer is padded with h_pad zero rows on top (and enough
+    # below), so every tile's slab starts at the STATIC-stride offset
+    # i*tile and the output lives at static local rows [h_pad, h_pad+tile)
+    # — Mosaic has no dynamic_slice on values, only pl.ds on refs.
+    i = pl.program_id(0)
+    slab = tile + 2 * h_pad
+    start = i * tile  # padded coords; global row = padded row - h_pad
+
+    def out_slice(vals):
+        return vals[h_pad:h_pad + tile, :]
+
+    x = img_ref[pl.ds(start, slab), :]
+    # global row index of each slab row (for border zeroing by stage)
+    g = (jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0) + start - h_pad)
+
+    def vzero(vals, radius):
+        """Zero rows whose GLOBAL index is in the vertical border."""
+        bad = (g < radius) | (g >= nrows - radius)
+        return jnp.where(bad, 0.0, vals)
+
+    def vconv_full(vals, k):
+        """Vertical conv evaluated for ALL slab rows (edge rows read
+        garbage neighbours, then get zeroed by vzero)."""
+        r = k.shape[0] // 2
+        if r == 0:
+            return vals * float(k[0])
+        krev = k[::-1]
+        acc = None
+        for t in range(2 * r + 1):
+            # tap t reads row (l + t - r): shift rows by (t - r) with zero
+            # fill (contaminated edge rows are zeroed/discarded by callers)
+            sh = t - r
+            if sh > 0:
+                shifted = jnp.concatenate(
+                    [vals[sh:], jnp.zeros((sh, vals.shape[1]), vals.dtype)], 0)
+            elif sh < 0:
+                shifted = jnp.concatenate(
+                    [jnp.zeros((-sh, vals.shape[1]), vals.dtype), vals[:sh]], 0)
+            else:
+                shifted = vals
+            term = float(krev[t]) * shifted
+            acc = term if acc is None else acc + term
+        return acc
+
+    i_out = 0
+    if smooth_k is not None:
+        r_s = smooth_k.shape[0] // 2
+        x = vzero(vconv_full(_hconv(x, smooth_k), smooth_k), r_s)
+        out_refs[i_out][...] = out_slice(x)
+        i_out += 1
+
+    r_g = grad_g.shape[0] // 2
+    gx = vzero(vconv_full(_hconv(x, grad_d), grad_g), r_g)
+    gy = vzero(vconv_full(_hconv(x, grad_g), grad_d), r_g)
+    out_refs[i_out][...] = out_slice(gx)
+    out_refs[i_out + 1][...] = out_slice(gy)
+    i_out += 2
+    if pyr_k is not None:
+        r_p = pyr_k.shape[0] // 2
+        smp = vzero(vconv_full(_hconv(x, pyr_k), pyr_k), r_p)
+        out_refs[i_out][...] = out_slice(smp)
+
+
+@functools.partial(jax.jit, static_argnames=("smooth_k", "grad_k", "pyr_k",
+                                             "tile"))
+def fused_level_build_tiled(img: jax.Array, smooth_k, grad_k, pyr_k,
+                            tile: int = 64):
+    """Row-tiled fused level build for images too large for the
+    single-block kernel. Same outputs as fused_level_build.
+
+    Caveat: vconv_full's shifted-row adds assume the slab halo covers the
+    kernel radius (h_pad >= r_s + max(r_g, r_p)), so interior rows are
+    exact; edge rows are zeroed per-stage by global row index, exactly
+    like the reference's border semantics.
+    """
+    gg = np.asarray(grad_k[0], np.float32)
+    gd = np.asarray(grad_k[1], np.float32)
+    sk = None if smooth_k is None else np.asarray(smooth_k, np.float32)
+    pk = None if pyr_k is None else np.asarray(pyr_k, np.float32)
+
+    nrows, ncols = img.shape
+    orig_img = img
+    r_s = 0 if sk is None else sk.shape[0] // 2
+    r2 = max(gg.shape[0] // 2, gd.shape[0] // 2,
+             0 if pk is None else pk.shape[0] // 2)
+    h_pad = r_s + r2
+    # pad h_pad zero rows on top (static slab offsets in the kernel) and
+    # enough below that the grid divides evenly and every slab fits;
+    # padded rows land in the zeroed border and are sliced off after
+    out_rows = -(-nrows // tile) * tile
+    img = jnp.pad(img, ((h_pad, out_rows - nrows + h_pad), (0, 0)))
+    n_tiles = out_rows // tile
+
+    shapes = []
+    if sk is not None:
+        shapes.append(jax.ShapeDtypeStruct((out_rows, ncols), img.dtype))
+    shapes.append(jax.ShapeDtypeStruct((out_rows, ncols), img.dtype))
+    shapes.append(jax.ShapeDtypeStruct((out_rows, ncols), img.dtype))
+    if pk is not None:
+        shapes.append(jax.ShapeDtypeStruct((out_rows, ncols), img.dtype))
+
+    out_spec = pl.BlockSpec((tile, ncols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_tiled_kernel, smooth_k=sk, grad_g=gg, grad_d=gd,
+                          pyr_k=pk, tile=tile, h_pad=h_pad, nrows=nrows),
+        grid=(n_tiles,),
+        out_shape=tuple(shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=tuple(out_spec for _ in shapes),
+        interpret=jax.default_backend() == "cpu",
+    )(img)
+
+    outs = tuple(o[:nrows] for o in outs)
+    i = 0
+    base = orig_img  # the padded buffer is internal; base == input here
+    if sk is not None:
+        base = outs[i]
+        i += 1
+    gradx, grady = outs[i], outs[i + 1]
+    i += 2
+    smp = outs[i] if pk is not None else None
+    return (base, gradx, grady, smp)
+
+
 def build_track_pyramids_pallas(img: jax.Array, cfg):
     """Pallas-fused equivalent of ops/track.build_track_pyramids.
 
@@ -165,11 +295,13 @@ def build_track_pyramids_pallas(img: jax.Array, cfg):
     cur = jnp.asarray(img, jnp.float32)
     for level in range(n_levels):
         want_pyr = level < n_levels - 1
-        base, gx, gy, smp = fused_level_build(
-            cur,
-            smooth_k if level == 0 else None,
-            grad_k,
-            pyr_k if want_pyr else None)
+        lvl_smooth = smooth_k if level == 0 else None
+        if fits_vmem(cur.shape, lvl_smooth is not None, want_pyr):
+            base, gx, gy, smp = fused_level_build(
+                cur, lvl_smooth, grad_k, pyr_k if want_pyr else None)
+        else:
+            base, gx, gy, smp = fused_level_build_tiled(
+                cur, lvl_smooth, grad_k, pyr_k if want_pyr else None)
         imgs.append(base)
         gxs.append(gx)
         gys.append(gy)
@@ -180,12 +312,7 @@ def build_track_pyramids_pallas(img: jax.Array, cfg):
 
 
 def pallas_pyramids_available(img_shape, cfg) -> bool:
-    """True when the fused path is enabled and every level fits VMEM."""
-    if not _enabled():
-        return False
-    h, w = img_shape
-    for level in range(cfg.nPyramidLevels):
-        if not fits_vmem((h, w), level == 0, level < cfg.nPyramidLevels - 1):
-            return False
-        h, w = h // cfg.subsampling, w // cfg.subsampling
-    return True
+    """True when the fused Pallas path is enabled (the tiled kernel
+    handles levels of any size, so this is just the enable switch)."""
+    del img_shape, cfg
+    return _enabled()

@@ -53,13 +53,19 @@ def build_track_pyramids(img: jax.Array, cfg) -> TrackPyramids:
     """float -> smooth -> pyramid -> per-level gradients.
 
     Reference parity: trackFeatures.py -> KLTTrackFeatures pyramid-build
-    phase.
+    phase. Traceable (used inside callers' jits); top-level callers should
+    prefer build_track_pyramids_jit — eager op-by-op dispatch of the conv
+    chain is dramatically slower on the remote-compiled TPU backend.
     """
     fimg = compute_smoothed_image(to_float_image(img), cfg.smooth_sigma)
     pyr = compute_pyramid(fimg, cfg.subsampling, cfg.nPyramidLevels,
                           cfg.pyramid_sigma_fact)
     gx, gy = compute_gradient_pyramids(pyr, cfg.grad_sigma)
     return TrackPyramids(img=pyr.levels, gradx=gx.levels, grady=gy.levels)
+
+
+build_track_pyramids_jit = functools.partial(
+    jax.jit, static_argnames=("cfg",))(build_track_pyramids)
 
 
 def _bounds_ok(x: jax.Array, y: jax.Array, hw: int, hh: int,
@@ -284,7 +290,7 @@ def track_features(img1, img2, fl, cfg, pyr1: TrackPyramids | None = None):
     """
     cfg = cfg.validated_window()
     if pyr1 is None:
-        pyr1 = build_track_pyramids(jnp.asarray(img1, jnp.float32), cfg)
-    pyr2 = build_track_pyramids(jnp.asarray(img2, jnp.float32), cfg)
+        pyr1 = build_track_pyramids_jit(jnp.asarray(img1, jnp.float32), cfg)
+    pyr2 = build_track_pyramids_jit(jnp.asarray(img2, jnp.float32), cfg)
     nx, ny, nval = track_features_pyramids(pyr1, pyr2, fl.x, fl.y, fl.val, cfg)
     return fl._replace(x=nx, y=ny, val=nval), pyr2

@@ -30,6 +30,7 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.linalg import inv3x3
 from .geometry import se3_apply, skew, so3_exp
 
 _PREC = lax.Precision.HIGHEST
@@ -142,7 +143,7 @@ def _gn_step_dense(K, R, t, X, cam_idx, pt_idx, uv, w, damping,
     U, V, W, b_c, b_p = _build_blocks(r, Jc, Jp, cam_idx, pt_idx,
                                       n_cameras, n_points)
     V = _damp(V, damping)
-    V_inv = jnp.linalg.inv(V)
+    V_inv, _ = inv3x3(V)  # closed form: batched lax LinAlg crawls on TPU
 
     T1 = jnp.einsum("lcij,ljk->lcik", W, V_inv, precision=_PREC)
     S_red = jnp.einsum("lcik,ldmk->cidm", T1, W, precision=_PREC)
@@ -171,7 +172,7 @@ def _gn_step_sharded_body(K, R, t, X_loc, cam_idx, pt_idx_loc, uv, w,
     U, V, W, b_c, b_p = _build_blocks(r, Jc, Jp, cam_idx, pt_idx_loc,
                                       n_cameras, n_points_loc)
     V = _damp(V, damping)
-    V_inv = jnp.linalg.inv(V)
+    V_inv, _ = inv3x3(V)  # closed form: batched lax LinAlg crawls on TPU
 
     T1 = jnp.einsum("lcij,ljk->lcik", W, V_inv, precision=_PREC)
     S_red = jnp.einsum("lcik,ldmk->cidm", T1, W, precision=_PREC)
@@ -198,7 +199,9 @@ def bundle_adjust(problem: BAProblem, R0, t0, X0, n_iters: int = 10,
                   damping: float = 1e-3, fix_first: bool = True,
                   mesh: Mesh | None = None, axis: str = "landmark"):
     """Run ``n_iters`` damped Gauss-Newton steps. Returns
-    (R, t, X, costs) with costs the per-iteration observation cost.
+    (R, t, X, costs); ``costs`` is a DEVICE array of per-iteration
+    observation costs (pull it with np.asarray only when needed — a
+    device->host transfer serializes later dispatch on relay backends).
 
     With ``mesh``, landmarks and their observations are sharded over
     ``axis``: observations must be grouped so that shard d holds
@@ -248,8 +251,8 @@ def bundle_adjust(problem: BAProblem, R0, t0, X0, n_iters: int = 10,
 
     for _ in range(n_iters):
         R, t, X, cost = step(problem.K, R, t, X, cam_idx, pt_idx, uv, w)
-        costs.append(float(cost))
-    return R, t, X, costs
+        costs.append(cost)
+    return R, t, X, jnp.stack(costs)
 
 
 def pad_problem_for_mesh(problem: BAProblem, n_points: int, n_dev: int

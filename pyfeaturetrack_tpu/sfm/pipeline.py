@@ -90,3 +90,31 @@ def ate_rmse(t_est, t_gt) -> float:
     the shared gauge (camera 0 pinned by the BA)."""
     e = np.asarray(t_est, np.float64) - np.asarray(t_gt, np.float64)
     return float(np.sqrt((e * e).sum(axis=-1).mean()))
+
+
+def umeyama_align(src: np.ndarray, dst: np.ndarray,
+                  with_scale: bool = True) -> np.ndarray:
+    """Similarity-align trajectory ``src`` onto ``dst`` (Umeyama) and
+    return the transformed src. Standard for monocular ATE, where global
+    scale (and gauge) are unobservable."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    sc, dc = src - mu_s, dst - mu_d
+    cov = dc.T @ sc / src.shape[0]
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = (sc * sc).sum() / src.shape[0]
+        s = float((D * S.diagonal()).sum() / max(var_s, 1e-12))
+    else:
+        s = 1.0
+    return (s * (R @ sc.T)).T + mu_d
+
+
+def ate_rmse_aligned(t_est, t_gt) -> float:
+    """ATE after similarity alignment (monocular convention)."""
+    return ate_rmse(umeyama_align(t_est, t_gt), t_gt)

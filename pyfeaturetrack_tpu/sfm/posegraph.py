@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .geometry import so3_exp, so3_log
@@ -93,8 +94,8 @@ def optimize_pose_graph(graph: PoseGraph, R0, t0, n_iters: int = 10,
     costs = []
     for _ in range(n_iters):
         R, t, cost = _pg_step(R, t, graph, jnp.float32(damping), fix_first)
-        costs.append(float(cost))
-    return R, t, costs
+        costs.append(cost)  # device array; pulled only when the caller asks
+    return R, t, jnp.stack(costs)
 
 
 def odometry_graph(R_rel, t_rel, w_rot=1.0, w_trans=1.0,

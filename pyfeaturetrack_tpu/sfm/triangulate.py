@@ -33,6 +33,10 @@ def triangulate_dlt(K: jax.Array, Rs: jax.Array, ts: jax.Array,
                      precision=lax.Precision.HIGHEST)  # [L, 4, 4]
     M = AtA[:, :3, :3]
     b = -AtA[:, :3, 3]
-    # Regularize singular systems (too few views) minimally.
+    # Regularize singular systems (too few views) minimally; closed-form
+    # batched 3x3 inverse (lax LinAlg's pivoted LU crawls on TPU batches).
+    from ..ops.linalg import inv3x3
     eye = jnp.eye(3, dtype=A.dtype) * 1e-6
-    return jnp.linalg.solve(M + eye[None], b[..., None])[..., 0]
+    Minv, _ = inv3x3(M + eye[None])
+    return jnp.einsum("lij,lj->li", Minv, b,
+                      precision=lax.Precision.HIGHEST)
