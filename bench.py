@@ -160,6 +160,8 @@ def main():
     ap.add_argument("--size", type=str, default="480x640")
     ap.add_argument("--all", action="store_true",
                     help="run every BASELINE config, write BENCH_DETAILS.json")
+    ap.add_argument("--scaling", action="store_true",
+                    help="also run the multi-device weak-scaling sweep")
     args = ap.parse_args()
     h, w = map(int, args.size.split("x"))
 
@@ -197,6 +199,15 @@ def main():
         log(f"config5 done: {ba_rate:.2f} iters/s")
         details["config1_two_frame_demo_s"] = round(bench_two_frame_demo(), 4)
         log(f"config1 done: {details['config1_two_frame_demo_s']} s")
+        if args.scaling:
+            from pyfeaturetrack_tpu.parallel.scaling import measure_scaling
+            sc = measure_scaling()
+            details["scaling"] = {
+                str(d): {"s_per_step": round(sc["seconds_per_step"][d], 6),
+                         "efficiency": round(
+                             sc["efficiency_vs_smallest"][d], 3)}
+                for d in sc["device_counts"]}
+            log(f"scaling done: {details['scaling']}")
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
         print(json.dumps(details), file=sys.stderr)

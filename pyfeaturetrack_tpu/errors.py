@@ -20,7 +20,11 @@ class KLTWarningCategory(UserWarning):
     """Warning category used by :func:`KLTWarning`."""
 
 
-_verbosity = 1
+# The reference prints progress by default (KLT_verbose = 1); here the
+# default is quiet because each verbose completion line pulls a count from
+# the device, which serializes dispatch on relay-backed TPUs. Call
+# KLTSetVerbosity(1) for reference-style progress lines.
+_verbosity = 0
 
 
 def KLTSetVerbosity(level: int) -> None:

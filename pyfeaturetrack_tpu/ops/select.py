@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..errors import KLTWarning
+from ..errors import KLTWarning, verbose_print
 from ..features import KLT_NOT_FOUND, FeatureState
 from .convolve import compute_gradients, compute_smoothed_image, to_float_image
 
@@ -81,6 +81,23 @@ def _selection_eig_map(img: jax.Array, *, window_width: int,
     # int cast truncates toward zero like the reference's (int) cast; clamp
     # to the int limit (the reference warns on overflow).
     return jnp.clip(eig, max=_EIG_LIMIT).astype(jnp.int32)
+
+
+def _write_internal_images(img, cfg) -> None:
+    """Debug-dump the smoothed image and gradients to PGM files.
+
+    Reference parity: tc.writeInternalImages (klt_util.py ->
+    _KLTWriteFloatImageToPGM): writes kltimg_sgfrlf.pgm and
+    kltimg_sgfrlf_gx/_gy.pgm in the working directory.
+    """
+    from ..utils.io import float_image_to_pgm
+    fimg = jnp.asarray(img, jnp.float32)
+    if cfg.smoothBeforeSelecting:
+        fimg = compute_smoothed_image(fimg, cfg.smooth_sigma)
+    gradx, grady = compute_gradients(fimg, cfg.grad_sigma)
+    float_image_to_pgm("kltimg_sgfrlf.pgm", np.asarray(fimg), scale=False)
+    float_image_to_pgm("kltimg_sgfrlf_gx.pgm", np.asarray(gradx))
+    float_image_to_pgm("kltimg_sgfrlf_gy.pgm", np.asarray(grady))
 
 
 def _enforce_minimum_distance(xs: np.ndarray, ys: np.ndarray,
@@ -144,6 +161,13 @@ def select_good_features_arrays(img, n_features: int, cfg,
     img = np.asarray(img)
     nrows, ncols = img.shape
 
+    mode = "Replacing" if existing is not None else "Selecting"
+    verbose_print(f"(KLT) {mode} the {n_features} best features "
+                  f"from a {ncols} by {nrows} image...  ")
+
+    if cfg.writeInternalImages:
+        _write_internal_images(img, cfg)
+
     eig = np.asarray(_selection_eig_map(
         jnp.asarray(img, jnp.float32),
         window_width=int(cfg.window_width),
@@ -187,12 +211,15 @@ def select_good_features_arrays(img, n_features: int, cfg,
 
     from ..utils import native
     if native.available():
-        return native.enforce_min_distance(
+        out = native.enforce_min_distance(
             xs, ys, vals, order, feats, (nrows, ncols),
             int(cfg.mindist), max(int(cfg.min_eigenvalue), 1), overwrite_all)
-    return _enforce_minimum_distance(
-        xs, ys, vals, order, feats, (nrows, ncols),
-        int(cfg.mindist), max(int(cfg.min_eigenvalue), 1), overwrite_all)
+    else:
+        out = _enforce_minimum_distance(
+            xs, ys, vals, order, feats, (nrows, ncols),
+            int(cfg.mindist), max(int(cfg.min_eigenvalue), 1), overwrite_all)
+    verbose_print(f"\t{int((out[:, 2] >= 0).sum())} features found.")
+    return out
 
 
 def replace_lost_features_arrays(img, feats: np.ndarray, cfg) -> np.ndarray:

@@ -288,9 +288,18 @@ def track_features(img1, img2, fl, cfg, pyr1: TrackPyramids | None = None):
     (new_fl, pyr2) where ``pyr2`` is the frame-2 pyramid cache to pass back
     in sequential mode (the reference stashes it on the context).
     """
+    from ..errors import KLTGetVerbosity, verbose_print
     cfg = cfg.validated_window()
     if pyr1 is None:
         pyr1 = build_track_pyramids_jit(jnp.asarray(img1, jnp.float32), cfg)
     pyr2 = build_track_pyramids_jit(jnp.asarray(img2, jnp.float32), cfg)
+    nrows, ncols = pyr2.img[0].shape
+    verbose_print(f"(KLT) Tracking {fl.nFeatures} features in a "
+                  f"{ncols} by {nrows} image...  ")
     nx, ny, nval = track_features_pyramids(pyr1, pyr2, fl.x, fl.y, fl.val, cfg)
-    return fl._replace(x=nx, y=ny, val=nval), pyr2
+    out = fl._replace(x=nx, y=ny, val=nval)
+    if KLTGetVerbosity() > 0:
+        import numpy as _np
+        verbose_print(f"\t{int((_np.asarray(nval) >= 0).sum())} features "
+                      "successfully tracked.")
+    return out, pyr2
