@@ -116,6 +116,45 @@ def bench_affine(h=480, w=640, n_features=1000):
     return 20 / (time.perf_counter() - t0)
 
 
+def bench_batched_streams(h=480, w=640, n_features=1000, batch=8,
+                          n_iters=20):
+    """Aggregate throughput tracking ``batch`` independent frame pairs at
+    once on one chip (the multi-stream serving shape). Returns aggregate
+    frames/s."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.track import (build_track_pyramids,
+                                              track_features_pyramids)
+
+    cfg = create_config()
+
+    @jax.jit
+    def step(imgs1, imgs2, x, y, val):
+        def one(i1, i2, xx, yy, vv):
+            p1 = build_track_pyramids(i1, cfg)
+            p2 = build_track_pyramids(i2, cfg)
+            return track_features_pyramids(p1, p2, xx, yy, vv, cfg)
+        return jax.vmap(one)(imgs1, imgs2, x, y, val)
+
+    rng = np.random.default_rng(0)
+    imgs1 = jnp.asarray(rng.uniform(0, 255, (batch, h, w)), jnp.float32)
+    imgs2 = jnp.asarray(rng.uniform(0, 255, (batch, h, w)), jnp.float32)
+    x = jnp.asarray(rng.uniform(cfg.borderx + 1, w - cfg.borderx - 2,
+                                (batch, n_features)), jnp.float32)
+    y = jnp.asarray(rng.uniform(cfg.bordery + 1, h - cfg.bordery - 2,
+                                (batch, n_features)), jnp.float32)
+    val = jnp.ones((batch, n_features), jnp.int32)
+
+    out = step(imgs1, imgs2, x, y, val)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = step(imgs1, imgs2, x, y, val)
+    jax.block_until_ready(out)
+    return n_iters * batch / (time.perf_counter() - t0)
+
+
 def bench_sfm():
     """Config 5 core: BA iteration rate on a synthetic 20-cam/2000-pt
     problem (iterations/s)."""
@@ -193,6 +232,9 @@ def main():
             n_frames=20)
         details["config4_1080p_4096feat_4lvl_fps"] = round(fps_1080p, 2)
         log(f"config4 done: {fps_1080p:.1f} fps")
+        agg = bench_batched_streams()
+        details["batched8_streams_aggregate_fps"] = round(agg, 2)
+        log(f"batched8 done: {agg:.1f} aggregate fps")
         ba_rate, ba_drop = bench_sfm()
         details["config5_ba_iters_per_s"] = round(ba_rate, 2)
         details["config5_ba_cost_drop"] = round(float(ba_drop), 6)

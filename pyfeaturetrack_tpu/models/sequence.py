@@ -27,7 +27,7 @@ from ..features import (STATUS_NAMES, FeatureState, FeatureTable,
                         create_feature_table, feature_state_to_numpy,
                         store_feature_list)
 from ..ops.select import replace_lost_features, select_good_features
-from ..ops.track import build_track_pyramids_jit, track_features
+from ..ops.track import build_track_pyramids_jit
 import jax.numpy as jnp
 
 
@@ -73,8 +73,12 @@ class SequenceTracker:
             return self.start(frame)
         frame = np.asarray(frame)
         t0 = time.perf_counter()
-        self.fl, self._cache = track_features(
-            self._prev, frame, self.fl, self.cfg, pyr1=self._cache)
+        # Route through the full KLTTrackFeatures so the affine
+        # consistency stage runs when cfg.affineConsistencyCheck >= 0.
+        from .tracker import KLTTrackFeatures
+        self.fl, self._cache = KLTTrackFeatures(
+            self.cfg, self._prev, frame, self.fl,
+            pyramid_last=self._cache)
         if self.replace_lost:
             self.fl = replace_lost_features(frame, self.fl, self.cfg)
         elapsed = time.perf_counter() - t0

@@ -60,6 +60,26 @@ def test_metrics_shape():
             "oob", "large_residue"}
 
 
+def test_sequence_runs_affine_check():
+    """The sequence driver must route through the affine stage when the
+    config asks for it (templates captured and carried)."""
+    import pyfeaturetrack_tpu as pft_mod
+    frames = _make_sequence(n_frames=4, dx=0.5, dy=0.3)
+    cfg = pft_mod.create_config(affineConsistencyCheck=2,
+                                sequentialMode=True)
+    ft, _ = None, None
+    from pyfeaturetrack_tpu.models.sequence import SequenceTracker
+    st = SequenceTracker(cfg, n_features=25, replace_lost=True)
+    fl = st.step(frames[0])
+    assert fl.aff is None  # selection only, no templates yet
+    fl = st.step(frames[1])
+    assert fl.aff is not None
+    n1 = int(np.asarray(fl.aff.valid).sum())
+    assert n1 > 0  # templates captured on first successful track
+    fl = st.step(frames[2])
+    assert int(np.asarray(fl.aff.valid).sum()) > 0
+
+
 def test_store_extract_roundtrip():
     frames = _make_sequence(n_frames=3)
     ft, _ = track_sequence(frames, n_features=15)
