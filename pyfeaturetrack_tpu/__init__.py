@@ -34,18 +34,22 @@ from .features import (  # noqa: F401
 )
 
 from .models import (  # noqa: F401
+    KLTChangeTCPyramid,
     KLTCountRemainingFeatures,
     KLTCreateFeatureList,
     KLTCreateFeatureTable,
     KLTCreateTrackingContext,
     KLTExtractFeatureList,
+    KLTPrintTrackingContext,
     KLTReplaceLostFeatures,
     KLTSelectGoodFeatures,
     KLTStoreFeatureList,
     KLTTrackFeatures,
+    KLTUpdateTCBorder,
     SequenceTracker,
     Tracker,
     track_sequence,
+    track_sequence_chunked,
 )
 
 __version__ = "0.1.0"

@@ -1,0 +1,98 @@
+"""Command-line driver: track a PGM sequence end to end.
+
+The reference has no CLI (its examples are its interface); this is the
+framework's convenience surface for the same flows:
+
+    pft-track examples/data/img*.pgm --features 150 --out /tmp/run
+    python -m pyfeaturetrack_tpu examples/data/img*.pgm --affine 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="pft-track",
+        description="Track features through a PGM image sequence "
+                    "(TPU-native KLT).")
+    ap.add_argument("frames", nargs="+", help="PGM frames, in order")
+    ap.add_argument("--features", type=int, default=150)
+    ap.add_argument("--out", default=".", help="output directory")
+    ap.add_argument("--no-replace", action="store_true",
+                    help="do not replace lost features")
+    ap.add_argument("--affine", type=int, default=-1,
+                    choices=[-1, 0, 1, 2],
+                    help="affineConsistencyCheck mode")
+    ap.add_argument("--mindist", type=int, default=10)
+    ap.add_argument("--window", type=int, default=7)
+    ap.add_argument("--search-range", type=int, default=15)
+    ap.add_argument("--chunks", type=int, default=1,
+                    help=">1: chunk-parallel tracking with stitching")
+    ap.add_argument("--overlays", action="store_true",
+                    help="write per-frame PPM overlays")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from .config import create_config
+    from .errors import KLTSetVerbosity
+    from .features import count_remaining_features
+    from .models.sequence import track_sequence
+    from .utils.io import pgm_read, write_feature_table
+    from .utils.viz import write_feature_list_to_ppm
+
+    if args.verbose:
+        KLTSetVerbosity(1)
+    os.makedirs(args.out, exist_ok=True)
+
+    frames = [pgm_read(p) for p in args.frames]
+    cfg = create_config(
+        search_range=args.search_range,
+        mindist=args.mindist,
+        window_width=args.window,
+        window_height=args.window,
+        affineConsistencyCheck=args.affine,
+        sequentialMode=True,
+    )
+
+    if args.chunks > 1:
+        from .models.chunked import track_sequence_chunked
+        table, _, metrics_per_chunk = track_sequence_chunked(
+            frames, cfg=cfg, n_features=args.features,
+            n_chunks=args.chunks, replace_lost=not args.no_replace)
+        np.savez(os.path.join(args.out, "tracks.npz"), **table)
+        live_last = int((table["val"][-1] >= 0).sum())
+        summary = {"frames": len(frames),
+                   "global_tracks": int(table["val"].shape[1]),
+                   "live_last_frame": live_last,
+                   "chunks": args.chunks}
+    else:
+        def on_frame(i, fl):
+            if args.overlays:
+                write_feature_list_to_ppm(
+                    fl, frames[i], os.path.join(args.out, f"feat{i}.ppm"))
+
+        ft, metrics = track_sequence(
+            frames, cfg=cfg, n_features=args.features,
+            replace_lost=not args.no_replace, on_frame=on_frame)
+        write_feature_table(ft, os.path.join(args.out, "features.txt"),
+                            fmt="%5.1f")
+        write_feature_table(ft, os.path.join(args.out, "features.ft"))
+        v = np.asarray(ft.val)
+        summary = {"frames": len(frames),
+                   "features": args.features,
+                   "live_last_frame": int((v[-1] >= 0).sum()),
+                   "full_tracks": int((v >= 0).all(axis=0).sum())}
+
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

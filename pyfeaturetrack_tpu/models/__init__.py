@@ -1,14 +1,18 @@
-from .tracker import (KLTCountRemainingFeatures, KLTCreateFeatureList,
-                      KLTCreateFeatureTable, KLTCreateTrackingContext,
-                      KLTExtractFeatureList, KLTReplaceLostFeatures,
+from .tracker import (KLTChangeTCPyramid, KLTCountRemainingFeatures,
+                      KLTCreateFeatureList, KLTCreateFeatureTable,
+                      KLTCreateTrackingContext, KLTExtractFeatureList,
+                      KLTPrintTrackingContext, KLTReplaceLostFeatures,
                       KLTSelectGoodFeatures, KLTStoreFeatureList,
-                      KLTTrackFeatures, Tracker)
+                      KLTTrackFeatures, KLTUpdateTCBorder, Tracker)
 from .sequence import SequenceTracker, track_sequence
+from .chunked import track_sequence_chunked
 
 __all__ = [
-    "KLTCountRemainingFeatures", "KLTCreateFeatureList",
-    "KLTCreateFeatureTable", "KLTCreateTrackingContext",
-    "KLTExtractFeatureList", "KLTReplaceLostFeatures",
+    "KLTChangeTCPyramid", "KLTCountRemainingFeatures",
+    "KLTCreateFeatureList", "KLTCreateFeatureTable",
+    "KLTCreateTrackingContext", "KLTExtractFeatureList",
+    "KLTPrintTrackingContext", "KLTReplaceLostFeatures",
     "KLTSelectGoodFeatures", "KLTStoreFeatureList", "KLTTrackFeatures",
-    "Tracker", "SequenceTracker", "track_sequence",
+    "KLTUpdateTCBorder", "Tracker", "SequenceTracker", "track_sequence",
+    "track_sequence_chunked",
 ]

@@ -62,6 +62,26 @@ def KLTReplaceLostFeatures(cfg: TrackerConfig, img, fl: FeatureState
     return replace_lost_features(img, fl, cfg)
 
 
+def KLTChangeTCPyramid(cfg: TrackerConfig, search_range: int = 15
+                       ) -> TrackerConfig:
+    """Reference parity: klt.py -> KLTChangeTCPyramid (returns a new
+    config instead of mutating)."""
+    from ..config import change_pyramid, update_border
+    return update_border(change_pyramid(cfg, search_range))
+
+
+def KLTUpdateTCBorder(cfg: TrackerConfig) -> TrackerConfig:
+    """Reference parity: klt.py -> KLTUpdateTCBorder."""
+    from ..config import update_border
+    return update_border(cfg)
+
+
+def KLTPrintTrackingContext(cfg: TrackerConfig) -> str:
+    """Reference parity: klt.py -> KLTPrintTrackingContext."""
+    from ..config import print_config
+    return print_config(cfg)
+
+
 def KLTTrackFeatures(cfg: TrackerConfig, img1, img2, fl: FeatureState,
                      pyramid_last: Optional[TrackPyramids] = None
                      ) -> tuple[FeatureState, TrackPyramids]:
@@ -72,6 +92,14 @@ def KLTTrackFeatures(cfg: TrackerConfig, img1, img2, fl: FeatureState,
     (``pyramid_last``). When ``cfg.affineConsistencyCheck >= 0`` the affine
     consistency stage runs after translational tracking.
     """
+    from ..errors import KLTError
+    # shape-only check: no np.asarray here (it would pull device arrays
+    # to host, serializing later dispatch on relay backends)
+    s1 = getattr(img1, "shape", None)
+    s2 = getattr(img2, "shape", None)
+    if s1 is not None and s2 is not None and tuple(s1) != tuple(s2):
+        raise KLTError(
+            f"(KLTTrackFeatures) frame size mismatch: {s1} vs {s2}")
     cfgv = cfg.validated_window()
     pyr1 = pyramid_last
     if pyr1 is None:

@@ -1,0 +1,69 @@
+"""CLI driver end-to-end on a small PGM sequence."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pyfeaturetrack_tpu.cli import main
+from pyfeaturetrack_tpu.utils.io import pgm_write, read_feature_table
+
+from conftest import make_textured_image, shift_image_bilinear
+
+
+@pytest.fixture(scope="module")
+def pgm_frames(tmp_path_factory):
+    d = tmp_path_factory.mktemp("frames")
+    base = make_textured_image(96, 128, seed=71)
+    paths = []
+    for i in range(5):
+        p = d / f"img{i}.pgm"
+        pgm_write(p, np.floor(shift_image_bilinear(base, 0.8 * i, -0.4 * i)))
+        paths.append(str(p))
+    return paths
+
+
+def test_cli_tracks_sequence(pgm_frames, tmp_path, capsys):
+    rc = main(pgm_frames + ["--features", "25", "--out", str(tmp_path),
+                            "--overlays"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["frames"] == 5
+    assert summary["live_last_frame"] >= 15
+    ft = read_feature_table(tmp_path / "features.ft")
+    assert ft.nFrames == 5 and ft.nFeatures == 25
+    assert (tmp_path / "feat3.ppm").exists()
+    assert (tmp_path / "features.txt").exists()
+
+
+def test_cli_chunked(pgm_frames, tmp_path, capsys):
+    rc = main(pgm_frames + ["--features", "20", "--out", str(tmp_path),
+                            "--chunks", "2"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["chunks"] == 2
+    data = np.load(tmp_path / "tracks.npz")
+    assert data["x"].shape[0] == 5
+
+
+def test_reference_named_config_functions():
+    import pyfeaturetrack_tpu as pft
+    cfg = pft.KLTCreateTrackingContext()
+    cfg2 = pft.KLTChangeTCPyramid(cfg, search_range=30)
+    assert cfg2.nPyramidLevels >= cfg.nPyramidLevels
+    cfg3 = pft.KLTUpdateTCBorder(cfg2)
+    assert cfg3.borderx > 0
+    text = pft.KLTPrintTrackingContext(cfg)
+    assert "mindist" in text
+
+
+def test_track_size_mismatch_raises():
+    import pyfeaturetrack_tpu as pft
+    from pyfeaturetrack_tpu.errors import KLTError
+    cfg = pft.create_config()
+    fl = pft.KLTCreateFeatureList(4)
+    a = np.zeros((64, 96))
+    b = np.zeros((64, 128))
+    with pytest.raises(KLTError, match="size mismatch"):
+        pft.KLTTrackFeatures(cfg, a, b, fl)
