@@ -57,10 +57,11 @@ def build_track_pyramids(img: jax.Array, cfg) -> TrackPyramids:
     prefer build_track_pyramids_jit — eager op-by-op dispatch of the conv
     chain is dramatically slower on the remote-compiled TPU backend.
     """
-    fimg = compute_smoothed_image(to_float_image(img), cfg.smooth_sigma)
-    pyr = compute_pyramid(fimg, cfg.subsampling, cfg.nPyramidLevels,
-                          cfg.pyramid_sigma_fact)
-    gx, gy = compute_gradient_pyramids(pyr, cfg.grad_sigma)
+    with jax.named_scope("pft.pyramid_build"):
+        fimg = compute_smoothed_image(to_float_image(img), cfg.smooth_sigma)
+        pyr = compute_pyramid(fimg, cfg.subsampling, cfg.nPyramidLevels,
+                              cfg.pyramid_sigma_fact)
+        gx, gy = compute_gradient_pyramids(pyr, cfg.grad_sigma)
     return TrackPyramids(img=pyr.levels, gradx=gx.levels, grady=gy.levels)
 
 
@@ -257,10 +258,11 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
         xloc, yloc = xloc * s, yloc * s
         xout, yout = xout * s, yout * s
         active = live & ~broken
-        nx, ny, lvl_status, _ = track_feature_level(
-            xloc, yloc, xout, yout,
-            pyr1.img[r], pyr1.gradx[r], pyr1.grady[r],
-            pyr2.img[r], pyr2.gradx[r], pyr2.grady[r], cfg, active)
+        with jax.named_scope(f"pft.lk_level_{r}"):
+            nx, ny, lvl_status, _ = track_feature_level(
+                xloc, yloc, xout, yout,
+                pyr1.img[r], pyr1.gradx[r], pyr1.grady[r],
+                pyr2.img[r], pyr2.gradx[r], pyr2.grady[r], cfg, active)
         xout = jnp.where(active, nx, xout)
         yout = jnp.where(active, ny, yout)
         status = jnp.where(active, lvl_status, status)
