@@ -49,12 +49,16 @@ class BAProblem(NamedTuple):
     w: jax.Array
 
 
-def _obs_terms(K, R, t, X, cam_idx, pt_idx, uv, w):
+def _obs_terms(K, R, t, X, cam_idx, pt_idx, uv, w, huber_delta=None):
     """Residuals + Jacobians for every observation.
 
     Returns (r [M,2], Jc [M,2,6], Jp [M,2,3], cost scalar). The rotation
     perturbation is left-multiplicative on (R X): Y = exp(dw) R X + t + dt,
     so dY/dw = -skew(R X), dY/dt = I, dY/dX = R.
+
+    ``huber_delta`` (static float or None) enables IRLS Huber robustness:
+    observations with residual norm above delta are downweighted by
+    sqrt(delta/|r|), capping the influence of outlier tracks.
     """
     Rc = R[cam_idx]
     tc = t[cam_idx]
@@ -77,7 +81,12 @@ def _obs_terms(K, R, t, X, cam_idx, pt_idx, uv, w):
         jnp.stack([zero, fy / zs, -fy * Y[..., 1] / (zs * zs)], -1),
     ], -2)  # [M, 2, 3]
 
-    weight = (w * (~behind)).astype(r.dtype)[:, None]
+    weight = (w * (~behind)).astype(r.dtype)
+    if huber_delta is not None:
+        rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+        weight = weight * jnp.sqrt(
+            jnp.minimum(1.0, float(huber_delta) / rn))
+    weight = weight[:, None]
     r = r * weight
     dpi = dpi * weight[..., None]
 
@@ -135,11 +144,13 @@ def _reduce_and_solve(U, b_c, S_red, b_red, damping, fix_first: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("n_cameras", "n_points",
-                                             "fix_first"))
+                                             "fix_first", "huber_delta"))
 def _gn_step_dense(K, R, t, X, cam_idx, pt_idx, uv, w, damping,
-                   n_cameras: int, n_points: int, fix_first: bool = True):
+                   n_cameras: int, n_points: int, fix_first: bool = True,
+                   huber_delta=None):
     """One Gauss-Newton/LM step, single device. Returns (R, t, X, cost)."""
-    r, Jc, Jp, cost = _obs_terms(K, R, t, X, cam_idx, pt_idx, uv, w)
+    r, Jc, Jp, cost = _obs_terms(K, R, t, X, cam_idx, pt_idx, uv, w,
+                                 huber_delta)
     U, V, W, b_c, b_p = _build_blocks(r, Jc, Jp, cam_idx, pt_idx,
                                       n_cameras, n_points)
     V = _damp(V, damping)
@@ -161,14 +172,16 @@ def _gn_step_dense(K, R, t, X, cam_idx, pt_idx, uv, w, damping,
 
 
 def _gn_step_sharded_body(K, R, t, X_loc, cam_idx, pt_idx_loc, uv, w,
-                          damping, n_cameras, fix_first, axis):
+                          damping, n_cameras, fix_first, axis,
+                          huber_delta=None):
     """Per-shard GN step body (runs under shard_map).
 
     X_loc / pt_idx_loc are local to this shard; camera state is
     replicated. The camera-block system is psum-reduced over ``axis``.
     """
     n_points_loc = X_loc.shape[0]
-    r, Jc, Jp, cost = _obs_terms(K, R, t, X_loc, cam_idx, pt_idx_loc, uv, w)
+    r, Jc, Jp, cost = _obs_terms(K, R, t, X_loc, cam_idx, pt_idx_loc, uv, w,
+                                 huber_delta)
     U, V, W, b_c, b_p = _build_blocks(r, Jc, Jp, cam_idx, pt_idx_loc,
                                       n_cameras, n_points_loc)
     V = _damp(V, damping)
@@ -197,7 +210,8 @@ def _gn_step_sharded_body(K, R, t, X_loc, cam_idx, pt_idx_loc, uv, w,
 
 def bundle_adjust(problem: BAProblem, R0, t0, X0, n_iters: int = 10,
                   damping: float = 1e-3, fix_first: bool = True,
-                  mesh: Mesh | None = None, axis: str = "landmark"):
+                  mesh: Mesh | None = None, axis: str = "landmark",
+                  huber_delta: float | None = None):
     """Run ``n_iters`` damped Gauss-Newton steps. Returns
     (R, t, X, costs); ``costs`` is a DEVICE array of per-iteration
     observation costs (pull it with np.asarray only when needed — a
@@ -231,7 +245,7 @@ def bundle_adjust(problem: BAProblem, R0, t0, X0, n_iters: int = 10,
     step = shard_map(
         functools.partial(_gn_step_sharded_body, damping=jnp.float32(damping),
                           n_cameras=n_cameras, fix_first=fix_first,
-                          axis=axis),
+                          axis=axis, huber_delta=huber_delta),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P(axis), P()),

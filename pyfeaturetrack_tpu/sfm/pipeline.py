@@ -53,15 +53,35 @@ def initial_landmarks(K, Rs, ts, ft, min_track_len: int = 2):
 
 
 def run_sfm(ft, K, R0, t0, n_iters: int = 15, damping: float = 1e-3,
-            min_track_len: int = 2, mesh=None):
+            min_track_len: int = 2, mesh=None,
+            huber_delta: float | None = None,
+            max_init_reproj_error: float | None = None):
     """Full back-end pass over a feature table.
 
     Returns dict with refined (R, t, X), per-iteration costs, and the
     observation count. ``mesh`` enables landmark-sharded distributed BA.
+    ``huber_delta`` enables robust (IRLS Huber) reweighting;
+    ``max_init_reproj_error`` gates out observations whose reprojection
+    error under the INITIAL poses/triangulation exceeds the threshold
+    (outlier tracks — e.g. features locked onto geometry-violating image
+    structure — would otherwise dominate the quadratic cost).
     """
     cam_idx, pt_idx, uv, w = observations_from_feature_table(
         ft, min_track_len)
     X0 = initial_landmarks(K, R0, t0, ft, min_track_len)
+
+    if max_init_reproj_error is not None:
+        from .geometry import project
+        import jax
+        uv_hat, depth = jax.vmap(
+            lambda c, p: project(jnp.asarray(K, jnp.float32),
+                                 jnp.asarray(R0, jnp.float32)[c],
+                                 jnp.asarray(t0, jnp.float32)[c],
+                                 X0[p]))(jnp.asarray(cam_idx),
+                                         jnp.asarray(pt_idx))
+        err = np.linalg.norm(np.asarray(uv_hat) - uv, axis=-1)
+        ok = (err <= max_init_reproj_error) & (np.asarray(depth) > 0)
+        w = w * ok.astype(np.float32)
 
     problem = BAProblem(K=jnp.asarray(K, jnp.float32),
                         cam_idx=jnp.asarray(cam_idx),
@@ -78,7 +98,8 @@ def run_sfm(ft, K, R0, t0, n_iters: int = 15, damping: float = 1e-3,
                 [X0, jnp.ones((l_pad, 3), X0.dtype)], axis=0)
 
     R, t, X, costs = bundle_adjust(problem, R0, t0, X0, n_iters=n_iters,
-                                   damping=damping, mesh=mesh)
+                                   damping=damping, mesh=mesh,
+                                   huber_delta=huber_delta)
     if mesh is not None and n_points != X.shape[0]:
         X = X[:n_points]
     return {"R": R, "t": t, "X": X, "costs": costs,
