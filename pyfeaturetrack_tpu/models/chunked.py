@@ -23,6 +23,76 @@ from ..config import TrackerConfig, create_config
 from .sequence import track_sequence
 
 
+def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
+                         cfg: TrackerConfig):
+    """Track C equal-length chunks in lockstep: one vmapped device call
+    advances EVERY chunk by one frame, so a long video tracks at the
+    batched-streams rate instead of the single-stream rate.
+
+    chunk_frames: [C, F, H, W] float frames (chunk c's local frames) — a
+    numpy array, or a LIST of F device arrays [C, H, W] pre-staged on
+    device (preferred for throughput: the compute path runs ~65 us per
+    batched step; host->device transfer of the frames dominates wall
+    clock on slow-interconnect rigs).
+    init_*: [C, N] initial feature state at each chunk's frame 0.
+    Returns (xs, ys, vals): [C, F, N] per-frame tracked state (frame 0 is
+    the initial selection). Pure device path: no host pulls between
+    frames, no lost-feature replacement (use track_sequence_chunked for
+    the reference-semantics driver).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.track import build_track_pyramids, track_features_pyramids
+
+    if isinstance(chunk_frames, (list, tuple)):
+        f = len(chunk_frames)
+    else:
+        f = np.shape(chunk_frames)[1]
+
+    # One jitted program PER FRAME STEP, state carried on device between
+    # calls. Chaining many steps inside a single program (scan or unroll)
+    # degrades catastrophically on the remote-execution backend, while
+    # per-step dispatch pipelines asynchronously at full rate.
+    @jax.jit
+    def first(frame_batch):
+        return jax.vmap(lambda im: build_track_pyramids(im, cfg))(
+            frame_batch)
+
+    @jax.jit
+    def step(pyr_prev, frame_batch, x, y, v):
+        pyr_new = jax.vmap(lambda im: build_track_pyramids(im, cfg))(
+            frame_batch)
+        nx, ny, nv = jax.vmap(
+            lambda p1, p2, xx, yy, vv: track_features_pyramids(
+                p1, p2, xx, yy, vv, cfg))(pyr_prev, pyr_new, x, y, v)
+        return pyr_new, nx, ny, nv
+
+    # Per-step frame batches must be separate contiguous device arrays:
+    # slicing a packed [C, F, H, W] device array per step ([:, i]) runs a
+    # strided-slice program that is pathologically slow on the remote
+    # backend (~770 ms vs ~65 us per step measured).
+    if isinstance(chunk_frames, (list, tuple)):
+        frame_steps = list(chunk_frames)  # pre-staged by caller
+    else:
+        chunk_frames = np.asarray(chunk_frames, np.float32)
+        frame_steps = [jnp.asarray(np.ascontiguousarray(chunk_frames[:, i]))
+                       for i in range(f)]
+    x = jnp.asarray(init_x, jnp.float32)
+    y = jnp.asarray(init_y, jnp.float32)
+    v = jnp.asarray(init_val, jnp.int32)
+
+    pyr = first(frame_steps[0])
+    xs, ys, vs = [x], [y], [v]
+    for i in range(1, f):
+        pyr, x, y, v = step(pyr, frame_steps[i], x, y, v)
+        xs.append(x)
+        ys.append(y)
+        vs.append(v)
+    return (jnp.stack(xs, axis=1), jnp.stack(ys, axis=1),
+            jnp.stack(vs, axis=1))
+
+
 def chunk_bounds(n_frames: int, n_chunks: int) -> list[tuple[int, int]]:
     """Split [0, n_frames) into chunks sharing one boundary frame:
     [(0, e0), (e0-1+1? ...)] — chunk k spans [s_k, e_k) with
@@ -67,7 +137,8 @@ def _stitch_ids(prev_xy: np.ndarray, prev_ids: np.ndarray,
 def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
                            n_features: int = 150, n_chunks: int = 2,
                            replace_lost: bool = True,
-                           stitch_tol: float = 1.0):
+                           stitch_tol: float = 1.0,
+                           batched: bool = False):
     # stitch_tol: a continuing physical corner is re-detected by the next
     # chunk at an integer pixel while the left chunk tracked it to subpixel
     # drift — up to 0.5 px apart per axis; 1.0 px catches those without
@@ -80,24 +151,50 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
     Chunks are independent after their first frame, so on a multi-host
     deployment each host tracks its own chunk concurrently and only the
     boundary feature lists travel over DCN (one [N, 3] array per boundary).
+
+    ``batched=True`` advances ALL chunks in lockstep with one vmapped
+    device call per frame step (aggregate multi-stream throughput on one
+    chip); it implies ``replace_lost=False`` (the pure-device path).
     """
     frames = list(frames)
     n_frames = len(frames)
     cfg = cfg if cfg is not None else create_config()
     bounds = chunk_bounds(n_frames, n_chunks)
 
-    # Track every chunk independently (parallel across hosts in deployment;
-    # serial here — the math is identical).
     chunk_tables = []
     all_metrics = []
-    for (s, e) in bounds:
-        ft, metrics = track_sequence(frames[s:e], cfg=cfg,
-                                     n_features=n_features,
-                                     replace_lost=replace_lost)
-        chunk_tables.append((s, e, np.asarray(ft.x, np.float64),
-                             np.asarray(ft.y, np.float64),
-                             np.asarray(ft.val, np.int64)))
-        all_metrics.append(metrics)
+    if batched:
+        from ..ops.select import select_good_features_arrays
+        max_len = max(e - s for (s, e) in bounds)
+        stack = np.zeros((len(bounds), max_len) + np.shape(frames[0]),
+                         np.float32)
+        inits = np.zeros((len(bounds), n_features, 3), np.float64)
+        for k, (s, e) in enumerate(bounds):
+            chunk = frames[s:e]
+            stack[k, :len(chunk)] = np.asarray(chunk, np.float32)
+            stack[k, len(chunk):] = chunk[-1]  # pad: repeat last frame
+            inits[k] = select_good_features_arrays(chunk[0], n_features, cfg)
+        xs, ys, vs = track_chunks_batched(
+            stack, inits[..., 0], inits[..., 1],
+            inits[..., 2].astype(np.int64), cfg)
+        xs = np.asarray(xs, np.float64)
+        ys = np.asarray(ys, np.float64)
+        vs = np.asarray(vs, np.int64)
+        for k, (s, e) in enumerate(bounds):
+            ln = e - s
+            chunk_tables.append((s, e, xs[k, :ln], ys[k, :ln], vs[k, :ln]))
+            all_metrics.append([])
+    else:
+        # Track every chunk independently (parallel across hosts in
+        # deployment; serial here — the math is identical).
+        for (s, e) in bounds:
+            ft, metrics = track_sequence(frames[s:e], cfg=cfg,
+                                         n_features=n_features,
+                                         replace_lost=replace_lost)
+            chunk_tables.append((s, e, np.asarray(ft.x, np.float64),
+                                 np.asarray(ft.y, np.float64),
+                                 np.asarray(ft.val, np.int64)))
+            all_metrics.append(metrics)
 
     # Stitch identities left to right.
     next_gid = 0

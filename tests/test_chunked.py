@@ -68,6 +68,23 @@ def test_chunked_matches_sequential_for_full_tracks():
     assert n_matched >= 0.5 * full_seq.sum()
 
 
+def test_batched_matches_serial_chunked():
+    """Lockstep batched chunk tracking == per-chunk serial tracking
+    (same math, one vmapped call per frame step)."""
+    frames = _frames(n=7)
+    t_serial, _, _ = track_sequence_chunked(frames, n_features=25,
+                                            n_chunks=2, replace_lost=False)
+    t_batch, _, _ = track_sequence_chunked(frames, n_features=25,
+                                           n_chunks=2, batched=True)
+    assert t_serial["x"].shape == t_batch["x"].shape
+    np.testing.assert_array_equal(t_serial["val"], t_batch["val"])
+    live = t_serial["val"] >= 0
+    np.testing.assert_allclose(t_serial["x"][live], t_batch["x"][live],
+                               atol=1e-4)
+    np.testing.assert_allclose(t_serial["y"][live], t_batch["y"][live],
+                               atol=1e-4)
+
+
 def test_single_chunk_equals_sequential():
     frames = _frames(n=5)
     table, _, _ = track_sequence_chunked(frames, n_features=20, n_chunks=1)
