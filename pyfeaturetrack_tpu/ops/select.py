@@ -31,7 +31,7 @@ from ..errors import KLTWarning, verbose_print
 from ..features import KLT_NOT_FOUND, FeatureState
 from .convolve import compute_gradients, compute_smoothed_image, to_float_image
 
-_PRECISION = lax.Precision.HIGHEST
+from .convolve import _PRECISION  # shared precision mode (PFT_CONV_PRECISION)
 _EIG_LIMIT = float(2 ** 31 - 1)
 
 

@@ -92,3 +92,14 @@ def test_write_internal_images(pair, tmp_path, monkeypatch):
     for name in ("kltimg_sgfrlf.pgm", "kltimg_sgfrlf_gx.pgm",
                  "kltimg_sgfrlf_gy.pgm"):
         assert (tmp_path / name).exists(), name
+
+
+def test_multihost_helpers_single_process():
+    from pyfeaturetrack_tpu.parallel.multihost import (
+        allgather_boundary_states, host_chunk_assignment,
+        initialize_cluster)
+    info = initialize_cluster()
+    assert info["process_count"] == 1
+    assert host_chunk_assignment(5) == [0, 1, 2, 3, 4]
+    states = np.zeros((5, 4, 3), np.float32)
+    np.testing.assert_array_equal(allgather_boundary_states(states), states)
