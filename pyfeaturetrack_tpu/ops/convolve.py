@@ -28,19 +28,39 @@ from .kernels import compute_kernels
 
 
 def _precision_from_env():
-    """Conv precision mode. PFT_CONV_PRECISION=fast opts into the TPU's
-    native bf16 conv path for the image pipeline: measured 1.6x faster
-    pyramid builds at ~0.3% relative error on 0..255 images (tracks move
-    <0.1 px) — a serving-mode knob. Default is exact fp32 (HIGHEST),
-    which the oracle-parity guarantees assume."""
+    """Conv precision mode, read ONCE at import (set the env var before
+    importing, or call set_conv_precision). PFT_CONV_PRECISION=fast opts
+    into the TPU's native bf16 conv path for the image/pyramid pipeline:
+    measured 1.6x faster pyramid builds at ~0.3% relative error on 0..255
+    images (tracks move <0.1 px) — a serving-mode knob. Anything else is
+    exact fp32 (HIGHEST), which the oracle-parity guarantees assume.
+    Selection (ops/select.py) always stays exact."""
     import os
-    mode = os.environ.get("PFT_CONV_PRECISION", "highest").lower()
-    if mode in ("fast", "default", "bf16"):
+    mode = os.environ.get("PFT_CONV_PRECISION", "exact").lower()
+    if mode in ("fast", "bf16"):
         return lax.Precision.DEFAULT
+    if mode not in ("exact", "highest", ""):
+        from ..errors import KLTWarning
+        KLTWarning(
+            "PFT_CONV_PRECISION=%r not recognized (use 'fast' or 'exact'); "
+            "using exact", mode)
     return lax.Precision.HIGHEST
 
 
 _PRECISION = _precision_from_env()
+
+
+def set_conv_precision(mode: str) -> None:
+    """Switch the image-pipeline conv precision at runtime ('fast' or
+    'exact'). Only affects compilations AFTER the call — already-jitted
+    programs keep the precision they were traced with."""
+    global _PRECISION
+    if mode.lower() in ("fast", "bf16"):
+        _PRECISION = lax.Precision.DEFAULT
+    elif mode.lower() in ("exact", "highest"):
+        _PRECISION = lax.Precision.HIGHEST
+    else:
+        raise ValueError(f"unknown conv precision mode: {mode!r}")
 
 
 def _conv1d(img: jax.Array, kernel: np.ndarray, axis: int) -> jax.Array:

@@ -31,7 +31,11 @@ from ..errors import KLTWarning, verbose_print
 from ..features import KLT_NOT_FOUND, FeatureState
 from .convolve import compute_gradients, compute_smoothed_image, to_float_image
 
-from .convolve import _PRECISION  # shared precision mode (PFT_CONV_PRECISION)
+# Selection keeps EXACT fp32 window sums regardless of PFT_CONV_PRECISION:
+# the (gxx - gyy) cancellation in the min-eigenvalue formula amplifies
+# bf16 rounding and can reorder near-tie candidates, cascading through the
+# greedy mindist suppression.
+_PRECISION = lax.Precision.HIGHEST
 _EIG_LIMIT = float(2 ** 31 - 1)
 
 

@@ -29,18 +29,27 @@ import numpy as np
 
 def initialize_cluster(coordinator_address: str | None = None,
                        num_processes: int | None = None,
-                       process_id: int | None = None) -> dict:
-    """Bring up JAX multi-controller mode (no-op on a single process).
+                       process_id: int | None = None,
+                       auto: bool = True) -> dict:
+    """Bring up JAX multi-controller mode.
 
-    On TPU pods the arguments are auto-detected from the environment;
-    pass them explicitly for CPU/GPU clusters. Returns a summary dict.
+    With explicit arguments they are passed straight to
+    ``jax.distributed.initialize``. With no arguments and ``auto=True``,
+    auto-detection is ATTEMPTED (TPU pods / SLURM populate the needed
+    environment); single-process runs where detection finds no cluster
+    fall through cleanly. Returns a summary dict.
     """
-    if num_processes is not None and num_processes > 1 or \
-            coordinator_address is not None:
+    if (coordinator_address is not None or num_processes is not None
+            or process_id is not None):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
+    elif auto:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # no cluster detected: single-process mode
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
@@ -59,16 +68,41 @@ def host_chunk_assignment(n_chunks: int) -> list[int]:
     return list(range(start, start + count))
 
 
-def allgather_boundary_states(local_states: np.ndarray):
+def allgather_boundary_states(local_states: np.ndarray,
+                              n_chunks: int | None = None):
     """All-gather per-chunk boundary feature arrays across hosts.
 
-    ``local_states``: [n_local_chunks, N, 3] float32. Returns the
-    concatenated [n_chunks_total, N, 3] array on every host (chunk order
-    follows host_chunk_assignment's contiguous partition).
+    ``local_states``: [n_local_chunks, N, 3] float32 (this host's chunks,
+    in host_chunk_assignment order); ``n_chunks``: global chunk count
+    (defaults to this host's count x process_count, which is only correct
+    for even partitions). Returns the concatenated [n_chunks, N, 3] array
+    on every host.
+
+    Uneven partitions are handled by padding every host's contribution to
+    the per-host maximum (derivable locally from ``n_chunks`` — the block
+    partition is deterministic), gathering even-shaped tiles, then
+    dropping the pad rows.
     """
-    if jax.process_count() == 1:
-        return np.asarray(local_states)
+    local_states = np.asarray(local_states)
+    n = jax.process_count()
+    if n == 1:
+        return local_states
+    if n_chunks is None:
+        n_chunks = local_states.shape[0] * n
     from jax.experimental import multihost_utils
-    return np.asarray(
-        multihost_utils.process_allgather(np.asarray(local_states),
-                                          tiled=True))
+
+    per_max = -(-n_chunks // n)  # ceil: the largest per-host count
+    pad = per_max - local_states.shape[0]
+    if pad:
+        local_states = np.concatenate(
+            [local_states,
+             np.zeros((pad,) + local_states.shape[1:],
+                      local_states.dtype)], axis=0)
+    gathered = np.asarray(multihost_utils.process_allgather(
+        local_states, tiled=True)).reshape(
+            (n, per_max) + local_states.shape[1:])
+    # reassemble, dropping each host's pad rows (counts are deterministic)
+    per = n_chunks // n
+    extra = n_chunks % n
+    parts = [gathered[p, :per + (1 if p < extra else 0)] for p in range(n)]
+    return np.concatenate(parts, axis=0)
