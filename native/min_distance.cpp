@@ -28,7 +28,8 @@ int64_t pft_enforce_min_distance(
     uint8_t* featuremap /* nrows*ncols workspace, caller-zeroed */) {
   const double kNotFound = -1.0;  // KLT_NOT_FOUND
   mindist -= 1;                   // reference decrements before use
-  if (mindist < 0) mindist = 0;
+  // NOTE: mindist may go negative (cfg.mindist == 0); fill_map's ranges
+  // are then empty, marking nothing — matching the Python/oracle path.
 
   auto fill_map = [&](int64_t x, int64_t y) {
     int64_t y0 = y - mindist, y1 = y + mindist;

@@ -39,13 +39,18 @@ STATUS_NAMES = {
 class AffineState(NamedTuple):
     """Per-feature first-frame template + warp for the consistency check.
 
-    Reference parity: klt.py -> KLT_Feature aff_* fields. ``tmpl_size`` is
-    affine_window + 2 (the reference adds a 2-pixel interpolation border).
+    Reference parity: klt.py -> KLT_Feature aff_* fields. Templates are
+    exactly affine_window-sized: they are captured by bilinear sampling
+    centered on the feature, so the grid is feature-aligned and no
+    interpolation border or stored subpixel offset is needed (the
+    reference keeps a border because it copies integer-aligned
+    sub-images). ``x``/``y`` record the capture anchor position — kept as
+    metadata mirroring aff_x/aff_y; the matching math does not read them.
     """
     img: jax.Array        # [N, T, T] template intensities
     gradx: jax.Array      # [N, T, T]
     grady: jax.Array      # [N, T, T]
-    x: jax.Array          # [N] subpixel position within template
+    x: jax.Array          # [N] capture anchor (frame-1 position)
     y: jax.Array          # [N]
     A: jax.Array          # [N, 2, 2] warp, rows [[Axx, Axy], [Ayx, Ayy]]
     valid: jax.Array      # [N] bool — template captured (aff_img != NULL)
@@ -64,7 +69,7 @@ class FeatureState(NamedTuple):
 
 
 def create_feature_list(n_features: int, with_affine: bool = False,
-                        tmpl_size: int = 17) -> FeatureState:
+                        tmpl_size: int = 15) -> FeatureState:
     """All slots empty (val = KLT_NOT_FOUND).
 
     Reference parity: klt.py -> KLTCreateFeatureList.

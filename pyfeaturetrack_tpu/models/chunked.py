@@ -198,7 +198,8 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
 
     # Stitch identities left to right.
     next_gid = 0
-    col_ids = []  # per chunk: global id of each feature column
+    col_ids = []       # per chunk: global id of each feature column
+    col_matched = []   # per chunk: column continues a previous-chunk track
     for k, (s, e, x, y, v) in enumerate(chunk_tables):
         ids = np.full(n_features, -1, np.int64)
         if k > 0:
@@ -214,6 +215,7 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
             matched = _stitch_ids(prev_xy, prev_ids[live_mask], nxt_xy,
                                   stitch_tol)
             ids[np.nonzero(cur_live)[0]] = matched
+        col_matched.append(ids >= 0)
         # assign fresh global ids to unmatched live columns
         for j in range(n_features):
             ever_live = (v[:, j] >= 0).any()
@@ -228,11 +230,14 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
     gv = np.full((n_frames, next_gid), -1, np.int64)
     for k, (s, e, x, y, v) in enumerate(chunk_tables):
         ids = col_ids[k]
-        lo = 1 if k > 0 else 0  # boundary frame owned by the left chunk
         for j in range(n_features):
             gid = ids[j]
             if gid < 0:
                 continue
+            # the boundary frame belongs to the LEFT chunk for continued
+            # tracks; fresh tracks born at this chunk's first frame keep
+            # their first observation (the sequential run records it too)
+            lo = 1 if (k > 0 and col_matched[k][j]) else 0
             rows = np.arange(s + lo, e)
             lrows = np.arange(lo, e - s)
             gx[rows, gid] = x[lrows, j]

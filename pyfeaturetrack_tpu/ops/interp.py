@@ -55,6 +55,27 @@ def gather_window(img: jax.Array, x: jax.Array, y: jax.Array,
     return bilinear(img, xs, ys)
 
 
+def patch_indices(img_shape, x: jax.Array, y: jax.Array, hw: int, hh: int):
+    """Shared index computation for patch gathers: returns
+    (rows [N,h+1,1], cols [N,1,w+1], ax [N], ay [N]) for the integer
+    (h+1)x(w+1) patch whose top-left is floor(x)-hw / floor(y)-hh.
+
+    Clamped so the whole patch is in-bounds (parity: active lanes are
+    bounds-checked upstream, clamping only protects masked lanes)."""
+    hsz, wsz = img_shape[-2], img_shape[-1]
+    xt = jnp.floor(x).astype(jnp.int32)
+    yt = jnp.floor(y).astype(jnp.int32)
+    ax = x - xt
+    ay = y - yt
+    x0 = jnp.clip(xt - hw, 0, wsz - 2 - 2 * hw)
+    y0 = jnp.clip(yt - hh, 0, hsz - 2 - 2 * hh)
+    rows = y0[:, None, None] + jnp.arange(2 * hh + 2,
+                                          dtype=jnp.int32)[None, :, None]
+    cols = x0[:, None, None] + jnp.arange(2 * hw + 2,
+                                          dtype=jnp.int32)[None, None, :]
+    return rows, cols, ax, ay
+
+
 def gather_patch(img: jax.Array, x: jax.Array, y: jax.Array,
                  hw: int, hh: int) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Integer patch [N, h+1, w+1] whose top-left is floor(x)-hw/floor(y)-hh,
@@ -66,17 +87,7 @@ def gather_patch(img: jax.Array, x: jax.Array, y: jax.Array,
     window is reconstructed by blending four shifted views of the patch
     (see window_from_patch). Values are identical to gather_window.
     """
-    hsz, wsz = img.shape[-2], img.shape[-1]
-    xt = jnp.floor(x).astype(jnp.int32)
-    yt = jnp.floor(y).astype(jnp.int32)
-    ax = x - xt
-    ay = y - yt
-    # clamp so the whole patch is in-bounds (parity: active lanes are
-    # bounds-checked upstream, clamping only protects masked lanes)
-    x0 = jnp.clip(xt - hw, 0, wsz - 2 - 2 * hw)
-    y0 = jnp.clip(yt - hh, 0, hsz - 2 - 2 * hh)
-    rows = y0[:, None, None] + jnp.arange(2 * hh + 2, dtype=jnp.int32)[None, :, None]
-    cols = x0[:, None, None] + jnp.arange(2 * hw + 2, dtype=jnp.int32)[None, None, :]
+    rows, cols, ax, ay = patch_indices(img.shape, x, y, hw, hh)
     return img[rows, cols], ax, ay
 
 

@@ -36,7 +36,11 @@ from .convolve import compute_gradients, compute_smoothed_image, to_float_image
 # bf16 rounding and can reorder near-tie candidates, cascading through the
 # greedy mindist suppression.
 _PRECISION = lax.Precision.HIGHEST
-_EIG_LIMIT = float(2 ** 31 - 1)
+# Largest float32 strictly below 2^31: clipping to float(2^31-1) would
+# round UP to 2^31 and the float->int32 cast would overflow (undefined in
+# XLA, typically INT32_MIN) instead of saturating like the reference's
+# int clamp. 2147483520 = 2^31 - 128 is exactly representable.
+_EIG_LIMIT = 2147483520.0
 
 
 def _window_sum(img: jax.Array, window_height: int, window_width: int) -> jax.Array:

@@ -32,7 +32,8 @@ from jax import lax
 from ..features import (KLT_LARGE_RESIDUE, KLT_MAX_ITERATIONS, KLT_OOB,
                         KLT_SMALL_DET, KLT_TRACKED)
 from .convolve import compute_smoothed_image, to_float_image
-from .interp import gather_patch, gather_window, window_from_patch
+from .interp import (gather_patch, gather_window, patch_indices,
+                     window_from_patch)
 from .pyramid import compute_gradient_pyramids, compute_pyramid
 
 _ONE_PLUS_EPS = 1.001
@@ -81,17 +82,8 @@ def _gather3(imga, imgb, imgc, x, y, hw: int, hh: int):
     """Three bilinear windows at the SAME per-feature positions, sharing
     one set of patch indices (one index computation, three patch reads,
     shared fractional blend). Values equal three gather_window calls."""
-    pa, ax, ay = gather_patch(imga, x, y, hw, hh)
-    hsz, wsz = imga.shape[-2], imga.shape[-1]
-    xt = jnp.floor(x).astype(jnp.int32)
-    yt = jnp.floor(y).astype(jnp.int32)
-    x0 = jnp.clip(xt - hw, 0, wsz - 2 - 2 * hw)
-    y0 = jnp.clip(yt - hh, 0, hsz - 2 - 2 * hh)
-    rows = y0[:, None, None] + jnp.arange(2 * hh + 2,
-                                          dtype=jnp.int32)[None, :, None]
-    cols = x0[:, None, None] + jnp.arange(2 * hw + 2,
-                                          dtype=jnp.int32)[None, None, :]
-    return (window_from_patch(pa, ax, ay),
+    rows, cols, ax, ay = patch_indices(imga.shape, x, y, hw, hh)
+    return (window_from_patch(imga[rows, cols], ax, ay),
             window_from_patch(imgb[rows, cols], ax, ay),
             window_from_patch(imgc[rows, cols], ax, ay))
 
@@ -256,7 +248,11 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
 
     for r in range(n_levels - 1, -1, -1):
         xloc, yloc = xloc * s, yloc * s
-        xout, yout = xout * s, yout * s
+        # Lanes broken at a coarser level keep their break-level coords:
+        # the reference breaks its level loop and runs the final border
+        # check on the un-rescaled position (oracle track_features).
+        xout = jnp.where(broken, xout, xout * s)
+        yout = jnp.where(broken, yout, yout * s)
         active = live & ~broken
         with jax.named_scope(f"pft.lk_level_{r}"):
             nx, ny, lvl_status, _ = track_feature_level(

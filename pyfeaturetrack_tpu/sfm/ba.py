@@ -233,9 +233,9 @@ def bundle_adjust(problem: BAProblem, R0, t0, X0, n_iters: int = 10,
             R, t, X, cost = _gn_step_dense(
                 problem.K, R, t, X, problem.cam_idx, problem.pt_idx,
                 problem.uv, problem.w, jnp.float32(damping),
-                n_cameras, n_points, fix_first)
-            costs.append(float(cost))
-        return R, t, X, costs
+                n_cameras, n_points, fix_first, huber_delta)
+            costs.append(cost)  # device array — no per-iteration sync
+        return R, t, X, jnp.stack(costs)
 
     n_dev = mesh.devices.size
     assert n_points % n_dev == 0, "pad landmarks to a multiple of devices"

@@ -96,11 +96,28 @@ def test_status_oob(pair):
 
 
 def test_status_small_det():
-    """Flat image -> zero gradients -> KLT_SMALL_DET."""
-    cfg = pft.create_config()
+    """Flat image -> zero gradients -> KLT_SMALL_DET (single-level config
+    so the break-level coordinates face the border check unscaled)."""
+    cfg = pft.create_config(search_range=2)  # 1 pyramid level
+    assert cfg.nPyramidLevels == 1
     img = np.full((96, 128), 100.0)
     x, y, v = _track_single(cfg, img, img, 60.0, 48.0)
     assert v == pft.KLT_SMALL_DET
+    assert (x, y) == (-1.0, -1.0)
+
+
+def test_status_small_det_coarse_break_is_oob():
+    """Reference quirk, preserved: a SMALL_DET break at a coarse level
+    leaves the position at that level's scale, and the final border check
+    runs on it UN-rescaled — so near-border coarse breaks report OOB.
+    The oracle is the spec; both paths must agree."""
+    cfg = pft.create_config()  # 2 levels, subsampling 4, border 24
+    img = np.full((96, 128), 100.0)
+    feats = np.array([[60.0, 48.0, 100.0]])
+    want, _ = oracle.track_features(img, img, feats, cfg)
+    assert want[0, 2] == pft.KLT_OOB  # coarse coords (15, 12) < border
+    x, y, v = _track_single(cfg, img, img, 60.0, 48.0)
+    assert v == int(want[0, 2])
     assert (x, y) == (-1.0, -1.0)
 
 
