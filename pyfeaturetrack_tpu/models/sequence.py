@@ -87,6 +87,63 @@ class SequenceTracker:
         return self.fl
 
 
+class KeyframeTracker(SequenceTracker):
+    """Drift-bounded tracking: every frame is tracked against the last
+    KEYFRAME instead of the previous frame, so interpolation drift does
+    not accumulate frame-to-frame. A new keyframe is declared when fewer
+    than ``min_survivors`` features survive, or every
+    ``keyframe_interval`` frames; lost features are replaced at each new
+    keyframe.
+
+    Beyond the reference (whose sequentialMode is strictly
+    frame-to-frame); built on the same primitives — the keyframe's
+    pyramids are simply held as ``pyramid_last``.
+    """
+
+    def __init__(self, cfg=None, n_features: int = 150,
+                 keyframe_interval: int = 8, min_survivors: int | None = None):
+        super().__init__(cfg, n_features=n_features, replace_lost=False)
+        self.keyframe_interval = keyframe_interval
+        self.min_survivors = (min_survivors if min_survivors is not None
+                              else max(1, n_features // 2))
+        self._since_key = 0
+        self._key_fl: Optional[FeatureState] = None
+
+    def start(self, frame) -> FeatureState:
+        fl = super().start(frame)
+        self._key_fl = fl
+        self._since_key = 0
+        return fl
+
+    def step(self, frame) -> FeatureState:
+        if self.fl is None:
+            return self.start(frame)
+        frame = np.asarray(frame)
+        t0 = time.perf_counter()
+        from .tracker import KLTTrackFeatures
+        # track the KEYFRAME's feature list into the current frame, using
+        # the keyframe's cached pyramids (self._cache is pinned to it)
+        fl, _ = KLTTrackFeatures(self.cfg, self._prev, frame, self._key_fl,
+                                 pyramid_last=self._cache)
+        self.fl = fl
+        self._since_key += 1
+        n_live = int(np.asarray(fl.val >= 0).sum())
+        if (n_live < self.min_survivors
+                or self._since_key >= self.keyframe_interval):
+            # re-keyframe on the current frame: keep survivors' tracked
+            # positions, refill lost slots, rebuild the pyramid cache
+            fl = replace_lost_features(frame, fl, self.cfg)
+            self.fl = fl
+            self._key_fl = fl
+            self._cache = build_track_pyramids_jit(
+                jnp.asarray(frame, jnp.float32), self.cfg.validated_window())
+            self._prev = frame
+            self._since_key = 0
+        self.metrics.append(frame_metrics(self.fl,
+                                          time.perf_counter() - t0))
+        return self.fl
+
+
 def track_sequence(frames: Iterable[np.ndarray],
                    cfg: Optional[TrackerConfig] = None,
                    n_features: int = 150,

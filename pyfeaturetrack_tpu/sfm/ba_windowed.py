@@ -1,0 +1,266 @@
+"""Windowed (block-sparse) bundle adjustment.
+
+Tracks from the tracker are CONTIGUOUS camera ranges (a feature is
+observed from its first tracked frame until it is lost), so each
+landmark's cross blocks W_{c,l} are nonzero only for cameras in a short
+window [c0_l, c0_l + K). The dense formulation in sfm/ba.py materializes
+W as [L, C, 6, 3]; this module stores [L, K, 6, 3] and scatter-adds the
+Schur products into the reduced camera system — O(L*K^2) block work
+instead of O(L*C^2), the standard sparsity of sequential SfM, laid out
+as fixed-shape batched einsum + scatter (TPU-shaped, no CSR).
+
+Also fixes a semantic subtlety of the dense table path: a feature slot
+that is lost and later REFILLED by replace-lost holds two different
+physical landmarks; the windowed builder splits each column into maximal
+contiguous live runs, one landmark per run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.linalg import inv3x3
+from .ba import _damp, _reduce_and_solve
+from .geometry import skew, so3_exp
+from .triangulate import triangulate_dlt
+
+_PREC = lax.Precision.HIGHEST
+
+
+class WindowedBAProblem(NamedTuple):
+    """K-windowed observation set.
+
+    K: [3,3]; c0: [L] first camera of each landmark's window;
+    uv: [L, Kw, 2] pixels at camera c0[l]+k; w: [L, Kw] weights (0 pad).
+    """
+    K: jax.Array
+    c0: jax.Array
+    uv: jax.Array
+    w: jax.Array
+
+
+def windowed_from_feature_table(ft, min_track_len: int = 2,
+                                max_window: int | None = None):
+    """FeatureTable -> (WindowedBAProblem arrays, run metadata).
+
+    Each maximal contiguous live run of a feature column becomes one
+    landmark. Returns (c0 [L], uv [L,Kw,2], w [L,Kw], runs) where runs is
+    a list of (column, start_frame, length).
+    """
+    x = np.asarray(ft.x, np.float64)
+    y = np.asarray(ft.y, np.float64)
+    v = np.asarray(ft.val, np.int64)
+    live = (v >= 0) & (x >= 0)
+    n_frames, n_cols = live.shape
+
+    runs = []
+    for j in range(n_cols):
+        col = live[:, j]
+        i = 0
+        while i < n_frames:
+            if col[i]:
+                k = i
+                while k < n_frames and col[k]:
+                    k += 1
+                if k - i >= min_track_len:
+                    runs.append((j, i, k - i))
+                i = k
+            else:
+                i += 1
+    if not runs:
+        raise ValueError("no tracks of sufficient length")
+
+    kw = max(ln for (_, _, ln) in runs)
+    if max_window is not None:
+        kw = min(kw, max_window)
+    L = len(runs)
+    c0 = np.zeros((L,), np.int32)
+    uv = np.zeros((L, kw, 2), np.float32)
+    w = np.zeros((L, kw), np.float32)
+    for li, (j, s, ln) in enumerate(runs):
+        ln = min(ln, kw)
+        c0[li] = s
+        uv[li, :ln, 0] = x[s:s + ln, j]
+        uv[li, :ln, 1] = y[s:s + ln, j]
+        w[li, :ln] = 1.0
+    return c0, uv, w, runs
+
+
+def triangulate_windowed(K, Rs, ts, c0, uv, w):
+    """DLT-triangulate each windowed landmark from its own cameras."""
+    L, kw, _ = uv.shape
+    C = np.asarray(Rs).shape[0]
+    cidx = np.clip(np.asarray(c0)[:, None] + np.arange(kw)[None, :],
+                   0, C - 1)
+    uvs = np.zeros((L, C, 2), np.float32)
+    mask = np.zeros((L, C), bool)
+    wl = np.asarray(w) > 0
+    for li in range(L):
+        uvs[li, cidx[li][wl[li]]] = np.asarray(uv)[li][wl[li]]
+        mask[li, cidx[li][wl[li]]] = True
+    return triangulate_dlt(jnp.asarray(K, jnp.float32),
+                           jnp.asarray(Rs, jnp.float32),
+                           jnp.asarray(ts, jnp.float32),
+                           jnp.asarray(uvs), jnp.asarray(mask))
+
+
+@functools.partial(jax.jit, static_argnames=("n_cameras", "fix_first",
+                                             "huber_delta"))
+def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
+                      fix_first: bool = True, huber_delta=None):
+    """One GN/LM step with K-windowed cross blocks. Returns (R,t,X,cost)."""
+    L, kw, _ = uv.shape
+    cidx = jnp.clip(c0[:, None] + jnp.arange(kw, dtype=c0.dtype)[None, :],
+                    0, n_cameras - 1)                      # [L, Kw]
+
+    Rc = R[cidx]                                           # [L, Kw, 3, 3]
+    tc = t[cidx]
+    RX = jnp.einsum("lkij,lj->lki", Rc, X, precision=_PREC)
+    Y = RX + tc
+    z = Y[..., 2]
+    behind = z < 1e-4
+    zs = jnp.where(behind, 1.0, z)
+
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    u = fx * Y[..., 0] / zs + cx
+    v = fy * Y[..., 1] / zs + cy
+    r = jnp.stack([u, v], -1) - uv                         # [L, Kw, 2]
+
+    zero = jnp.zeros_like(z)
+    dpi = jnp.stack([
+        jnp.stack([fx / zs, zero, -fx * Y[..., 0] / (zs * zs)], -1),
+        jnp.stack([zero, fy / zs, -fy * Y[..., 1] / (zs * zs)], -1),
+    ], -2)                                                 # [L, Kw, 2, 3]
+
+    weight = (w * (~behind)).astype(r.dtype)
+    if huber_delta is not None:
+        rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+        weight = weight * jnp.sqrt(
+            jnp.minimum(1.0, float(huber_delta) / rn))
+    r = r * weight[..., None]
+    dpi = dpi * weight[..., None, None]
+
+    Jw = -jnp.einsum("lkij,lkjm->lkim", dpi, skew(RX), precision=_PREC)
+    Jc = jnp.concatenate([Jw, dpi], axis=-1)               # [L, Kw, 2, 6]
+    Jp = jnp.einsum("lkij,lkjm->lkim", dpi, Rc, precision=_PREC)
+    cost = jnp.sum(r * r)
+
+    U = jnp.zeros((n_cameras, 6, 6), r.dtype).at[cidx].add(
+        jnp.einsum("lkri,lkrj->lkij", Jc, Jc, precision=_PREC))
+    V = jnp.sum(jnp.einsum("lkri,lkrj->lkij", Jp, Jp, precision=_PREC),
+                axis=1)                                    # [L, 3, 3]
+    W = jnp.einsum("lkri,lkrj->lkij", Jc, Jp, precision=_PREC)  # [L,Kw,6,3]
+    b_c = jnp.zeros((n_cameras, 6), r.dtype).at[cidx].add(
+        -jnp.einsum("lkri,lkr->lki", Jc, r, precision=_PREC))
+    b_p = -jnp.sum(jnp.einsum("lkri,lkr->lki", Jp, r, precision=_PREC),
+                   axis=1)                                 # [L, 3]
+
+    V = _damp(V, damping)
+    V_inv, _ = inv3x3(V)
+
+    T1 = jnp.einsum("lkij,ljm->lkim", W, V_inv, precision=_PREC)
+    S_blocks = jnp.einsum("lkim,lbnm->lkbin", T1, W, precision=_PREC)
+    # scatter block (l, k, b) into S[c0+k, :, c0+b, :]; advanced-index
+    # dims come first, so values align as [L, Kw, Kw, 6, 6]
+    S_red = jnp.zeros((n_cameras, 6, n_cameras, 6), r.dtype).at[
+        cidx[:, :, None], :, cidx[:, None, :], :].add(S_blocks)
+    b_red = jnp.zeros((n_cameras, 6), r.dtype).at[cidx].add(
+        jnp.einsum("lkim,lm->lki", T1, b_p, precision=_PREC))
+
+    dx_c = _reduce_and_solve(U, b_c, S_red, b_red, damping, fix_first)
+
+    dxc_g = dx_c[cidx]                                     # [L, Kw, 6]
+    rhs_p = b_p - jnp.einsum("lkij,lki->lj", W, dxc_g, precision=_PREC)
+    dx_p = jnp.einsum("ljk,lk->lj", V_inv, rhs_p, precision=_PREC)
+
+    R_new = jnp.matmul(so3_exp(dx_c[:, :3]), R, precision=_PREC)
+    t_new = t + dx_c[:, 3:]
+    return R_new, t_new, X + dx_p, cost
+
+
+@functools.partial(jax.jit, static_argnames=("n_cameras",))
+def _points_only_step(K, R, t, X, c0, uv, w, damping, n_cameras: int):
+    """Refine landmarks with cameras FROZEN (each landmark is an
+    independent damped 3x3 solve) — the standard warm start when initial
+    triangulation is weak (short baselines + noisy poses)."""
+    L, kw, _ = uv.shape
+    cidx = jnp.clip(c0[:, None] + jnp.arange(kw, dtype=c0.dtype)[None, :],
+                    0, n_cameras - 1)
+    Rc = R[cidx]
+    tc = t[cidx]
+    RX = jnp.einsum("lkij,lj->lki", Rc, X, precision=_PREC)
+    Y = RX + tc
+    z = Y[..., 2]
+    behind = z < 1e-4
+    zs = jnp.where(behind, 1.0, z)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    r = jnp.stack([fx * Y[..., 0] / zs + cx, fy * Y[..., 1] / zs + cy],
+                  -1) - uv
+    zero = jnp.zeros_like(z)
+    dpi = jnp.stack([
+        jnp.stack([fx / zs, zero, -fx * Y[..., 0] / (zs * zs)], -1),
+        jnp.stack([zero, fy / zs, -fy * Y[..., 1] / (zs * zs)], -1),
+    ], -2)
+    weight = (w * (~behind)).astype(r.dtype)
+    r = r * weight[..., None]
+    dpi = dpi * weight[..., None, None]
+    Jp = jnp.einsum("lkij,lkjm->lkim", dpi, Rc, precision=_PREC)
+    V = jnp.sum(jnp.einsum("lkri,lkrj->lkij", Jp, Jp, precision=_PREC), 1)
+    b_p = -jnp.sum(jnp.einsum("lkri,lkr->lki", Jp, r, precision=_PREC), 1)
+    V_inv, _ = inv3x3(_damp(V, damping))
+    return X + jnp.einsum("ljk,lk->lj", V_inv, b_p, precision=_PREC)
+
+
+def gate_windowed(problem: WindowedBAProblem, R0, t0, X0,
+                  max_reproj_error: float) -> WindowedBAProblem:
+    """Zero the weights of observations whose INITIAL reprojection error
+    exceeds the threshold (outlier tracks / bad triangulations)."""
+    n_cameras = int(np.asarray(R0).shape[0])
+    c0 = jnp.asarray(problem.c0)
+    kw = problem.uv.shape[1]
+    cidx = jnp.clip(c0[:, None] + jnp.arange(kw, dtype=c0.dtype)[None, :],
+                    0, n_cameras - 1)
+    R = jnp.asarray(R0, jnp.float32)
+    t = jnp.asarray(t0, jnp.float32)
+    Y = jnp.einsum("lkij,lj->lki", R[cidx], jnp.asarray(X0, jnp.float32),
+                   precision=_PREC) + t[cidx]
+    zs = jnp.maximum(Y[..., 2], 1e-4)
+    K = problem.K
+    u = K[0, 0] * Y[..., 0] / zs + K[0, 2]
+    v = K[1, 1] * Y[..., 1] / zs + K[1, 2]
+    err = jnp.sqrt((u - problem.uv[..., 0]) ** 2 +
+                   (v - problem.uv[..., 1]) ** 2)
+    ok = (err <= max_reproj_error) & (Y[..., 2] > 0)
+    return problem._replace(w=problem.w * ok.astype(problem.w.dtype))
+
+
+def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
+                           n_iters: int = 10, damping: float = 1e-3,
+                           fix_first: bool = True,
+                           huber_delta: float | None = None,
+                           point_only_iters: int = 2):
+    """Run GN/LM with K-windowed sparsity. Returns (R, t, X, costs) with
+    costs a device array. ``point_only_iters`` camera-frozen landmark
+    refinements run first (cheap, stabilizes weak triangulations)."""
+    n_cameras = int(np.asarray(R0).shape[0])
+    R = jnp.asarray(R0, jnp.float32)
+    t = jnp.asarray(t0, jnp.float32)
+    X = jnp.asarray(X0, jnp.float32)
+    for _ in range(point_only_iters):
+        X = _points_only_step(problem.K, R, t, X, problem.c0, problem.uv,
+                              problem.w, jnp.float32(damping), n_cameras)
+    costs = []
+    for _ in range(n_iters):
+        R, t, X, cost = _gn_step_windowed(
+            problem.K, R, t, X, problem.c0, problem.uv, problem.w,
+            jnp.float32(damping), n_cameras, fix_first, huber_delta)
+        costs.append(cost)
+    return R, t, X, jnp.stack(costs)

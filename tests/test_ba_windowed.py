@@ -1,0 +1,162 @@
+"""Windowed (block-sparse) BA == dense BA; run splitting; scale shape."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyfeaturetrack_tpu.features import FeatureTable
+from pyfeaturetrack_tpu.sfm import BAProblem, bundle_adjust
+from pyfeaturetrack_tpu.sfm.ba_windowed import (WindowedBAProblem,
+                                                bundle_adjust_windowed,
+                                                triangulate_windowed,
+                                                windowed_from_feature_table)
+from pyfeaturetrack_tpu.sfm.geometry import project, so3_exp
+
+K = np.array([[400.0, 0, 160], [0, 400.0, 120], [0, 0, 1]], np.float32)
+
+
+def _scene(n_cams=8, n_pts=40, seed=0):
+    r = np.random.default_rng(seed)
+    ws = 0.01 * r.standard_normal((n_cams, 3)).astype(np.float32)
+    ws[0] = 0
+    Rs = np.asarray(so3_exp(jnp.asarray(ws)))
+    ts = np.stack([[-0.25 * i, 0.01 * i, 0.0] for i in range(n_cams)]
+                  ).astype(np.float32)
+    X = np.stack([r.uniform(-2, 2, n_pts), r.uniform(-1.5, 1.5, n_pts),
+                  r.uniform(5, 9, n_pts)], -1).astype(np.float32)
+    return Rs.astype(np.float32), ts, X
+
+
+def _project_all(Rs, ts, X):
+    uv = np.zeros((Rs.shape[0], X.shape[0], 2), np.float32)
+    for c in range(Rs.shape[0]):
+        p, _ = project(jnp.asarray(K), jnp.asarray(Rs[c]), jnp.asarray(ts[c]),
+                       jnp.asarray(X))
+        uv[c] = np.asarray(p)
+    return uv
+
+
+def _perturb(Rs, ts, X, seed=3):
+    r = np.random.default_rng(seed)
+    dw = 0.008 * r.standard_normal((Rs.shape[0], 3)).astype(np.float32)
+    dw[0] = 0
+    R0 = (np.asarray(so3_exp(jnp.asarray(dw))) @ Rs).astype(np.float32)
+    t0 = ts + 0.01 * r.standard_normal(ts.shape).astype(np.float32)
+    t0[0] = ts[0]
+    X0 = X + 0.03 * r.standard_normal(X.shape).astype(np.float32)
+    return R0, t0, X0
+
+
+def test_windowed_equals_dense_full_tracks():
+    """When every landmark sees every camera (window == C), windowed and
+    dense BA are the same math; results must agree."""
+    Rs, ts, X = _scene()
+    C, L = Rs.shape[0], X.shape[0]
+    uv = _project_all(Rs, ts, X)
+    R0, t0, X0 = _perturb(Rs, ts, X)
+
+    cam = np.repeat(np.arange(C), L).astype(np.int32)
+    pt = np.tile(np.arange(L), C).astype(np.int32)
+    dense = BAProblem(jnp.asarray(K), jnp.asarray(cam), jnp.asarray(pt),
+                      jnp.asarray(uv.reshape(-1, 2)),
+                      jnp.ones((C * L,), jnp.float32))
+    Rd, td, Xd, cd = bundle_adjust(dense, R0, t0, X0, n_iters=5)
+
+    wproblem = WindowedBAProblem(
+        K=jnp.asarray(K),
+        c0=jnp.zeros((L,), jnp.int32),
+        uv=jnp.asarray(np.swapaxes(uv, 0, 1)),     # [L, C, 2]
+        w=jnp.ones((L, C), jnp.float32))
+    Rw, tw, Xw, cw = bundle_adjust_windowed(wproblem, R0, t0, X0, n_iters=5,
+                                            point_only_iters=0)
+
+    # identical math; differences are float32 accumulation order between
+    # the scatter-add and dense-einsum formulations
+    np.testing.assert_allclose(np.asarray(cw), np.asarray(cd), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(tw), np.asarray(td), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Xw), np.asarray(Xd), atol=5e-3)
+
+
+def test_windowed_staggered_tracks_converge():
+    """Landmarks visible only in camera sub-windows: BA still converges to
+    near-zero cost from a perturbed start."""
+    Rs, ts, X = _scene(n_cams=10, n_pts=60)
+    C, L = Rs.shape[0], X.shape[0]
+    uv_full = _project_all(Rs, ts, X)
+    rng = np.random.default_rng(7)
+    kw = 5
+    c0 = rng.integers(0, C - kw + 1, L).astype(np.int32)
+    uv = np.zeros((L, kw, 2), np.float32)
+    for li in range(L):
+        uv[li] = uv_full[c0[li]:c0[li] + kw, li]
+    problem = WindowedBAProblem(K=jnp.asarray(K), c0=jnp.asarray(c0),
+                                uv=jnp.asarray(uv),
+                                w=jnp.ones((L, kw), jnp.float32))
+    R0, t0, X0 = _perturb(Rs, ts, X)
+    R, t, Xh, costs = bundle_adjust_windowed(problem, R0, t0, X0, n_iters=10,
+                                             point_only_iters=0)
+    costs = np.asarray(costs)
+    assert costs[-1] < 1e-2 * costs[0]
+    np.testing.assert_allclose(np.asarray(Xh), X, atol=0.02)
+
+
+def test_windowed_builder_splits_refilled_runs():
+    """A feature slot lost then refilled holds two landmarks."""
+    F, N = 7, 3
+    x = np.full((F, N), -1.0, np.float32)
+    v = np.full((F, N), -1, np.int64)
+    # col 0: frames 0-2 then refilled 4-6; col 1: full; col 2: one frame
+    x[0:3, 0] = [10, 11, 12]
+    v[0:3, 0] = 0
+    x[4:7, 0] = [50, 51, 52]
+    v[4:7, 0] = 0
+    x[:, 1] = np.arange(F) + 20
+    v[:, 1] = 0
+    x[3, 2] = 99
+    v[3, 2] = 0
+    ft = FeatureTable(x=jnp.asarray(x), y=jnp.asarray(x),
+                      val=jnp.asarray(v, jnp.int32))
+    c0, uv, w, runs = windowed_from_feature_table(ft, min_track_len=2)
+    assert len(runs) == 3  # two runs of col 0 + col 1 (col 2 too short)
+    assert (0, 0, 3) in runs and (0, 4, 3) in runs and (1, 0, 7) in runs
+    assert uv.shape[1] == 7  # max run length
+    np.testing.assert_array_equal(c0, [r[1] for r in runs])
+
+
+def test_triangulate_windowed_recovers_points():
+    Rs, ts, X = _scene(n_cams=6, n_pts=20)
+    uv_full = _project_all(Rs, ts, X)
+    L = X.shape[0]
+    kw = 4
+    c0 = np.zeros((L,), np.int32)
+    c0[L // 2:] = 2
+    uv = np.zeros((L, kw, 2), np.float32)
+    for li in range(L):
+        uv[li] = uv_full[c0[li]:c0[li] + kw, li]
+    Xh = np.asarray(triangulate_windowed(K, Rs, ts, c0, uv,
+                                         np.ones((L, kw), np.float32)))
+    np.testing.assert_allclose(Xh, X, atol=5e-2)
+
+
+def test_point_only_warm_start_reduces_initial_cost():
+    """Camera-frozen landmark refinement before full BA lowers the entry
+    cost (the stabilizer for weakly-triangulated short tracks)."""
+    Rs, ts, X = _scene(n_cams=10, n_pts=60)
+    C, L = Rs.shape[0], X.shape[0]
+    uv_full = _project_all(Rs, ts, X)
+    rng = np.random.default_rng(7)
+    kw = 5
+    c0 = rng.integers(0, C - kw + 1, L).astype(np.int32)
+    uv = np.zeros((L, kw, 2), np.float32)
+    for li in range(L):
+        uv[li] = uv_full[c0[li]:c0[li] + kw, li]
+    problem = WindowedBAProblem(K=jnp.asarray(K), c0=jnp.asarray(c0),
+                                uv=jnp.asarray(uv),
+                                w=jnp.ones((L, kw), jnp.float32))
+    R0, t0, X0 = _perturb(Rs, ts, X)
+    _, _, _, c_cold = bundle_adjust_windowed(problem, R0, t0, X0,
+                                             n_iters=1, point_only_iters=0)
+    _, _, _, c_warm = bundle_adjust_windowed(problem, R0, t0, X0,
+                                             n_iters=1, point_only_iters=3)
+    assert float(np.asarray(c_warm)[0]) < float(np.asarray(c_cold)[0])

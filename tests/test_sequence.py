@@ -87,3 +87,23 @@ def test_store_extract_roundtrip():
     np.testing.assert_array_equal(np.asarray(fl.x), np.asarray(ft.x[1]))
     ft2 = pft.KLTStoreFeatureList(fl, ft, 2)
     np.testing.assert_array_equal(np.asarray(ft2.x[2]), np.asarray(ft.x[1]))
+
+
+def test_keyframe_tracker_bounds_drift():
+    """KeyframeTracker tracks every frame against the last keyframe and
+    re-keyframes on schedule, keeping the population alive."""
+    from pyfeaturetrack_tpu.models.sequence import KeyframeTracker
+    frames = _make_sequence(n_frames=7, dx=0.5, dy=-0.3)
+    kt = KeyframeTracker(n_features=30, keyframe_interval=4)
+    fl0 = kt.step(frames[0])
+    x0 = np.asarray(fl0.x).copy()
+    for i in range(1, 4):  # within one keyframe window
+        fl = kt.step(frames[i])
+        live = np.asarray(fl.val) == 0
+        assert live.sum() >= 15
+        disp = np.median(np.asarray(fl.x)[live] - x0[live])
+        assert abs(disp - 0.5 * i) < 0.15  # absolute flow vs keyframe
+    # crossing the interval re-keyframes and refills
+    for i in range(4, 7):
+        fl = kt.step(frames[i])
+    assert int((np.asarray(fl.val) >= 0).sum()) >= 25
