@@ -155,6 +155,40 @@ def bench_batched_streams(h=480, w=640, n_features=1000, batch=8,
     return n_iters * batch / (time.perf_counter() - t0)
 
 
+def bench_sfm_windowed(C=60, L=6000, kw=12, n_iters=8):
+    """Config 5b: windowed block-sparse BA iteration rate at production
+    scale (60 cameras x 6000 landmarks, 12-frame windows)."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.sfm import (WindowedBAProblem,
+                                        bundle_adjust_windowed)
+    from pyfeaturetrack_tpu.sfm.geometry import so3_exp, project
+
+    rng = np.random.default_rng(0)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    Rs = so3_exp(jnp.asarray(0.01 * rng.standard_normal((C, 3)), jnp.float32))
+    ts = jnp.asarray(np.stack([[-0.15 * i, 0.0, 0.0] for i in range(C)]),
+                     jnp.float32)
+    X = np.stack([rng.uniform(-4, 4, L), rng.uniform(-3, 3, L),
+                  rng.uniform(5, 12, L)], -1).astype(np.float32)
+    c0 = rng.integers(0, C - kw + 1, L).astype(np.int32)
+    cidx = c0[:, None] + np.arange(kw)[None, :]
+    uv, _ = jax.vmap(lambda ci, x: project(jnp.asarray(K), Rs[ci], ts[ci],
+                                           x))(jnp.asarray(cidx),
+                                               jnp.asarray(X))
+    problem = WindowedBAProblem(K=jnp.asarray(K), c0=jnp.asarray(c0),
+                                uv=uv, w=jnp.ones((L, kw), jnp.float32))
+    X0 = jnp.asarray(X + 0.05 * rng.standard_normal(X.shape
+                                                    ).astype(np.float32))
+    out = bundle_adjust_windowed(problem, Rs, ts, X0, n_iters=1)
+    jax.block_until_ready(out[:3])
+    t0 = time.perf_counter()
+    out = bundle_adjust_windowed(problem, Rs, ts, X0, n_iters=n_iters,
+                                 point_only_iters=0)
+    jax.block_until_ready(out[:3])
+    return n_iters / (time.perf_counter() - t0)
+
+
 def bench_sfm():
     """Config 5 core: BA iteration rate on a synthetic 20-cam/2000-pt
     problem (iterations/s)."""
@@ -239,6 +273,10 @@ def main():
         details["config5_ba_iters_per_s"] = round(ba_rate, 2)
         details["config5_ba_cost_drop"] = round(float(ba_drop), 6)
         log(f"config5 done: {ba_rate:.2f} iters/s")
+        details["config5b_windowed_ba_iters_per_s"] = round(
+            bench_sfm_windowed(), 2)
+        log(f"config5b done: "
+            f"{details['config5b_windowed_ba_iters_per_s']:.2f} iters/s")
         details["config1_two_frame_demo_s"] = round(bench_two_frame_demo(), 4)
         log(f"config1 done: {details['config1_two_frame_demo_s']} s")
         if args.scaling:
