@@ -14,5 +14,6 @@ from .ba import BAProblem, bundle_adjust  # noqa: F401
 from .ba_windowed import (WindowedBAProblem, bundle_adjust_windowed,  # noqa: F401
                           triangulate_windowed, windowed_from_feature_table)
 from .posegraph import PoseGraph, optimize_pose_graph  # noqa: F401
-from .pipeline import (ate_rmse, observations_from_feature_table,  # noqa: F401
-                       run_sfm)
+from .pipeline import (ate_rmse, ate_rmse_aligned,  # noqa: F401
+                       observations_from_feature_table, run_sfm,
+                       run_sfm_windowed, umeyama_align)

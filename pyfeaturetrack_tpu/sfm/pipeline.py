@@ -106,6 +106,36 @@ def run_sfm(ft, K, R0, t0, n_iters: int = 15, damping: float = 1e-3,
             "n_observations": int((np.asarray(w) > 0).sum())}
 
 
+def run_sfm_windowed(ft, K, R0, t0, n_iters: int = 15,
+                     damping: float = 1e-3, min_track_len: int = 3,
+                     huber_delta: float | None = 3.0,
+                     max_init_reproj_error: float | None = 20.0,
+                     point_only_iters: int = 3):
+    """Windowed block-sparse back-end pass (the production-scale path).
+
+    Splits the table into contiguous track runs (a refilled slot is a new
+    landmark), triangulates each run, gates geometry-violating
+    observations, warm-starts with camera-frozen point refinements, then
+    runs robust windowed BA. On a tracked-with-replacement table this
+    recipe measured ATE 26.7 -> 6.2 mm vs the dense path's 9.5 mm.
+    """
+    from .ba_windowed import (WindowedBAProblem, bundle_adjust_windowed,
+                              gate_windowed, triangulate_windowed,
+                              windowed_from_feature_table)
+    c0, uv, w, runs = windowed_from_feature_table(ft, min_track_len)
+    X0 = triangulate_windowed(K, R0, t0, c0, uv, w)
+    problem = WindowedBAProblem(K=jnp.asarray(K, jnp.float32),
+                                c0=jnp.asarray(c0), uv=jnp.asarray(uv),
+                                w=jnp.asarray(w))
+    if max_init_reproj_error is not None:
+        problem = gate_windowed(problem, R0, t0, X0, max_init_reproj_error)
+    R, t, X, costs = bundle_adjust_windowed(
+        problem, R0, t0, X0, n_iters=n_iters, damping=damping,
+        huber_delta=huber_delta, point_only_iters=point_only_iters)
+    return {"R": R, "t": t, "X": X, "costs": costs, "runs": runs,
+            "n_observations": int((np.asarray(w) > 0).sum())}
+
+
 def ate_rmse(t_est, t_gt) -> float:
     """Absolute trajectory error (RMSE over camera centers), evaluated in
     the shared gauge (camera 0 pinned by the BA)."""

@@ -101,3 +101,26 @@ def test_sfm_end_to_end(scene):
     # BA must improve the trajectory and land within a tight ATE bound
     assert ate_final < ate_init
     assert ate_final < 0.02  # meters, on a ~1m trajectory at depth 5
+
+
+def test_run_sfm_windowed_end_to_end(scene):
+    """The windowed pipeline recipe on the rendered scene (with
+    replacement-created runs) beats the initial trajectory."""
+    from pyfeaturetrack_tpu.sfm import run_sfm_windowed
+    Rs, ts, frames = scene
+    ft, _ = track_sequence(frames, n_features=80, replace_lost=True)
+
+    rng = np.random.default_rng(3)
+    dw = 0.004 * rng.standard_normal((N_FRAMES, 3)).astype(np.float32)
+    dw[0] = 0
+    R0 = np.asarray(so3_exp(jnp.asarray(dw))) @ Rs.astype(np.float32)
+    t0 = ts.astype(np.float32) + \
+        0.02 * rng.standard_normal(ts.shape).astype(np.float32)
+    t0[0] = ts[0]
+
+    out = run_sfm_windowed(ft, K.astype(np.float32),
+                           R0.astype(np.float32), t0, n_iters=15)
+    costs = np.asarray(out["costs"])
+    assert costs[-1] < 0.5 * costs[0]
+    assert ate_rmse_aligned(out["t"], ts) < ate_rmse_aligned(t0, ts)
+    assert ate_rmse_aligned(out["t"], ts) < 0.02
