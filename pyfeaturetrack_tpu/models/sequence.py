@@ -126,6 +126,11 @@ class KeyframeTracker(SequenceTracker):
         fl, _ = KLTTrackFeatures(self.cfg, self._prev, frame, self._key_fl,
                                  pyramid_last=self._cache)
         self.fl = fl
+        if fl.aff is not None:
+            # templates captured during this step anchor in the KEYFRAME;
+            # carry them back so later steps verify against them instead
+            # of re-capturing forever
+            self._key_fl = self._key_fl._replace(aff=fl.aff)
         self._since_key += 1
         n_live = int(np.asarray(fl.val >= 0).sum())
         if (n_live < self.min_survivors

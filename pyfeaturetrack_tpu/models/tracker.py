@@ -159,7 +159,11 @@ class Tracker:
         img1 = prev_img if prev_img is not None else self._prev_img
         if img1 is None:
             raise ValueError("track() before select(): no previous frame")
-        cache = self._cache if self.cfg.sequentialMode else None
+        # the cached pyramids belong to self._prev_img; an explicit
+        # prev_img overrides the carried frame, so the cache must not be
+        # used (it would silently track from a different image)
+        cache = (self._cache if self.cfg.sequentialMode
+                 and prev_img is None else None)
         fl, pyr2 = KLTTrackFeatures(self.cfg, img1, img, fl,
                                     pyramid_last=cache)
         if self.cfg.sequentialMode:

@@ -65,20 +65,33 @@ def windowed_from_feature_table(ft, min_track_len: int = 2,
         i = 0
         while i < n_frames:
             if col[i]:
-                k = i
-                while k < n_frames and col[k]:
+                k = i + 1
+                # A frame with val > 0 inside a live stretch is a FRESH
+                # selection (replace-lost refills store the eigenvalue at
+                # the refill frame; tracked frames store 0) — the slot now
+                # holds a different physical landmark, so split there.
+                while k < n_frames and col[k] and v[k, j] <= 0:
                     k += 1
                 if k - i >= min_track_len:
                     runs.append((j, i, k - i))
-                i = k
+                i = k  # k is end-of-table, a dead frame, or a re-selection
             else:
                 i += 1
     if not runs:
         raise ValueError("no tracks of sufficient length")
 
-    kw = max(ln for (_, _, ln) in runs)
     if max_window is not None:
-        kw = min(kw, max_window)
+        # split long runs into <= max_window segments (truncation would
+        # silently drop observations and desync the metadata)
+        split = []
+        for (j, st, ln) in runs:
+            off = 0
+            while ln - off >= min_track_len:
+                seg = min(max_window, ln - off)
+                split.append((j, st + off, seg))
+                off += seg
+        runs = split
+    kw = max(ln for (_, _, ln) in runs)
     L = len(runs)
     c0 = np.zeros((L,), np.int32)
     uv = np.zeros((L, kw, 2), np.float32)

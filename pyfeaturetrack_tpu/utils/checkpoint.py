@@ -37,18 +37,22 @@ def restore_checkpoint(path, template: Any = None) -> Any:
     if template is None:
         return ckpt.restore(path)
     target = jax.tree.map(np.asarray, template)
-    restored = ckpt.restore(path, item=target)
-    return jax.tree.map(lambda t, r: type(t) is np.ndarray and r or r,
-                        target, restored) if False else restored
+    return ckpt.restore(path, item=target)
 
 
 def sequence_state(tracker) -> dict:
-    """Snapshot a models.sequence.SequenceTracker for resume."""
-    import jax.numpy as jnp  # noqa: F401
+    """Snapshot a models.sequence.SequenceTracker for resume.
+
+    The per-frame metrics history is NOT checkpointed (host-side
+    observability only); ``n_frames_seen`` records how many frames the
+    tracker had processed."""
+    if tracker.fl is None or not hasattr(tracker, "_prev"):
+        raise ValueError(
+            "sequence_state: tracker has not processed any frame yet")
     state = {
         "fl": tracker.fl,
         "prev": np.asarray(tracker._prev),
-        "metrics": np.asarray(len(tracker.metrics)),
+        "n_frames_seen": np.asarray(len(tracker.metrics)),
     }
     if tracker._cache is not None:
         state["cache"] = tracker._cache
@@ -57,10 +61,12 @@ def sequence_state(tracker) -> dict:
 
 def resume_sequence(tracker, state: dict) -> None:
     """Restore a SequenceTracker from sequence_state output."""
-    from ..features import FeatureState
+    from ..features import AffineState, FeatureState
     fl = state["fl"]
     if isinstance(fl, dict):  # restored as raw pytree
         aff = fl.get("aff", None)
+        if isinstance(aff, dict):
+            aff = AffineState(**aff)
         fl = FeatureState(x=fl["x"], y=fl["y"], val=fl["val"], aff=aff)
     tracker.fl = fl
     tracker._prev = np.asarray(state["prev"])

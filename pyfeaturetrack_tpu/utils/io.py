@@ -33,7 +33,10 @@ BINHEADER_FT = b"KLTFT"
 # ---------------------------------------------------------------------------
 
 def _read_pnm_token(f) -> bytes:
-    """Read one whitespace-delimited token, skipping '#' comments."""
+    """Read one whitespace-delimited token, skipping '#' comments.
+
+    A '#' abutting a token ("24# comment") terminates the token (the
+    comment runs to end-of-line), per common netpbm parsing."""
     tok = b""
     while True:
         c = f.read(1)
@@ -43,6 +46,8 @@ def _read_pnm_token(f) -> bytes:
             raise KLTError("(pnm) unexpected end of file in header")
         if c == b"#":
             f.readline()
+            if tok:
+                return tok
             continue
         if c.isspace():
             if tok:
@@ -208,13 +213,15 @@ def write_feature_table(ft: FeatureTable, path, fmt: str | None = None) -> None:
     n_frames, n_features = x.shape
     path = Path(path)
     if fmt is None:
+        rec = np.empty((n_features, n_frames),
+                       dtype=[("x", "<f4"), ("y", "<f4"), ("v", "<i4")])
+        rec["x"] = x.T
+        rec["y"] = y.T
+        rec["v"] = v.T
         with open(path, "wb") as f:
             f.write(BINHEADER_FT)
             f.write(struct.pack("<ii", n_frames, n_features))
-            for j in range(n_features):
-                for i in range(n_frames):
-                    f.write(struct.pack("<ffi", float(x[i, j]),
-                                        float(y[i, j]), int(v[i, j])))
+            f.write(rec.tobytes())  # feature-major records, one shot
         return
     with open(path, "w") as f:
         f.write("\n")
@@ -243,16 +250,13 @@ def read_feature_table(path) -> FeatureTable:
         head = f.read(5)
         if head == BINHEADER_FT:
             n_frames, n_features = struct.unpack("<ii", f.read(8))
-            x = np.zeros((n_frames, n_features), np.float64)
-            y = np.zeros((n_frames, n_features), np.float64)
-            v = np.zeros((n_frames, n_features), np.int64)
-            for j in range(n_features):
-                for i in range(n_frames):
-                    xx, yy, vv = struct.unpack("<ffi", f.read(12))
-                    x[i, j], y[i, j], v[i, j] = xx, yy, vv
-            return FeatureTable(x=jnp.asarray(x, jnp.float32),
-                                y=jnp.asarray(y, jnp.float32),
-                                val=jnp.asarray(v, jnp.int32))
+            raw = f.read(n_frames * n_features * 12)
+            rec = np.frombuffer(
+                raw, dtype=[("x", "<f4"), ("y", "<f4"), ("v", "<i4")]
+            ).reshape(n_features, n_frames)
+            return FeatureTable(x=jnp.asarray(rec["x"].T),
+                                y=jnp.asarray(rec["y"].T),
+                                val=jnp.asarray(rec["v"].T, jnp.int32))
     text = path.read_text()
     m = re.search(r"nFrames\s*=\s*(\d+),\s*nFeatures\s*=\s*(\d+)", text)
     if not m:

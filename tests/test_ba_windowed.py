@@ -160,3 +160,36 @@ def test_point_only_warm_start_reduces_initial_cost():
     _, _, _, c_warm = bundle_adjust_windowed(problem, R0, t0, X0,
                                              n_iters=1, point_only_iters=3)
     assert float(np.asarray(c_warm)[0]) < float(np.asarray(c_cold)[0])
+
+
+def test_builder_splits_inplace_refill():
+    """Replace-lost refills with NO dead frame in between (the default
+    pipeline's shape: replacement runs before the table store) must still
+    split — the refill frame stores a positive selection value."""
+    F, N = 8, 1
+    x = np.zeros((F, N), np.float32)
+    v = np.zeros((F, N), np.int64)
+    x[:, 0] = np.arange(F) + 30
+    v[0, 0] = 5000   # initial selection eigenvalue
+    v[1:4, 0] = 0    # tracked
+    v[4, 0] = 4200   # lost & refilled at frame 4 (no dead gap)
+    v[5:, 0] = 0     # tracked again
+    ft = FeatureTable(x=jnp.asarray(x), y=jnp.asarray(x),
+                      val=jnp.asarray(v, jnp.int32))
+    c0, uv, w, runs = windowed_from_feature_table(ft, min_track_len=2)
+    assert runs == [(0, 0, 4), (0, 4, 4)]
+
+
+def test_builder_max_window_splits_not_truncates():
+    F, N = 12, 1
+    x = np.zeros((F, N), np.float32)
+    x[:, 0] = np.arange(F) + 30
+    v = np.zeros((F, N), np.int64)
+    v[0, 0] = 100
+    ft = FeatureTable(x=jnp.asarray(x), y=jnp.asarray(x),
+                      val=jnp.asarray(v, jnp.int32))
+    c0, uv, w, runs = windowed_from_feature_table(ft, min_track_len=2,
+                                                  max_window=5)
+    assert runs == [(0, 0, 5), (0, 5, 5), (0, 10, 2)]
+    # every observation kept across the segments
+    assert int((w > 0).sum()) == 12
