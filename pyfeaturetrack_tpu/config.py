@@ -174,10 +174,14 @@ def create_config(search_range: int = 15, **overrides) -> TrackerConfig:
     """Build a config with derived params resolved.
 
     Reference parity: klt.py -> KLTCreateTrackingContext (which calls
-    KLTChangeTCPyramid(15) then KLTUpdateTCBorder).
+    KLTChangeTCPyramid(15) then KLTUpdateTCBorder). Explicitly supplied
+    ``nPyramidLevels``/``subsampling`` overrides are honored — the
+    search-range derivation is skipped rather than silently clobbering
+    them (pass ``search_range`` alone to get the reference derivation).
     """
     cfg = TrackerConfig(**overrides)
-    cfg = change_pyramid(cfg, search_range)
+    if not ({"nPyramidLevels", "subsampling"} & overrides.keys()):
+        cfg = change_pyramid(cfg, search_range)
     return update_border(cfg)
 
 

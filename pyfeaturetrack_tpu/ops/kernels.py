@@ -68,6 +68,12 @@ def compute_kernels(sigma: float) -> tuple[np.ndarray, np.ndarray]:
             f"(compute_kernels) MAX_KERNEL_WIDTH {MAX_KERNEL_WIDTH} is too "
             f"small for a sigma of {sigma}"
         )
+    if gw <= 0 or dw <= 0:
+        # tiny sigma: every off-center derivative tap falls below the trim
+        # threshold (the center tap is exactly 0), leaving no kernel
+        raise KLTError(
+            f"(compute_kernels) sigma {sigma} too small: trimmed kernel "
+            f"widths are (gauss={gw}, deriv={dw})")
 
     gauss = gauss[(MAX_KERNEL_WIDTH - gw) // 2: (MAX_KERNEL_WIDTH - gw) // 2 + gw].copy()
     deriv = deriv[(MAX_KERNEL_WIDTH - dw) // 2: (MAX_KERNEL_WIDTH - dw) // 2 + dw].copy()

@@ -16,8 +16,11 @@ reference convolve.py -> _convolveSeparate.)
 
 Each 1-D conv is an unrolled static-tap shift-FMA over the VMEM block —
 pure VPU work, one HBM read of the level image and one write per output.
-Falls back to the XLA path when the level doesn't fit the VMEM budget
-(ops/track.py chooses per level).
+
+Dispatch: ops/track.build_track_pyramids uses this path when PFT_PALLAS=1
+(and the shapes fit the VMEM budgets); the default stays on the XLA path,
+whose fused grouped convolutions measure equal speed at 480x640 (see
+DESIGN.md section 3).
 """
 
 from __future__ import annotations
@@ -195,9 +198,11 @@ def _tiled_kernel(img_ref, *out_refs, smooth_k, grad_g, grad_d, pyr_k,
         out_refs[i_out][...] = out_slice(x)
         i_out += 1
 
-    r_g = grad_g.shape[0] // 2
-    gx = vzero(vconv_full(_hconv(x, grad_d), grad_g), r_g)
-    gy = vzero(vconv_full(_hconv(x, grad_g), grad_d), r_g)
+    # each output's vertical border radius is ITS vertical kernel's
+    # radius (gradx: gauss vertically; grady: deriv vertically — widths
+    # differ for some sigmas, e.g. 1.5 -> 9 vs 11)
+    gx = vzero(vconv_full(_hconv(x, grad_d), grad_g), grad_g.shape[0] // 2)
+    gy = vzero(vconv_full(_hconv(x, grad_g), grad_d), grad_d.shape[0] // 2)
     out_refs[i_out][...] = out_slice(gx)
     out_refs[i_out + 1][...] = out_slice(gy)
     i_out += 2
@@ -311,8 +316,25 @@ def build_track_pyramids_pallas(img: jax.Array, cfg):
     return TrackPyramids(img=tuple(imgs), gradx=tuple(gxs), grady=tuple(gys))
 
 
+def fits_vmem_tiled(shape: tuple[int, int], n_outputs: int) -> bool:
+    """The tiled kernel still keeps the whole (padded) input image in
+    VMEM (only the intermediates are slab-sized); bound the resident
+    input + per-tile output buffers."""
+    return (np.prod(shape) * 4 * (1 + n_outputs) * 1.5) < (14 * 1024 * 1024)
+
+
 def pallas_pyramids_available(img_shape, cfg) -> bool:
-    """True when the fused Pallas path is enabled (the tiled kernel
-    handles levels of any size, so this is just the enable switch)."""
-    del img_shape, cfg
-    return _enabled()
+    """True when the fused Pallas path is enabled AND every level fits
+    one of the two kernels' VMEM budgets."""
+    if not _enabled():
+        return False
+    h, w = img_shape
+    for level in range(cfg.nPyramidLevels):
+        with_smooth = level == 0
+        with_pyr = level < cfg.nPyramidLevels - 1
+        n_out = 2 + int(with_smooth) + int(with_pyr)
+        if not (fits_vmem((h, w), with_smooth, with_pyr)
+                or fits_vmem_tiled((h, w), n_out)):
+            return False
+        h, w = h // cfg.subsampling, w // cfg.subsampling
+    return True

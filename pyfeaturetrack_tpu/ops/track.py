@@ -58,6 +58,14 @@ def build_track_pyramids(img: jax.Array, cfg) -> TrackPyramids:
     prefer build_track_pyramids_jit — eager op-by-op dispatch of the conv
     chain is dramatically slower on the remote-compiled TPU backend.
     """
+    import os
+    if os.environ.get("PFT_PALLAS", "").lower() in ("1", "on", "force",
+                                                    "true"):
+        from .pallas_pyramid import (build_track_pyramids_pallas,
+                                     pallas_pyramids_available)
+        if pallas_pyramids_available(img.shape[-2:], cfg):
+            with jax.named_scope("pft.pyramid_build_pallas"):
+                return build_track_pyramids_pallas(img, cfg)
     with jax.named_scope("pft.pyramid_build"):
         fimg = compute_smoothed_image(to_float_image(img), cfg.smooth_sigma)
         pyr = compute_pyramid(fimg, cfg.subsampling, cfg.nPyramidLevels,

@@ -29,6 +29,9 @@ def overlay_features(img: np.ndarray, fl: FeatureState,
         cx, cy = int(x + 0.5), int(y + 0.5)
         y0, y1 = max(cy - mark_radius, 0), min(cy + mark_radius, nrows - 1)
         x0, x1 = max(cx - mark_radius, 0), min(cx + mark_radius, ncols - 1)
+        if y1 < y0 or x1 < x0:
+            continue  # mark entirely outside the image (negative coords
+            # would otherwise wrap the slice and paint a whole band)
         rgb[y0:y1 + 1, x0:x1 + 1] = (255, 0, 0)
     return rgb
 

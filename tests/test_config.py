@@ -70,3 +70,22 @@ def test_config_hashable_static():
     assert hash(c1) == hash(c2) and c1 == c2
     assert c1.replace(mindist=5) != c1
     assert c1.smooth_sigma == pytest.approx(0.7)
+
+
+def test_create_config_honors_explicit_pyramid_overrides():
+    import pyfeaturetrack_tpu as pft
+    cfg = pft.create_config(nPyramidLevels=3, subsampling=2)
+    assert (cfg.nPyramidLevels, cfg.subsampling) == (3, 2)
+    cfg = pft.create_config(nPyramidLevels=1)
+    assert cfg.nPyramidLevels == 1
+    # without explicit overrides the reference derivation still runs
+    cfg = pft.create_config()
+    assert (cfg.nPyramidLevels, cfg.subsampling) == (2, 4)
+
+
+def test_tiny_sigma_raises():
+    import pytest as _pytest
+    from pyfeaturetrack_tpu.errors import KLTError
+    from pyfeaturetrack_tpu.ops.kernels import compute_kernels
+    with _pytest.raises(KLTError, match="too small"):
+        compute_kernels(0.2)

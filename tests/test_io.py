@@ -98,3 +98,17 @@ def test_float_image_debug_dump(tmp_path):
     back = io.pgm_read(p)
     assert back.shape == (4, 6)
     assert back.max() == 255
+
+
+def test_overlay_skips_offscreen_marks():
+    img = np.zeros((50, 60))
+    arr = np.array([[10.0, -4.0, 5.0], [-5.0, 10.0, 5.0]])
+    rgb = viz.overlay_features(img, feature_state_from_numpy(arr))
+    assert (rgb == 0).all()  # nothing painted for offscreen features
+
+
+def test_pgm_comment_abutting_token(tmp_path):
+    p = tmp_path / "c.pgm"
+    p.write_bytes(b"P2\n3# trailing comment\n2\n255\n0 1 2 3 4 5\n")
+    img = io.pgm_read(p)
+    assert img.shape == (2, 3)
