@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     ap.add_argument("--affine", type=int, default=-1,
                     choices=[-1, 0, 1, 2],
                     help="affineConsistencyCheck mode")
+    ap.add_argument("--lighting-insensitive", action="store_true",
+                    help="gain/bias-normalized residuals in LK")
     ap.add_argument("--mindist", type=int, default=10)
     ap.add_argument("--window", type=int, default=7)
     ap.add_argument("--search-range", type=int, default=15)
@@ -58,6 +60,7 @@ def main(argv=None) -> int:
         window_width=args.window,
         window_height=args.window,
         affineConsistencyCheck=args.affine,
+        lighting_insensitive=args.lighting_insensitive,
         sequentialMode=True,
     )
 

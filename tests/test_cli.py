@@ -67,3 +67,11 @@ def test_track_size_mismatch_raises():
     b = np.zeros((64, 128))
     with pytest.raises(KLTError, match="size mismatch"):
         pft.KLTTrackFeatures(cfg, a, b, fl)
+
+
+def test_cli_lighting_flag(pgm_frames, tmp_path, capsys):
+    rc = main(pgm_frames[:3] + ["--features", "15", "--out", str(tmp_path),
+                                "--lighting-insensitive"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["live_last_frame"] >= 8
