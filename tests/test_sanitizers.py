@@ -50,9 +50,13 @@ def test_track_clean_under_debug_nans(pair):
     assert np.isfinite(np.asarray(nx)).all()
 
 
+@pytest.mark.filterwarnings(
+    "ignore:Some donated buffers were not usable")
 def test_donation_parity(pair):
     """Donating the input pyramid buffers must not change results
-    (SURVEY.md 5.2: donation/aliasing hazard check)."""
+    (SURVEY.md 5.2: donation/aliasing hazard check). The CPU backend
+    declines some donations — that warning is the expected situation
+    under test, not a defect."""
     cfg = pft.create_config()
 
     def step(p1, p2, x, y, val):
