@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--search-range", type=int, default=15)
     ap.add_argument("--chunks", type=int, default=1,
                     help=">1: chunk-parallel tracking with stitching")
+    ap.add_argument("--batched", action="store_true",
+                    help="with --chunks: advance all chunks in lockstep "
+                         "(one vmapped device call per frame step; "
+                         "implies no lost-feature replacement)")
     ap.add_argument("--overlays", action="store_true",
                     help="write per-frame PPM overlays")
     ap.add_argument("--verbose", action="store_true")
@@ -68,7 +72,8 @@ def main(argv=None) -> int:
         from .models.chunked import track_sequence_chunked
         table, _, metrics_per_chunk = track_sequence_chunked(
             frames, cfg=cfg, n_features=args.features,
-            n_chunks=args.chunks, replace_lost=not args.no_replace)
+            n_chunks=args.chunks, replace_lost=not args.no_replace,
+            batched=args.batched)
         np.savez(os.path.join(args.out, "tracks.npz"), **table)
         live_last = int((table["val"][-1] >= 0).sum())
         summary = {"frames": len(frames),

@@ -75,3 +75,12 @@ def test_cli_lighting_flag(pgm_frames, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["live_last_frame"] >= 8
+
+
+def test_cli_chunked_batched(pgm_frames, tmp_path, capsys):
+    rc = main(pgm_frames + ["--features", "20", "--out", str(tmp_path),
+                            "--chunks", "2", "--batched"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["chunks"] == 2
+    assert summary["live_last_frame"] >= 10
