@@ -181,3 +181,13 @@ def test_sequential_cache_equivalence(cfg, pair):
     b, _ = pft.KLTTrackFeatures(cfg, img1, img2, fl, pyramid_last=cache)
     np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
     np.testing.assert_array_equal(np.asarray(a.val), np.asarray(b.val))
+
+
+def test_track_all_dead_features_is_noop():
+    """An all-dead feature list passes through tracking unchanged."""
+    cfg = pft.create_config()
+    img = make_textured_image(96, 128, seed=2)
+    fl = pft.KLTCreateFeatureList(8)  # all KLT_NOT_FOUND
+    out, _ = pft.KLTTrackFeatures(cfg, img, img, fl)
+    np.testing.assert_array_equal(np.asarray(out.val), np.asarray(fl.val))
+    np.testing.assert_array_equal(np.asarray(out.x), np.asarray(fl.x))
