@@ -34,39 +34,43 @@ from .klt_oracle import (KLT_LARGE_RESIDUE, KLT_OOB, KLT_SMALL_DET,
 _ONE_PLUS_EPS = 1.001
 
 
+def _bilinear_grid(img, xs, ys):
+    """Vectorized 4-tap bilinear at float coord grids (same truncation
+    semantics as scalar interpolate)."""
+    xt = xs.astype(np.int64)
+    yt = ys.astype(np.int64)
+    ax, ay = xs - xt, ys - yt
+    return ((1 - ax) * (1 - ay) * img[yt, xt] +
+            ax * (1 - ay) * img[yt, xt + 1] +
+            (1 - ax) * ay * img[yt + 1, xt] +
+            ax * ay * img[yt + 1, xt + 1])
+
+
 def get_template(img, gradx, grady, x, y, width, height):
     """Bilinear template windows centered at (x, y)."""
     hw, hh = width // 2, height // 2
-    t = np.zeros((height, width))
-    tx = np.zeros((height, width))
-    ty = np.zeros((height, width))
-    for j in range(-hh, hh + 1):
-        for i in range(-hw, hw + 1):
-            t[j + hh, i + hw] = interpolate(x + i, y + j, img)
-            tx[j + hh, i + hw] = interpolate(x + i, y + j, gradx)
-            ty[j + hh, i + hw] = interpolate(x + i, y + j, grady)
-    return t, tx, ty
+    xs = x + np.arange(-hw, hw + 1, dtype=np.float64)[None, :]
+    ys = y + np.arange(-hh, hh + 1, dtype=np.float64)[:, None]
+    xs, ys = np.broadcast_arrays(xs + 0.0 * ys, ys + 0.0 * xs)
+    return (_bilinear_grid(img, xs, ys), _bilinear_grid(gradx, xs, ys),
+            _bilinear_grid(grady, xs, ys))
 
 
 def _warp_windows(img2, gx2, gy2, x, y, A, hw, hh):
     """Sample current frame + gradients at affine-warped window coords.
     Returns (I2w, gxw, gyw, oob)."""
     nrows, ncols = img2.shape
-    h, w = 2 * hh + 1, 2 * hw + 1
-    I2w = np.zeros((h, w))
-    gxw = np.zeros((h, w))
-    gyw = np.zeros((h, w))
-    for j in range(-hh, hh + 1):
-        for i in range(-hw, hw + 1):
-            xs = x + A[0, 0] * i + A[0, 1] * j
-            ys = y + A[1, 0] * i + A[1, 1] * j
-            if (xs < 0.0 or ncols - xs < _ONE_PLUS_EPS or
-                    ys < 0.0 or nrows - ys < _ONE_PLUS_EPS):
-                return I2w, gxw, gyw, True
-            I2w[j + hh, i + hw] = interpolate(xs, ys, img2)
-            gxw[j + hh, i + hw] = interpolate(xs, ys, gx2)
-            gyw[j + hh, i + hw] = interpolate(xs, ys, gy2)
-    return I2w, gxw, gyw, False
+    ii = np.arange(-hw, hw + 1, dtype=np.float64)[None, :]
+    jj = np.arange(-hh, hh + 1, dtype=np.float64)[:, None]
+    xs = x + A[0, 0] * ii + A[0, 1] * jj
+    ys = y + A[1, 0] * ii + A[1, 1] * jj
+    xs, ys = np.broadcast_arrays(xs, ys)
+    if ((xs < 0.0) | (ncols - xs < _ONE_PLUS_EPS) |
+            (ys < 0.0) | (nrows - ys < _ONE_PLUS_EPS)).any():
+        z = np.zeros_like(xs)
+        return z, z.copy(), z.copy(), True
+    return (_bilinear_grid(img2, xs, ys), _bilinear_grid(gx2, xs, ys),
+            _bilinear_grid(gy2, xs, ys), False)
 
 
 def _jacobian(gxw, gyw, hw, hh, mode):
