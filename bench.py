@@ -87,8 +87,7 @@ def bench_affine(h=480, w=640, n_features=1000):
     import jax
     import jax.numpy as jnp
     from pyfeaturetrack_tpu.config import create_config
-    from pyfeaturetrack_tpu.ops.affine import (_affine_track_batch,
-                                               make_affine_state)
+    from pyfeaturetrack_tpu.ops.affine import _affine_track_batch
     from pyfeaturetrack_tpu.ops.track import build_track_pyramids
 
     cfg = create_config(affineConsistencyCheck=2)

@@ -48,7 +48,6 @@ def main(argv=None) -> int:
 
     from .config import create_config
     from .errors import KLTSetVerbosity
-    from .features import count_remaining_features
     from .models.sequence import track_sequence
     from .utils.io import pgm_read, write_feature_table
     from .utils.viz import write_feature_list_to_ppm

@@ -32,8 +32,7 @@ from jax import lax
 from ..features import (KLT_LARGE_RESIDUE, KLT_MAX_ITERATIONS, KLT_OOB,
                         KLT_SMALL_DET, KLT_TRACKED)
 from .convolve import compute_smoothed_image, to_float_image
-from .interp import (gather_patch, gather_window, patch_indices,
-                     window_from_patch)
+from .interp import gather_patch, patch_indices, window_from_patch
 from .pyramid import compute_gradient_pyramids, compute_pyramid
 
 _ONE_PLUS_EPS = 1.001

@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 
 from .klt_oracle import (KLT_LARGE_RESIDUE, KLT_OOB, KLT_SMALL_DET,
-                         KLT_TRACKED, interpolate)
+                         KLT_TRACKED)
 
 _ONE_PLUS_EPS = 1.001
 

@@ -31,7 +31,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.linalg import inv3x3
-from .geometry import se3_apply, skew, so3_exp
+from .geometry import skew, so3_exp
 
 _PREC = lax.Precision.HIGHEST
 
