@@ -268,9 +268,11 @@ def main():
         agg = bench_batched_streams()
         details["batched8_streams_aggregate_fps"] = round(agg, 2)
         log(f"batched8 done: {agg:.1f} aggregate fps")
-        ba_rate, ba_drop = bench_sfm()
+        ba_rate, ba_ratio = bench_sfm()
         details["config5_ba_iters_per_s"] = round(ba_rate, 2)
-        details["config5_ba_cost_drop"] = round(float(ba_drop), 6)
+        # final/initial cost: ~0 means excellent convergence, 1 means none
+        details["config5_ba_final_over_initial_cost"] = round(
+            float(ba_ratio), 6)
         log(f"config5 done: {ba_rate:.2f} iters/s")
         details["config5b_windowed_ba_iters_per_s"] = round(
             bench_sfm_windowed(), 2)

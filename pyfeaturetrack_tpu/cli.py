@@ -43,6 +43,12 @@ def main(argv=None) -> int:
                     help="write per-frame PPM overlays")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
+    if args.batched and args.chunks <= 1:
+        ap.error("--batched requires --chunks > 1 "
+                 "(lockstep mode advances chunk streams together)")
+    if args.batched and args.no_replace:
+        print("pft-track: note: --batched already implies no lost-feature "
+              "replacement; --no-replace is redundant", file=sys.stderr)
 
     import numpy as np
 

@@ -58,6 +58,9 @@ class SequenceTracker:
         self.fl: Optional[FeatureState] = None
         self._cache = None
         self.metrics: list[dict] = []
+        # Explicit frame counter: survives checkpoint/resume, where the
+        # metrics history (host-side observability) is NOT restored.
+        self.n_frames_seen = 0
 
     def start(self, frame) -> FeatureState:
         frame = np.asarray(frame)
@@ -65,6 +68,7 @@ class SequenceTracker:
         self._cache = build_track_pyramids_jit(
             jnp.asarray(frame, jnp.float32), self.cfg.validated_window())
         self._prev = frame
+        self.n_frames_seen += 1
         self.metrics.append(frame_metrics(self.fl))
         return self.fl
 
@@ -83,6 +87,7 @@ class SequenceTracker:
             self.fl = replace_lost_features(frame, self.fl, self.cfg)
         elapsed = time.perf_counter() - t0
         self._prev = frame
+        self.n_frames_seen += 1
         self.metrics.append(frame_metrics(self.fl, elapsed))
         return self.fl
 
@@ -144,6 +149,7 @@ class KeyframeTracker(SequenceTracker):
                 jnp.asarray(frame, jnp.float32), self.cfg.validated_window())
             self._prev = frame
             self._since_key = 0
+        self.n_frames_seen += 1
         self.metrics.append(frame_metrics(self.fl,
                                           time.perf_counter() - t0))
         return self.fl

@@ -45,6 +45,36 @@ class WindowedBAProblem(NamedTuple):
     w: jax.Array
 
 
+def column_runs(ft) -> list[tuple[int, int, int]]:
+    """All maximal contiguous live runs of every feature column, split at
+    re-selection frames. Returns [(column, start_frame, length), ...].
+
+    A frame with val > 0 inside a live stretch is a FRESH selection
+    (replace-lost refills store the eigenvalue at the refill frame;
+    tracked frames store 0) — the slot then holds a different physical
+    landmark, so the run splits there. Shared by the windowed builder and
+    the dense pipeline.observations_from_feature_table.
+    """
+    x = np.asarray(ft.x, np.float64)
+    v = np.asarray(ft.val, np.int64)
+    live = (v >= 0) & (x >= 0)
+    n_frames, n_cols = live.shape
+    runs = []
+    for j in range(n_cols):
+        col = live[:, j]
+        i = 0
+        while i < n_frames:
+            if col[i]:
+                k = i + 1
+                while k < n_frames and col[k] and v[k, j] <= 0:
+                    k += 1
+                runs.append((j, i, k - i))
+                i = k  # k is end-of-table, a dead frame, or a re-selection
+            else:
+                i += 1
+    return runs
+
+
 def windowed_from_feature_table(ft, min_track_len: int = 2,
                                 max_window: int | None = None):
     """FeatureTable -> (WindowedBAProblem arrays, run metadata).
@@ -55,28 +85,7 @@ def windowed_from_feature_table(ft, min_track_len: int = 2,
     """
     x = np.asarray(ft.x, np.float64)
     y = np.asarray(ft.y, np.float64)
-    v = np.asarray(ft.val, np.int64)
-    live = (v >= 0) & (x >= 0)
-    n_frames, n_cols = live.shape
-
-    runs = []
-    for j in range(n_cols):
-        col = live[:, j]
-        i = 0
-        while i < n_frames:
-            if col[i]:
-                k = i + 1
-                # A frame with val > 0 inside a live stretch is a FRESH
-                # selection (replace-lost refills store the eigenvalue at
-                # the refill frame; tracked frames store 0) — the slot now
-                # holds a different physical landmark, so split there.
-                while k < n_frames and col[k] and v[k, j] <= 0:
-                    k += 1
-                if k - i >= min_track_len:
-                    runs.append((j, i, k - i))
-                i = k  # k is end-of-table, a dead frame, or a re-selection
-            else:
-                i += 1
+    runs = [r for r in column_runs(ft) if r[2] >= min_track_len]
     if not runs:
         raise ValueError("no tracks of sufficient length")
 

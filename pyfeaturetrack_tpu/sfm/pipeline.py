@@ -16,34 +16,49 @@ from .ba import BAProblem, bundle_adjust, pad_problem_for_mesh
 from .triangulate import triangulate_dlt
 
 
-def observations_from_feature_table(ft, min_track_len: int = 2):
+def observations_from_feature_table(ft, min_track_len: int = 2,
+                                    return_runs: bool = False):
     """FeatureTable -> (cam_idx, pt_idx, uv, w) observation arrays.
 
-    Every (frame, feature) cell with a live position becomes one
-    observation; features seen fewer than ``min_track_len`` times are
-    weighted out. Feature index = landmark index (the tracker's track
-    identity IS the landmark identity).
+    Landmark identity is a maximal contiguous live RUN of a feature
+    column (ba_windowed.column_runs): a slot that is lost and refilled by
+    replace-lost holds two different physical landmarks and yields two
+    landmark indices. Runs shorter than ``min_track_len`` keep their
+    observations but are weighted out.
     """
+    from .ba_windowed import column_runs
     x = np.asarray(ft.x, np.float64)
     y = np.asarray(ft.y, np.float64)
-    v = np.asarray(ft.val, np.int64)
-    live = (v >= 0) & (x >= 0)
-    track_len = live.sum(axis=0)
-    frames, feats = np.nonzero(live)
+    runs = column_runs(ft)
+    frames, feats, pts, w = [], [], [], []
+    for li, (j, s, ln) in enumerate(runs):
+        frames.extend(range(s, s + ln))
+        feats.extend([j] * ln)
+        pts.extend([li] * ln)
+        w.extend([1.0 if ln >= min_track_len else 0.0] * ln)
+    frames = np.asarray(frames, np.int32)
+    feats = np.asarray(feats, np.int32)
     uv = np.stack([x[frames, feats], y[frames, feats]], axis=-1)
-    w = (track_len[feats] >= min_track_len).astype(np.float32)
-    return (frames.astype(np.int32), feats.astype(np.int32),
-            uv.astype(np.float32), w)
+    out = (frames, np.asarray(pts, np.int32),
+           uv.astype(np.float32), np.asarray(w, np.float32))
+    return out + (runs,) if return_runs else out
 
 
-def initial_landmarks(K, Rs, ts, ft, min_track_len: int = 2):
-    """DLT-triangulate every track from the given initial poses."""
+def initial_landmarks(K, Rs, ts, ft, min_track_len: int = 2, runs=None):
+    """DLT-triangulate every landmark run from the given initial poses."""
+    from .ba_windowed import column_runs
+    if runs is None:
+        runs = column_runs(ft)
     x = np.asarray(ft.x, np.float64)
     y = np.asarray(ft.y, np.float64)
-    v = np.asarray(ft.val, np.int64)
-    live = (v >= 0) & (x >= 0)
-    uvs = np.stack([x, y], axis=-1).transpose(1, 0, 2)  # [L, C, 2]
-    mask = live.T                                       # [L, C]
+    C = np.asarray(Rs).shape[0]
+    L = len(runs)
+    uvs = np.zeros((L, C, 2), np.float64)
+    mask = np.zeros((L, C), bool)
+    for li, (j, s, ln) in enumerate(runs):
+        uvs[li, s:s + ln, 0] = x[s:s + ln, j]
+        uvs[li, s:s + ln, 1] = y[s:s + ln, j]
+        mask[li, s:s + ln] = True
     X = triangulate_dlt(jnp.asarray(K, jnp.float32),
                         jnp.asarray(Rs, jnp.float32),
                         jnp.asarray(ts, jnp.float32),
@@ -66,9 +81,14 @@ def run_sfm(ft, K, R0, t0, n_iters: int = 15, damping: float = 1e-3,
     (outlier tracks — e.g. features locked onto geometry-violating image
     structure — would otherwise dominate the quadratic cost).
     """
-    cam_idx, pt_idx, uv, w = observations_from_feature_table(
-        ft, min_track_len)
-    X0 = initial_landmarks(K, R0, t0, ft, min_track_len)
+    cam_idx, pt_idx, uv, w, runs = observations_from_feature_table(
+        ft, min_track_len, return_runs=True)
+    X0 = initial_landmarks(K, R0, t0, ft, min_track_len, runs=runs)
+    # Zero-weighted short runs can triangulate to non-finite points; park
+    # them at a finite dummy so NaN Jacobians (NaN * w=0 = NaN) cannot
+    # poison the camera-block sums in the BA.
+    finite = jnp.isfinite(X0).all(axis=-1, keepdims=True)
+    X0 = jnp.where(finite, X0, jnp.asarray([0.0, 0.0, 1.0], X0.dtype))
 
     if max_init_reproj_error is not None:
         from .geometry import project

@@ -52,7 +52,7 @@ def sequence_state(tracker) -> dict:
     state = {
         "fl": tracker.fl,
         "prev": np.asarray(tracker._prev),
-        "n_frames_seen": np.asarray(len(tracker.metrics)),
+        "n_frames_seen": np.asarray(tracker.n_frames_seen),
     }
     if tracker._cache is not None:
         state["cache"] = tracker._cache
@@ -70,6 +70,9 @@ def resume_sequence(tracker, state: dict) -> None:
         fl = FeatureState(x=fl["x"], y=fl["y"], val=fl["val"], aff=aff)
     tracker.fl = fl
     tracker._prev = np.asarray(state["prev"])
+    # metrics are not checkpointed; restore the frame counter so a
+    # resumed-then-checkpointed tracker does not undercount.
+    tracker.n_frames_seen = int(state.get("n_frames_seen", 0))
     cache = state.get("cache")
     if cache is not None:
         from ..ops.track import TrackPyramids
