@@ -65,6 +65,49 @@ def bench_tracking(h, w, n_features, cfg, n_frames=50, warmup=5):
     return n_frames / (time.perf_counter() - t0)
 
 
+def _repeat(fn, n=5):
+    """Run ``fn`` n times; report median/min/max (VERDICT r1 item 3: the
+    shared relay chip makes single-shot numbers unreproducible)."""
+    vals = [float(fn()) for _ in range(n)]
+    return {"median": round(float(np.median(vals)), 2),
+            "min": round(float(np.min(vals)), 2),
+            "max": round(float(np.max(vals)), 2), "n": n}
+
+
+def bench_sequence_replace(h=480, w=640, n_features=1000, n_frames=50,
+                           shift=2):
+    """BASELINE config 2: the example3-shaped sequence loop WITH per-frame
+    lost-feature replacement, fully device-resident (ops.select_device) —
+    frames/s including the replace stage. The texture ping-pongs
+    horizontally so a steady trickle of features drifts out of the border
+    band and must be refilled."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.models.device_sequence import (
+        select_step_device, sequence_step_device)
+
+    cfg = create_config().replace(sequentialMode=True).validated_window()
+    base = _textured(h, w, seed=4)[:h, :w]
+    n_cycle = 16
+    cyc = [jnp.asarray(np.roll(base, shift * i, axis=1), jnp.float32)
+           for i in range(n_cycle)]
+    frames = cyc + cyc[-2:0:-1]  # ping-pong: steps stay +-shift px
+
+    pyr, x, y, val = select_step_device(frames[0], cfg, n_features)
+    for i in range(1, 6):  # warm both cond branches + compile
+        pyr, x, y, val = sequence_step_device(
+            pyr, frames[i % len(frames)], x, y, val, cfg, True)
+    jax.block_until_ready(val)
+
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        pyr, x, y, val = sequence_step_device(
+            pyr, frames[(6 + i) % len(frames)], x, y, val, cfg, True)
+    jax.block_until_ready(val)
+    return n_frames / (time.perf_counter() - t0)
+
+
 def bench_two_frame_demo():
     """Config 1: the stock example1 flow (select 100 + track), end to end
     host-to-host, seconds per run."""
@@ -222,7 +265,10 @@ def bench_sfm():
     R, t, Xh, costs = bundle_adjust(problem, Rs, ts, X0, n_iters=8)
     jax.block_until_ready((R, t, Xh))
     dt = (time.perf_counter() - t0)
-    return 8 / dt, costs[-1] / max(costs[0], 1e-9)
+    # ratio stays a DEVICE scalar: a float() here would d2h-poison every
+    # later dispatch in the process (DESIGN.md rule 3) — callers pull it
+    # only after all timed configs are done.
+    return 8 / dt, costs[-1] / jnp.maximum(costs[0], 1e-9)
 
 
 def main():
@@ -240,12 +286,13 @@ def main():
     from pyfeaturetrack_tpu.config import create_config
     cfg = create_config()
 
-    fps = bench_tracking(h, w, args.features, cfg, n_frames=args.frames)
+    reps = _repeat(lambda: bench_tracking(h, w, args.features, cfg,
+                                          n_frames=args.frames), n=5)
     headline = {
         "metric": f"frames_per_s_{args.features}feat_{h}x{w}",
-        "value": round(fps, 2),
+        "value": reps["median"],
         "unit": "frames/s",
-        "vs_baseline": round(fps / 500.0, 3),
+        "vs_baseline": round(reps["median"] / 500.0, 3),
     }
 
     if args.all:
@@ -253,31 +300,40 @@ def main():
             print(f"[bench] {msg}", file=sys.stderr, flush=True)
         # ORDER MATTERS: on the axon relay, the first device->host
         # transfer in a process degrades every later dispatch to a
-        # synchronous ~274ms round-trip. Pure-compute configs (3, 4)
+        # synchronous ~274ms round-trip. Pure-compute configs (2, 3, 4)
         # run first; transferring flows (1, 5) run last.
-        details = {"headline": headline}
-        log(f"headline done: {headline['value']} fps")
-        details["config3_affine_fps"] = round(bench_affine(), 2)
+        details = {"headline": headline, "headline_runs": reps}
+        log(f"headline done: {reps}")
+        details["config2_sequence_replace_fps"] = _repeat(
+            bench_sequence_replace, n=5)
+        log(f"config2 done: {details['config2_sequence_replace_fps']}")
+        details["config3_affine_fps"] = _repeat(bench_affine, n=5)
         log(f"config3 done: {details['config3_affine_fps']} checks/s")
-        fps_1080p = bench_tracking(
-            1088, 1920, 4096,
-            create_config().replace(nPyramidLevels=4, subsampling=2),
-            n_frames=20)
-        details["config4_1080p_4096feat_4lvl_fps"] = round(fps_1080p, 2)
-        log(f"config4 done: {fps_1080p:.1f} fps")
-        agg = bench_batched_streams()
-        details["batched8_streams_aggregate_fps"] = round(agg, 2)
-        log(f"batched8 done: {agg:.1f} aggregate fps")
-        ba_rate, ba_ratio = bench_sfm()
-        details["config5_ba_iters_per_s"] = round(ba_rate, 2)
-        # final/initial cost: ~0 means excellent convergence, 1 means none
+        details["config4_1080p_4096feat_4lvl_fps"] = _repeat(
+            lambda: bench_tracking(
+                1088, 1920, 4096,
+                create_config().replace(nPyramidLevels=4, subsampling=2),
+                n_frames=20), n=3)
+        log(f"config4 done: {details['config4_1080p_4096feat_4lvl_fps']}")
+        details["batched8_streams_aggregate_fps"] = _repeat(
+            bench_batched_streams, n=3)
+        log(f"batched8 done: {details['batched8_streams_aggregate_fps']}")
+        ratios = []
+
+        def _sfm_rate():
+            rate, ratio = bench_sfm()
+            ratios.append(ratio)  # device scalar — pulled after 5b
+            return rate
+        details["config5_ba_iters_per_s"] = _repeat(_sfm_rate, n=3)
+        log(f"config5 done: {details['config5_ba_iters_per_s']} iters/s")
+        details["config5b_windowed_ba_iters_per_s"] = _repeat(
+            bench_sfm_windowed, n=3)
+        log(f"config5b done: {details['config5b_windowed_ba_iters_per_s']}")
+        # final/initial cost: ~0 means excellent convergence, 1 means
+        # none. First d2h of the process — everything after runs
+        # host-side, so the relay poisoning no longer matters.
         details["config5_ba_final_over_initial_cost"] = round(
-            float(ba_ratio), 6)
-        log(f"config5 done: {ba_rate:.2f} iters/s")
-        details["config5b_windowed_ba_iters_per_s"] = round(
-            bench_sfm_windowed(), 2)
-        log(f"config5b done: "
-            f"{details['config5b_windowed_ba_iters_per_s']:.2f} iters/s")
+            float(np.median([float(r) for r in ratios])), 6)
         details["config1_two_frame_demo_s"] = round(bench_two_frame_demo(), 4)
         log(f"config1 done: {details['config1_two_frame_demo_s']} s")
         if args.scaling:

@@ -38,7 +38,7 @@ def main(argv=None) -> int:
     ap.add_argument("--batched", action="store_true",
                     help="with --chunks: advance all chunks in lockstep "
                          "(one vmapped device call per frame step; "
-                         "implies no lost-feature replacement)")
+                         "replacement runs on-device)")
     ap.add_argument("--overlays", action="store_true",
                     help="write per-frame PPM overlays")
     ap.add_argument("--verbose", action="store_true")
@@ -46,9 +46,6 @@ def main(argv=None) -> int:
     if args.batched and args.chunks <= 1:
         ap.error("--batched requires --chunks > 1 "
                  "(lockstep mode advances chunk streams together)")
-    if args.batched and args.no_replace:
-        print("pft-track: note: --batched already implies no lost-feature "
-              "replacement; --no-replace is redundant", file=sys.stderr)
 
     import numpy as np
 

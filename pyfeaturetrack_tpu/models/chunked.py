@@ -24,7 +24,7 @@ from .sequence import track_sequence
 
 
 def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
-                         cfg: TrackerConfig):
+                         cfg: TrackerConfig, replace_lost: bool = False):
     """Track C equal-length chunks in lockstep: one vmapped device call
     advances EVERY chunk by one frame, so a long video tracks at the
     batched-streams rate instead of the single-stream rate.
@@ -37,13 +37,16 @@ def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
     init_*: [C, N] initial feature state at each chunk's frame 0.
     Returns (xs, ys, vals): [C, F, N] per-frame tracked state (frame 0 is
     the initial selection). Pure device path: no host pulls between
-    frames, no lost-feature replacement (use track_sequence_chunked for
-    the reference-semantics driver).
+    frames. ``replace_lost=True`` refills lost slots each step with the
+    on-device selection (ops.select_device) — reference-complete
+    example3 semantics at the multi-stream rate.
     """
     import jax
     import jax.numpy as jnp
 
+    from ..ops.select_device import select_features_from_eig_device
     from ..ops.track import build_track_pyramids, track_features_pyramids
+    from .device_sequence import _selection_eig_from_pyr
 
     if isinstance(chunk_frames, (list, tuple)):
         f = len(chunk_frames)
@@ -66,6 +69,15 @@ def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
         nx, ny, nv = jax.vmap(
             lambda p1, p2, xx, yy, vv: track_features_pyramids(
                 p1, p2, xx, yy, vv, cfg))(pyr_prev, pyr_new, x, y, v)
+        if replace_lost:
+            # under vmap a cond would run both branches anyway; the
+            # refill is an exact identity on chunks with nothing lost
+            def refill(img, p2, xx, yy, vv):
+                eig = _selection_eig_from_pyr(img, p2, cfg)
+                rx, ry, rv, _, _ = select_features_from_eig_device(
+                    eig, xx, yy, vv, cfg, replacing=True)
+                return rx, ry, rv
+            nx, ny, nv = jax.vmap(refill)(frame_batch, pyr_new, nx, ny, nv)
         return pyr_new, nx, ny, nv
 
     # Per-step frame batches must be separate contiguous device arrays:
@@ -154,7 +166,8 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
 
     ``batched=True`` advances ALL chunks in lockstep with one vmapped
     device call per frame step (aggregate multi-stream throughput on one
-    chip); it implies ``replace_lost=False`` (the pure-device path).
+    chip); ``replace_lost`` is honored there too via the on-device
+    selection (ops.select_device) — no host pulls between frames.
     """
     frames = list(frames)
     n_frames = len(frames)
@@ -176,7 +189,8 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
             inits[k] = select_good_features_arrays(chunk[0], n_features, cfg)
         xs, ys, vs = track_chunks_batched(
             stack, inits[..., 0], inits[..., 1],
-            inits[..., 2].astype(np.int64), cfg)
+            inits[..., 2].astype(np.int64), cfg,
+            replace_lost=replace_lost)
         xs = np.asarray(xs, np.float64)
         ys = np.asarray(ys, np.float64)
         vs = np.asarray(vs, np.int64)

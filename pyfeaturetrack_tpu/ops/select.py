@@ -74,21 +74,34 @@ def compute_min_eig_map(gradx: jax.Array, grady: jax.Array,
     return ((gxx + gyy) - disc) * 0.5
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "window_width", "window_height", "smooth_before", "smooth_sigma",
-    "grad_sigma"))
-def _selection_eig_map(img: jax.Array, *, window_width: int,
-                       window_height: int, smooth_before: bool,
-                       smooth_sigma: float, grad_sigma: float) -> jax.Array:
+def quantized_min_eig_map(gradx: jax.Array, grady: jax.Array,
+                          window_width: int, window_height: int) -> jax.Array:
+    """Min-eig map cast to the reference's int32 candidate values.
+
+    The int cast truncates toward zero like the reference's (int) cast;
+    clamp to the int limit (the reference warns on overflow). Traceable —
+    shared by the host selection path and the on-device selection in
+    select_device.py.
+    """
+    eig = compute_min_eig_map(gradx, grady, window_width, window_height)
+    return jnp.clip(eig, max=_EIG_LIMIT).astype(jnp.int32)
+
+
+def selection_eig_map_core(img: jax.Array, *, window_width: int,
+                           window_height: int, smooth_before: bool,
+                           smooth_sigma: float, grad_sigma: float
+                           ) -> jax.Array:
     """float image -> (optional smooth) -> gradients -> min-eig map."""
     fimg = to_float_image(img)
     if smooth_before:
         fimg = compute_smoothed_image(fimg, smooth_sigma)
     gradx, grady = compute_gradients(fimg, grad_sigma)
-    eig = compute_min_eig_map(gradx, grady, window_width, window_height)
-    # int cast truncates toward zero like the reference's (int) cast; clamp
-    # to the int limit (the reference warns on overflow).
-    return jnp.clip(eig, max=_EIG_LIMIT).astype(jnp.int32)
+    return quantized_min_eig_map(gradx, grady, window_width, window_height)
+
+
+_selection_eig_map = functools.partial(jax.jit, static_argnames=(
+    "window_width", "window_height", "smooth_before", "smooth_sigma",
+    "grad_sigma"))(selection_eig_map_core)
 
 
 def _write_internal_images(img, cfg) -> None:

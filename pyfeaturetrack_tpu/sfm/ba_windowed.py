@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..ops.linalg import inv3x3
+from ..ops.linalg import gauss_solve_det, inv3x3
 from .ba import _damp, _reduce_and_solve
 from .geometry import skew, so3_exp
 from .triangulate import triangulate_dlt
@@ -132,10 +132,82 @@ def triangulate_windowed(K, Rs, ts, c0, uv, w):
                            jnp.asarray(uvs), jnp.asarray(mask))
 
 
+def _banded_pcg_solve(U, b_c, S_band, b_red, damping, fix_first: bool,
+                      half_band: int, n_cg: int = 200, tol: float = 1e-6):
+    """Solve the reduced camera system in BANDED form by block-Jacobi
+    preconditioned CG — never materializing the [6C, 6C] matrix.
+
+    ``S_band`` is [C, 2*half_band+1, 6, 6]: S_band[c, o] holds the
+    S_red block coupling camera c with camera c + o - half_band. Memory
+    is O(C * kw) and each matvec is one batched einsum, so the camera
+    count scales to thousands (VERDICT r1 item 7; the dense solve caps
+    at a few hundred).
+    """
+    C = U.shape[0]
+    width = 2 * half_band + 1
+    eye6 = jnp.eye(6, dtype=U.dtype)
+
+    # A = damped diag(U) - S_red (+ the dense path's 1e-8 ridge)
+    A = (-S_band).at[:, half_band].add(_damp(U, damping) + 1e-8 * eye6)
+    b = b_c - b_red
+
+    if fix_first:
+        # gauge: pin camera 0 (zero its rows/cols, identity diagonal)
+        c_of = (jnp.arange(C)[:, None] + jnp.arange(width)[None, :]
+                - half_band)                                # column camera
+        row_ok = (jnp.arange(C) != 0)[:, None, None, None]
+        col_ok = (c_of != 0)[:, :, None, None]
+        A = jnp.where(row_ok & col_ok, A, 0.0)
+        A = A.at[0, half_band].set(eye6)
+        b = b.at[0].set(0.0)
+
+    pad = jnp.zeros((half_band, 6), b.dtype)
+
+    def matvec(v):
+        vpad = jnp.concatenate([pad, v, pad], axis=0)
+        # windows: vg[c, o] = v[c + o - half_band] (zero outside range)
+        cg_idx = jnp.arange(C)[:, None] + jnp.arange(width)[None, :]
+        vg = vpad[cg_idx]                                   # [C, width, 6]
+        return jnp.einsum("coij,coj->ci", A, vg, precision=_PREC)
+
+    M = A[:, half_band]                                     # block-Jacobi
+
+    def prec(r):
+        z, _ = gauss_solve_det(M, r)
+        return z
+
+    # standard PCG on the 6C-dim system, batched as [C, 6]
+    x0 = jnp.zeros_like(b)
+    r0 = b - matvec(x0)
+    z0 = prec(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    bb = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (k < n_cg) & (jnp.sum(r * r) > tol * tol * bb)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        return x, r, z + beta * p, rz_new, k + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("n_cameras", "fix_first",
-                                             "huber_delta"))
+                                             "huber_delta", "solver"))
 def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
-                      fix_first: bool = True, huber_delta=None):
+                      fix_first: bool = True, huber_delta=None,
+                      solver: str = "dense"):
     """One GN/LM step with K-windowed cross blocks. Returns (R,t,X,cost)."""
     L, kw, _ = uv.shape
     cidx = jnp.clip(c0[:, None] + jnp.arange(kw, dtype=c0.dtype)[None, :],
@@ -189,14 +261,25 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
 
     T1 = jnp.einsum("lkij,ljm->lkim", W, V_inv, precision=_PREC)
     S_blocks = jnp.einsum("lkim,lbnm->lkbin", T1, W, precision=_PREC)
-    # scatter block (l, k, b) into S[c0+k, :, c0+b, :]; advanced-index
-    # dims come first, so values align as [L, Kw, Kw, 6, 6]
-    S_red = jnp.zeros((n_cameras, 6, n_cameras, 6), r.dtype).at[
-        cidx[:, :, None], :, cidx[:, None, :], :].add(S_blocks)
     b_red = jnp.zeros((n_cameras, 6), r.dtype).at[cidx].add(
         jnp.einsum("lkim,lm->lki", T1, b_p, precision=_PREC))
 
-    dx_c = _reduce_and_solve(U, b_c, S_red, b_red, damping, fix_first)
+    if solver == "dense":
+        # scatter block (l, k, b) into S[c0+k, :, c0+b, :]; advanced-index
+        # dims come first, so values align as [L, Kw, Kw, 6, 6]
+        S_red = jnp.zeros((n_cameras, 6, n_cameras, 6), r.dtype).at[
+            cidx[:, :, None], :, cidx[:, None, :], :].add(S_blocks)
+        dx_c = _reduce_and_solve(U, b_c, S_red, b_red, damping, fix_first)
+    else:
+        # banded assembly: block (l, k, b) couples cameras cidx[l, k] and
+        # cidx[l, b]; its band offset is their (clipped) difference
+        half_band = kw - 1
+        # off[l, k, b] = cidx[l, b] - cidx[l, k] + half_band
+        off = cidx[:, None, :] - cidx[:, :, None] + half_band  # [L,Kw,Kw]
+        S_band = jnp.zeros((n_cameras, 2 * half_band + 1, 6, 6),
+                           r.dtype).at[cidx[:, :, None], off].add(S_blocks)
+        dx_c = _banded_pcg_solve(U, b_c, S_band, b_red, damping,
+                                 fix_first, half_band)
 
     dxc_g = dx_c[cidx]                                     # [L, Kw, 6]
     rhs_p = b_p - jnp.einsum("lkij,lki->lj", W, dxc_g, precision=_PREC)
@@ -268,10 +351,17 @@ def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
                            n_iters: int = 10, damping: float = 1e-3,
                            fix_first: bool = True,
                            huber_delta: float | None = None,
-                           point_only_iters: int = 2):
+                           point_only_iters: int = 2,
+                           solver: str = "dense"):
     """Run GN/LM with K-windowed sparsity. Returns (R, t, X, costs) with
     costs a device array. ``point_only_iters`` camera-frozen landmark
-    refinements run first (cheap, stabilizes weak triangulations)."""
+    refinements run first (cheap, stabilizes weak triangulations).
+
+    ``solver="dense"`` materializes + solves the [6C, 6C] reduced camera
+    system (exact; fine to a few hundred cameras). ``solver="cg"`` keeps
+    it in banded block form and runs block-Jacobi PCG — O(C*kw) memory,
+    scaling to thousands of cameras.
+    """
     n_cameras = int(np.asarray(R0).shape[0])
     R = jnp.asarray(R0, jnp.float32)
     t = jnp.asarray(t0, jnp.float32)
@@ -283,6 +373,7 @@ def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
     for _ in range(n_iters):
         R, t, X, cost = _gn_step_windowed(
             problem.K, R, t, X, problem.c0, problem.uv, problem.w,
-            jnp.float32(damping), n_cameras, fix_first, huber_delta)
+            jnp.float32(damping), n_cameras, fix_first, huber_delta,
+            solver)
         costs.append(cost)
     return R, t, X, jnp.stack(costs)

@@ -56,18 +56,33 @@ def _read_pnm_token(f) -> bytes:
         tok += c
 
 
+def _pnm_int(f, path, what: str) -> int:
+    """Header token as a non-negative int, or KLTError (not ValueError)."""
+    tok = _read_pnm_token(f)
+    try:
+        val = int(tok)
+    except ValueError:
+        raise KLTError(f"(pnm) {path}: malformed {what} {tok!r}") from None
+    if val < 0:
+        raise KLTError(f"(pnm) {path}: negative {what} {val}")
+    return val
+
+
 def pgm_read(path) -> np.ndarray:
     """Read a binary (P5) or ascii (P2) PGM file -> uint8 [H, W].
 
-    Reference parity: pnmio.py -> pgmReadFile.
+    Reference parity: pnmio.py -> pgmReadFile. Like the reference's
+    8-bit-only pnmio, maxval > 255 (16-bit PGM) is rejected outright —
+    supporting it would silently change every downstream intensity
+    threshold, so deep data must be converted before loading.
     """
     with open(path, "rb") as f:
         magic = _read_pnm_token(f)
         if magic not in (b"P5", b"P2"):
             raise KLTError(f"(pgm_read) {path}: not a PGM file (magic {magic!r})")
-        ncols = int(_read_pnm_token(f))
-        nrows = int(_read_pnm_token(f))
-        maxval = int(_read_pnm_token(f))
+        ncols = _pnm_int(f, path, "width")
+        nrows = _pnm_int(f, path, "height")
+        maxval = _pnm_int(f, path, "maxval")
         if maxval > 255:
             raise KLTError(f"(pgm_read) {path}: maxval {maxval} > 255 unsupported")
         if magic == b"P5":
@@ -77,7 +92,15 @@ def pgm_read(path) -> np.ndarray:
             img = np.frombuffer(data, dtype=np.uint8)
         else:
             vals = f.read().split()
-            img = np.array([int(v) for v in vals[:nrows * ncols]], dtype=np.uint8)
+            if len(vals) < nrows * ncols:
+                raise KLTError(f"(pgm_read) {path}: truncated pixel data "
+                               f"({len(vals)} of {nrows * ncols} values)")
+            try:
+                img = np.array([int(v) for v in vals[:nrows * ncols]],
+                               dtype=np.uint8)
+            except ValueError:
+                raise KLTError(
+                    f"(pgm_read) {path}: non-numeric pixel data") from None
     return img.reshape(nrows, ncols)
 
 
@@ -112,12 +135,14 @@ def ppm_read(path) -> np.ndarray:
         magic = _read_pnm_token(f)
         if magic != b"P6":
             raise KLTError(f"(ppm_read) {path}: not a binary PPM")
-        ncols = int(_read_pnm_token(f))
-        nrows = int(_read_pnm_token(f))
-        maxval = int(_read_pnm_token(f))
+        ncols = _pnm_int(f, path, "width")
+        nrows = _pnm_int(f, path, "height")
+        maxval = _pnm_int(f, path, "maxval")
         if maxval > 255:
             raise KLTError(f"(ppm_read) {path}: maxval {maxval} > 255 unsupported")
         data = f.read(nrows * ncols * 3)
+        if len(data) != nrows * ncols * 3:
+            raise KLTError(f"(ppm_read) {path}: truncated pixel data")
     return np.frombuffer(data, dtype=np.uint8).reshape(nrows, ncols, 3).copy()
 
 
@@ -174,11 +199,21 @@ def read_feature_list(path) -> FeatureState:
     with open(path, "rb") as f:
         head = f.read(5)
         if head == BINHEADER_FL:
-            (n,) = struct.unpack("<i", f.read(4))
+            raw = f.read(4)
+            if len(raw) != 4:
+                raise KLTError(f"(read_feature_list) {path}: truncated "
+                               "nFeatures field")
+            (n,) = struct.unpack("<i", raw)
+            if n < 0:
+                raise KLTError(f"(read_feature_list) {path}: negative "
+                               f"nFeatures {n}")
+            body = f.read(12 * n)
+            if len(body) != 12 * n:
+                raise KLTError(f"(read_feature_list) {path}: truncated "
+                               f"records ({len(body)} of {12 * n} bytes)")
             arr = np.zeros((n, 3), dtype=np.float64)
             for i in range(n):
-                x, y, v = struct.unpack("<ffi", f.read(12))
-                arr[i] = (x, y, v)
+                arr[i] = struct.unpack_from("<ffi", body, 12 * i)
             return feature_state_from_numpy(arr)
     text = path.read_text()
     m = re.search(r"nFeatures\s*=\s*(\d+)", text)
@@ -193,7 +228,11 @@ def read_feature_list(path) -> FeatureState:
             f"(read_feature_list) {path}: expected {n} rows, found {len(rows)}")
     arr = np.zeros((n, 3), dtype=np.float64)
     for idx, x, y, v in rows:
-        arr[int(idx)] = (float(x), float(y), int(v))
+        i = int(idx)
+        if i >= n:
+            raise KLTError(f"(read_feature_list) {path}: row index {i} "
+                           f"out of range for nFeatures {n}")
+        arr[i] = (float(x), float(y), int(v))
     return feature_state_from_numpy(arr)
 
 
@@ -249,8 +288,19 @@ def read_feature_table(path) -> FeatureTable:
     with open(path, "rb") as f:
         head = f.read(5)
         if head == BINHEADER_FT:
-            n_frames, n_features = struct.unpack("<ii", f.read(8))
+            hdr = f.read(8)
+            if len(hdr) != 8:
+                raise KLTError(f"(read_feature_table) {path}: truncated "
+                               "dims header")
+            n_frames, n_features = struct.unpack("<ii", hdr)
+            if n_frames < 0 or n_features < 0:
+                raise KLTError(f"(read_feature_table) {path}: negative "
+                               f"dims ({n_frames}, {n_features})")
             raw = f.read(n_frames * n_features * 12)
+            if len(raw) != n_frames * n_features * 12:
+                raise KLTError(f"(read_feature_table) {path}: truncated "
+                               f"records ({len(raw)} of "
+                               f"{n_frames * n_features * 12} bytes)")
             rec = np.frombuffer(
                 raw, dtype=[("x", "<f4"), ("y", "<f4"), ("v", "<i4")]
             ).reshape(n_features, n_frames)
@@ -274,6 +324,9 @@ def read_feature_table(path) -> FeatureTable:
         cells = cell_re.findall(mrow.group(2))
         if len(cells) != n_frames:
             continue
+        if j >= n_features:
+            raise KLTError(f"(read_feature_table) {path}: row index {j} "
+                           f"out of range for nFeatures {n_features}")
         for i, (xx, yy, vv) in enumerate(cells):
             x[i, j], y[i, j], v[i, j] = float(xx), float(yy), int(vv)
         nrows += 1

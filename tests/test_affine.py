@@ -120,8 +120,10 @@ def test_affine_batch_matches_oracle(frames, mode):
         jnp.ones((n,), bool), cfg)
 
     gstatus = np.asarray(gstatus)
+    # exact status parity with the float64 affine oracle (tightened from
+    # 80% — no disagreeing lanes observed; VERDICT r1 item 1)
+    np.testing.assert_array_equal(gstatus, want[:, 2])
     same_status = gstatus == want[:, 2]
-    assert same_status.mean() >= 0.8
     ok = same_status & (gstatus == 0)
     if ok.any():
         np.testing.assert_allclose(np.asarray(gx)[ok], want[ok, 0], atol=0.02)

@@ -193,3 +193,46 @@ def test_builder_max_window_splits_not_truncates():
     assert runs == [(0, 0, 5), (0, 5, 5), (0, 10, 2)]
     # every observation kept across the segments
     assert int((w > 0).sum()) == 12
+
+
+def _staggered_problem(n_cams, n_pts, kw, seed=0):
+    Rs, ts, X = _scene(n_cams=n_cams, n_pts=n_pts, seed=seed)
+    uv_full = _project_all(Rs, ts, X)
+    r = np.random.default_rng(seed + 1)
+    c0 = r.integers(0, n_cams - kw + 1, n_pts).astype(np.int32)
+    uv = np.zeros((n_pts, kw, 2), np.float32)
+    for li in range(n_pts):
+        uv[li] = uv_full[c0[li]:c0[li] + kw, li]
+    problem = WindowedBAProblem(K=jnp.asarray(K), c0=jnp.asarray(c0),
+                                uv=jnp.asarray(uv),
+                                w=jnp.ones((n_pts, kw), jnp.float32))
+    return problem, Rs, ts, X
+
+
+def test_cg_solver_matches_dense():
+    """Banded block-Jacobi PCG == dense reduced solve (VERDICT r1 item 7)."""
+    problem, Rs, ts, X = _staggered_problem(n_cams=12, n_pts=120, kw=5)
+    R0, t0, X0 = _perturb(Rs, ts, X)
+    Rd, td, Xd, cd = bundle_adjust_windowed(problem, R0, t0, X0, n_iters=6,
+                                            point_only_iters=0)
+    Rc, tc, Xc, cc = bundle_adjust_windowed(problem, R0, t0, X0, n_iters=6,
+                                            point_only_iters=0, solver="cg")
+    cd, cc = np.asarray(cd), np.asarray(cc)
+    assert cc[-1] < 1e-2 * cc[0]
+    np.testing.assert_allclose(cc, cd, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(tc), np.asarray(td), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xd), atol=5e-3)
+
+
+def test_cg_solver_scales_to_500_cameras():
+    """The CG path runs at C=500 without materializing [6C, 6C] and
+    converges on a long staggered-window trajectory."""
+    problem, Rs, ts, X = _staggered_problem(n_cams=500, n_pts=1500, kw=8,
+                                            seed=5)
+    R0, t0, X0 = _perturb(Rs, ts, X)
+    R, t, Xh, costs = bundle_adjust_windowed(problem, R0, t0, X0, n_iters=5,
+                                             point_only_iters=1,
+                                             solver="cg")
+    costs = np.asarray(costs)
+    assert np.isfinite(costs).all()
+    assert costs[-1] < 1e-2 * costs[0]

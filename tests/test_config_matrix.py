@@ -42,12 +42,14 @@ def test_track_matches_oracle_config(pair, overrides):
     want, _ = oracle.track_features(img1, img2, feats, cfg)
 
     got_v = np.asarray(fl2.val, np.int64)
-    assert (got_v == want[:, 2]).mean() >= 0.9, (got_v, want[:, 2])
+    # exact status parity (VERDICT r1 item 1 — no f32/f64 lane straddles
+    # observed across the matrix; tightened from 90%)
+    np.testing.assert_array_equal(got_v, want[:, 2])
     both = (got_v == 0) & (want[:, 2] == 0)
     if both.any():
         np.testing.assert_allclose(
             np.stack([np.asarray(fl2.x)[both], np.asarray(fl2.y)[both]], 1),
-            want[both, :2], atol=1e-2)
+            want[both, :2], atol=1e-4)
 
 
 @pytest.mark.parametrize("overrides", [
@@ -61,9 +63,8 @@ def test_select_matches_oracle_config(pair, overrides):
     cfg = pft.create_config(**overrides)
     got = select_good_features_arrays(img1, 30, cfg)
     want = oracle.select_good_features(img1, 30, cfg)
-    assert (got[:, 2] >= 0).sum() == (want[:, 2] >= 0).sum()
-    same = (got[:, :2] == want[:, :2]).all(axis=1)
-    assert same.mean() >= 0.85
+    # exact selection parity, row for row (tightened from 85%)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_search_range_derivation_matrix():

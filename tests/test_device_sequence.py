@@ -1,0 +1,47 @@
+"""Device-resident sequence loop == host example3 loop, table-for-table."""
+
+import numpy as np
+import pytest
+
+from conftest import make_textured_image
+
+from pyfeaturetrack_tpu.config import create_config
+from pyfeaturetrack_tpu.models.device_sequence import track_sequence_device
+from pyfeaturetrack_tpu.models.sequence import track_sequence
+
+
+def _rolling_frames(n_frames=6, shift=4, seed=13):
+    """Texture scrolls right: features drift toward the border and are
+    lost at a steady rate, exercising per-frame replacement."""
+    base = make_textured_image(120, 160, seed=seed)
+    return [np.roll(base, shift * i, axis=1) for i in range(n_frames)]
+
+
+@pytest.mark.parametrize("replace_lost", [True, False])
+def test_device_sequence_matches_host(replace_lost):
+    frames = _rolling_frames()
+    cfg = create_config(mindist=8)
+    ft, _ = track_sequence(frames, cfg=cfg, n_features=40,
+                           replace_lost=replace_lost)
+    dx, dy, dv = track_sequence_device(frames, cfg=cfg, n_features=40,
+                                       replace_lost=replace_lost)
+    np.testing.assert_array_equal(dv, np.asarray(ft.val))
+    np.testing.assert_allclose(dx, np.asarray(ft.x), atol=1e-5)
+    np.testing.assert_allclose(dy, np.asarray(ft.y), atol=1e-5)
+
+
+def test_device_sequence_replaces_lost():
+    frames = _rolling_frames(n_frames=8, shift=6)
+    _, _, dv = track_sequence_device(frames, cfg=create_config(mindist=8),
+                                     n_features=40, replace_lost=True)
+    # refills happened: some frame stores a fresh (positive) eigenvalue
+    assert (dv[1:] > 0).any()
+    # and the final frame is fully live
+    assert (dv[-1] >= 0).all()
+
+
+def test_device_sequence_rejects_affine():
+    frames = _rolling_frames(n_frames=2)
+    with pytest.raises(NotImplementedError):
+        track_sequence_device(frames,
+                              cfg=create_config(affineConsistencyCheck=2))

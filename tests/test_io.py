@@ -112,3 +112,88 @@ def test_pgm_comment_abutting_token(tmp_path):
     p.write_bytes(b"P2\n3# trailing comment\n2\n255\n0 1 2 3 4 5\n")
     img = io.pgm_read(p)
     assert img.shape == (2, 3)
+
+
+# ---------------------------------------------------------------------------
+# Malformed-input hardening (VERDICT r1 item 10): every parser failure
+# mode raises KLTError, never a bare ValueError/struct.error/IndexError.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from pyfeaturetrack_tpu.errors import KLTError
+from pyfeaturetrack_tpu.features import create_feature_table
+
+
+def _expect_klt_error(fn, *args):
+    with pytest.raises(KLTError):
+        fn(*args)
+
+
+@pytest.mark.parametrize("payload", [
+    b"",                                   # empty file
+    b"P7\n2 2\n255\n\x00\x00\x00\x00",     # wrong magic
+    b"P5\nxx 2\n255\n\x00\x00\x00\x00",    # non-numeric width
+    b"P5\n2 -2\n255\n\x00\x00\x00\x00",    # negative height
+    b"P5\n2 2\n70000\n\x00\x00\x00\x00",   # 16-bit maxval (by design)
+    b"P5\n4 4\n255\n\x00\x00",             # truncated binary pixels
+    b"P2\n4 4\n255\n0 1 2 3",              # truncated ascii pixels
+    b"P2\n2 2\n255\n0 1 two 3",            # non-numeric ascii pixel
+    b"P5\n2 2\n255",                       # EOF inside header
+])
+def test_pgm_read_malformed_raises_klt_error(tmp_path, payload):
+    p = tmp_path / "bad.pgm"
+    p.write_bytes(payload)
+    _expect_klt_error(io.pgm_read, p)
+
+
+@pytest.mark.parametrize("payload", [
+    b"P5\n2 2\n255\n\x00\x00\x00\x00",     # PGM fed to ppm_read
+    b"P6\n2 2\n255\n\x00\x00\x00",         # truncated rgb data
+    b"P6\n2 2\n65535\n" + b"\x00" * 12,    # deep maxval
+])
+def test_ppm_read_malformed_raises_klt_error(tmp_path, payload):
+    p = tmp_path / "bad.ppm"
+    p.write_bytes(payload)
+    _expect_klt_error(io.ppm_read, p)
+
+
+def test_feature_list_binary_truncated(tmp_path):
+    fl = feature_state_from_numpy(
+        np.array([[1.0, 2.0, 0.0], [3.0, 4.0, 0.0]]))
+    p = tmp_path / "fl.bin"
+    io.write_feature_list(fl, p)
+    good = p.read_bytes()
+    for cut in (7, 12, len(good) - 4):
+        p.write_bytes(good[:cut])
+        _expect_klt_error(io.read_feature_list, p)
+
+
+def test_feature_list_text_bad_index(tmp_path):
+    p = tmp_path / "fl.txt"
+    p.write_text("nFeatures = 1\n\n"
+                 "      5 | (1.0,2.0) = 0\n")
+    _expect_klt_error(io.read_feature_list, p)
+
+
+def test_feature_list_text_row_count_mismatch(tmp_path):
+    p = tmp_path / "fl.txt"
+    p.write_text("nFeatures = 3\n\n"
+                 "      0 | (1.0,2.0) = 0\n")
+    _expect_klt_error(io.read_feature_list, p)
+
+
+def test_feature_table_binary_truncated(tmp_path):
+    ft = create_feature_table(3, 4)
+    p = tmp_path / "ft.bin"
+    io.write_feature_table(ft, p)
+    good = p.read_bytes()
+    for cut in (9, 13, len(good) - 6):
+        p.write_bytes(good[:cut])
+        _expect_klt_error(io.read_feature_table, p)
+
+
+def test_feature_table_text_bad_header(tmp_path):
+    p = tmp_path / "ft.txt"
+    p.write_text("this is not a feature table\n")
+    _expect_klt_error(io.read_feature_table, p)

@@ -50,10 +50,9 @@ def test_select_matches_oracle(cfg, img):
     want = oracle.select_good_features(img, 60, cfg)
     live_g, live_w = got[:, 2] >= 0, want[:, 2] >= 0
     assert live_g.sum() == live_w.sum()
-    # positions should agree exactly for nearly all slots (int eigenvalue
-    # rounding at float32 may flip rare ties)
-    same = (got[:, :2] == want[:, :2]).all(axis=1)
-    assert same.mean() >= 0.9
+    # positions agree exactly, row for row (tightened from 90% — no
+    # float32 tie flips observed; VERDICT r1 item 1)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_select_respects_mindist(cfg, img):
@@ -91,9 +90,8 @@ def test_replace_lost_preserves_survivors(cfg, img):
     # survivors untouched
     keep = lost[:, 2] >= 0
     np.testing.assert_array_equal(got[keep], lost[keep])
-    # refills match oracle for nearly all slots
-    same = (got[:, :2] == want[:, :2]).all(axis=1)
-    assert same.mean() >= 0.9
+    # refills match the oracle exactly, row for row
+    np.testing.assert_array_equal(got, want)
     # refilled features keep mindist from survivors
     live = got[got[:, 2] >= 0]
     for i in range(len(live)):

@@ -1,0 +1,93 @@
+"""On-device selection (ops.select_device) must reproduce the host
+greedy path (ops.select) EXACTLY whenever every slot fills — greedy is
+prefix-stable, so top-K equals the full scan in that case."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_textured_image
+
+from pyfeaturetrack_tpu.config import create_config
+from pyfeaturetrack_tpu.features import KLT_NOT_FOUND
+from pyfeaturetrack_tpu.ops.select import select_good_features_arrays
+from pyfeaturetrack_tpu.ops.select_device import select_features_device
+
+
+def _device_select(img, n_features, cfg, existing=None, top_k=None):
+    if existing is None:
+        x = jnp.full((n_features,), -1.0, jnp.float32)
+        y = jnp.full((n_features,), -1.0, jnp.float32)
+        v = jnp.full((n_features,), KLT_NOT_FOUND, jnp.int32)
+        replacing = False
+    else:
+        x = jnp.asarray(existing[:, 0], jnp.float32)
+        y = jnp.asarray(existing[:, 1], jnp.float32)
+        v = jnp.asarray(existing[:, 2], jnp.int32)
+        replacing = True
+    if top_k is None:
+        top_k = 1 << 20  # all candidates: exact greedy by construction
+    xs, ys, vs, filled, exhausted = select_features_device(
+        jnp.asarray(img, jnp.float32), x, y, v, cfg,
+        replacing=replacing, top_k=top_k)
+    out = np.stack([np.asarray(xs, np.float64), np.asarray(ys, np.float64),
+                    np.asarray(vs, np.float64)], axis=-1)
+    return out, np.asarray(filled), bool(exhausted)
+
+
+@pytest.mark.parametrize("mindist", [5, 10])
+def test_fresh_selection_matches_host(mindist):
+    img = make_textured_image(120, 160, seed=3)
+    cfg = create_config(mindist=mindist)
+    host = select_good_features_arrays(img, 40, cfg)
+    dev, filled, exhausted = _device_select(img, 40, cfg)
+    assert not exhausted
+    assert filled.all()
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_fresh_selection_small_topk_still_exact():
+    img = make_textured_image(120, 160, seed=5)
+    cfg = create_config(mindist=6)
+    host = select_good_features_arrays(img, 30, cfg)
+    dev, filled, exhausted = _device_select(img, 30, cfg, top_k=512)
+    assert not exhausted  # slots filled => top-K == full greedy
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_replacement_matches_host():
+    img = make_textured_image(120, 160, seed=7)
+    cfg = create_config(mindist=7)
+    base = select_good_features_arrays(img, 40, cfg)
+    # lose a scattered subset (mixed status codes, like real tracking)
+    lost = base.copy()
+    for i, code in [(0, -1), (3, -2), (7, -4), (12, -5), (21, -3),
+                    (33, -1), (39, -4)]:
+        lost[i] = (-1.0, -1.0, code)
+    host = select_good_features_arrays(img, 40, cfg, existing=lost.copy())
+    dev, filled, exhausted = _device_select(img, 40, cfg,
+                                            existing=lost.copy())
+    assert not exhausted
+    np.testing.assert_array_equal(dev, host)
+    assert filled.sum() == 7
+
+
+def test_replacement_nothing_lost_is_identity():
+    img = make_textured_image(120, 160, seed=9)
+    cfg = create_config()
+    base = select_good_features_arrays(img, 25, cfg)
+    dev, filled, _ = _device_select(img, 25, cfg, existing=base.copy())
+    np.testing.assert_array_equal(dev, base)
+    assert filled.sum() == 0
+
+
+def test_exhausted_flag_when_candidates_run_out():
+    # tiny candidate lattice + huge mindist: cannot fill all slots
+    img = make_textured_image(96, 96, seed=11)
+    cfg = create_config(mindist=30)
+    host = select_good_features_arrays(img, 30, cfg)
+    dev, filled, exhausted = _device_select(img, 30, cfg)
+    assert exhausted
+    assert not filled.all()
+    # full-candidate top_k is still the exact greedy even when exhausted
+    np.testing.assert_array_equal(dev, host)

@@ -37,15 +37,47 @@ def tracked(cfg, pair):
 
 
 def test_statuses_match_oracle(tracked):
+    """Status parity vs the float64 oracle is EXACT (VERDICT r1 item 1:
+    the historical 95% tolerance was slack, not a real f32/f64 gap —
+    instrumented 2026-08-17: zero disagreeing lanes across the default,
+    config-matrix, and noisy stress scenarios)."""
     got, want = tracked
-    assert (got[:, 2] == want[:, 2]).mean() >= 0.95
+    np.testing.assert_array_equal(got[:, 2], want[:, 2])
 
 
 def test_positions_match_oracle(tracked):
     got, want = tracked
     both = (got[:, 2] == 0) & (want[:, 2] == 0)
     assert both.sum() >= 10
-    np.testing.assert_allclose(got[both, :2], want[both, :2], atol=5e-3)
+    # float32 tracker vs float64 oracle: measured max gap ~1e-5 px
+    np.testing.assert_allclose(got[both, :2], want[both, :2], atol=1e-4)
+
+
+@pytest.mark.parametrize("scenario", ["noisy_shift", "noisy_shift_li",
+                                      "raw_texture_small_window"])
+def test_statuses_match_oracle_stress(scenario):
+    """Exact status parity holds in residue-threshold-straddling regimes
+    (sensor noise, gain/bias change, harsh unsmoothed texture)."""
+    img1 = make_textured_image(128, 160, seed=91)
+    r = np.random.default_rng(0)
+    if scenario == "noisy_shift":
+        img2 = np.clip(shift_image_bilinear(img1, 3.7, -2.9)
+                       + r.normal(0, 6, img1.shape), 0, 255)
+        cfg = pft.create_config()
+    elif scenario == "noisy_shift_li":
+        img2 = np.clip((shift_image_bilinear(img1, 3.7, -2.9)
+                        + r.normal(0, 6, img1.shape)) * 0.7 + 30, 0, 255)
+        cfg = pft.create_config(lighting_insensitive=True)
+    else:
+        img1 = make_textured_image(128, 160, seed=13, smooth=False)
+        img2 = shift_image_bilinear(img1, 2.2, 1.4)
+        cfg = pft.create_config(window_width=5, window_height=5)
+    feats = oracle.select_good_features(img1, 100, cfg)
+    fl2, _ = pft.KLTTrackFeatures(cfg, img1, img2,
+                                  feature_state_from_numpy(feats))
+    want, _ = oracle.track_features(img1, img2, feats, cfg)
+    np.testing.assert_array_equal(np.asarray(fl2.val, np.int64),
+                                  want[:, 2])
 
 
 def test_known_flow_recovered(cfg, pair):
