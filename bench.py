@@ -272,6 +272,13 @@ def bench_sfm():
 
 
 def main():
+    import os
+    # persistent XLA compile cache: repeat bench runs skip the 1-3 min
+    # remote compiles (must be set before any jax backend use)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--features", type=int, default=1000)
@@ -298,11 +305,15 @@ def main():
     if args.all:
         def log(msg):
             print(f"[bench] {msg}", file=sys.stderr, flush=True)
+            # incremental flush: a timeout mid-run still leaves a
+            # valid partial artifact for the round record
+            with open("BENCH_DETAILS.json", "w") as f:
+                json.dump(details, f, indent=2)
+        details = {"headline": headline, "headline_runs": reps}
         # ORDER MATTERS: on the axon relay, the first device->host
         # transfer in a process degrades every later dispatch to a
         # synchronous ~274ms round-trip. Pure-compute configs (2, 3, 4)
         # run first; transferring flows (1, 5) run last.
-        details = {"headline": headline, "headline_runs": reps}
         log(f"headline done: {reps}")
         details["config2_sequence_replace_fps"] = _repeat(
             bench_sequence_replace, n=5)
@@ -318,6 +329,12 @@ def main():
         details["batched8_streams_aggregate_fps"] = _repeat(
             bench_batched_streams, n=3)
         log(f"batched8 done: {details['batched8_streams_aggregate_fps']}")
+        from pyfeaturetrack_tpu.utils.roofline import roofline_report
+        details["roofline"] = roofline_report()
+        log(f"roofline done: " + ", ".join(
+            f"{k}={v['achieved_fraction']:.0%}"
+            for k, v in details["roofline"].items()
+            if isinstance(v, dict) and "achieved_fraction" in v))
         ratios = []
 
         def _sfm_rate():
@@ -327,7 +344,7 @@ def main():
         details["config5_ba_iters_per_s"] = _repeat(_sfm_rate, n=3)
         log(f"config5 done: {details['config5_ba_iters_per_s']} iters/s")
         details["config5b_windowed_ba_iters_per_s"] = _repeat(
-            bench_sfm_windowed, n=3)
+            bench_sfm_windowed, n=2)
         log(f"config5b done: {details['config5b_windowed_ba_iters_per_s']}")
         # final/initial cost: ~0 means excellent convergence, 1 means
         # none. First d2h of the process — everything after runs

@@ -39,6 +39,9 @@ def main(argv=None) -> int:
                     help="with --chunks: advance all chunks in lockstep "
                          "(one vmapped device call per frame step; "
                          "replacement runs on-device)")
+    ap.add_argument("--device-loop", action="store_true",
+                    help="run the device-resident sequence loop (zero "
+                         "per-frame host sync; translational only)")
     ap.add_argument("--overlays", action="store_true",
                     help="write per-frame PPM overlays")
     ap.add_argument("--verbose", action="store_true")
@@ -46,6 +49,11 @@ def main(argv=None) -> int:
     if args.batched and args.chunks <= 1:
         ap.error("--batched requires --chunks > 1 "
                  "(lockstep mode advances chunk streams together)")
+    if args.device_loop and args.affine >= 0:
+        ap.error("--device-loop is translational-only "
+                 "(drop --affine or use the default host loop)")
+    if args.device_loop and args.chunks > 1:
+        ap.error("--device-loop and --chunks are mutually exclusive")
 
     import numpy as np
 
@@ -82,6 +90,31 @@ def main(argv=None) -> int:
                    "global_tracks": int(table["val"].shape[1]),
                    "live_last_frame": live_last,
                    "chunks": args.chunks}
+    elif args.device_loop:
+        import jax.numpy as jnp
+        from .features import FeatureTable
+        from .models.device_sequence import track_sequence_device
+        tx, ty, tv = track_sequence_device(
+            frames, cfg=cfg, n_features=args.features,
+            replace_lost=not args.no_replace)
+        ft = FeatureTable(x=jnp.asarray(tx), y=jnp.asarray(ty),
+                          val=jnp.asarray(tv, jnp.int32))
+        if args.overlays:
+            from .features import feature_state_from_numpy
+            for i in range(len(frames)):
+                fl = feature_state_from_numpy(
+                    np.stack([tx[i], ty[i], tv[i]], -1))
+                write_feature_list_to_ppm(
+                    fl, frames[i], os.path.join(args.out, f"feat{i}.ppm"))
+        write_feature_table(ft, os.path.join(args.out, "features.txt"),
+                            fmt="%5.1f")
+        write_feature_table(ft, os.path.join(args.out, "features.ft"))
+        v = np.asarray(ft.val)
+        summary = {"frames": len(frames),
+                   "features": args.features,
+                   "live_last_frame": int((v[-1] >= 0).sum()),
+                   "full_tracks": int((v >= 0).all(axis=0).sum()),
+                   "device_loop": True}
     else:
         def on_frame(i, fl):
             if args.overlays:

@@ -1,0 +1,259 @@
+"""Pallas prototype: binned-gather LK window terms (SURVEY.md §7.3(3)).
+
+VERDICT r1 item 5 asked for the one Pallas design DESIGN.md §3 rejected
+without building: image row-slabs resident in VMEM with features BINNED
+by slab, so each LK gather runs from on-chip memory instead of XLA's
+HBM gather. This module implements exactly that for the hot inner op —
+one iteration's 3-window bilinear gather + the five window reductions
+(gxx, gxy, gyy, ex, ey) for every feature — and a bench entry point that
+races it against the XLA path (see bench result + verdict at bottom).
+
+Shape of the kernel:
+
+* XLA-side prep (still inside the caller's jit): features are sorted by
+  the row-slab containing their window's top row; per-slab start offsets
+  go in via scalar prefetch. The image (+gradients) is pre-sliced into
+  overlapping [slab_h + win, W] slabs (windows never cross a slab's
+  local bounds by construction).
+* grid = (n_slabs,): instance i holds its three slabs in VMEM and
+  fori-loops over its feature range, dynamic-slicing an (8, 8) patch
+  per array, blending the subpixel window, and writing the 5 reductions
+  to the feature's output row.
+
+The per-feature serialization is the known risk: Mosaic executes the
+bin loop sequentially, ~1000 iterations of tiny aligned loads + one-hot
+shift matmuls (Mosaic requires sublane offsets provably %8 and lane
+offsets %128 — arbitrary positions go through rowsel/colsel matmuls).
+
+MEASURED 2026-08-17 (480x640, 1000 features, v5e): single dispatch
+33.6 us vs XLA 33.0 us (dead heat — both on the ~40 us relay dispatch
+floor); 8x chained in-program 691 us/op vs XLA 943 us/op (Pallas ~1.27x
+faster kernel-side). Verdict: kept as an opt-in prototype; production
+stays on XLA gathers (see DESIGN.md §3, ROOFLINE.md §2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _window_terms_kernel(starts_ref, xs_ref, ys_ref,
+                         img_ref, gx_ref, gy_ref, w1_ref, g1x_ref,
+                         g1y_ref, out_ref, *, slab_h: int, hw: int,
+                         hh: int, step_factor: float):
+    i = pl.program_id(0)
+    lo = starts_ref[i]
+    hi = starts_ref[i + 1]
+    ww = 2 * hw + 1
+    wh = 2 * hh + 1
+
+    # aligned row block: wh+1 window rows always fit in 8+8 rows starting
+    # at the enclosing multiple of 8 (Mosaic requires sublane-dim slices
+    # to be provably 8-aligned; the residual shift is a one-hot matmul)
+    rows16 = 8 * ((wh + 1 + 7) // 8 + 1)
+
+    def one(j, carry):
+        x = xs_ref[j]
+        y = ys_ref[j]
+        # window top-left, slab-local
+        xt = jnp.floor(x - hw).astype(jnp.int32)
+        yt = jnp.floor(y - hh).astype(jnp.int32)
+        row = yt - i * slab_h
+        ax = x - hw - xt.astype(jnp.float32)
+        ay = y - hh - yt.astype(jnp.float32)
+
+        row_al = pl.multiple_of(8 * (row // 8), 8)
+        dr = row - row_al  # 0..7
+        # Mosaic only allows aligned vector loads (sublane: 8, lane:
+        # 128); load the enclosing aligned block and shift with one-hot
+        # matmuls — rowsel[a, b] = (b == dr + a), colsel[b, c] = (b ==
+        # dx + c)
+        ia = jax.lax.broadcasted_iota(jnp.int32, (wh + 1, rows16), 0)
+        ib = jax.lax.broadcasted_iota(jnp.int32, (wh + 1, rows16), 1)
+        rowsel = (ib == ia + dr).astype(jnp.float32)
+
+        w_img = img_ref.shape[2]
+        cols = 256
+        xt_al = pl.multiple_of(
+            jnp.minimum(128 * (xt // 128), w_img - cols), 128)
+        dx = xt - xt_al  # 0..cols-ww-2
+        ic = jax.lax.broadcasted_iota(jnp.int32, (cols, ww + 1), 0)
+        jc = jax.lax.broadcasted_iota(jnp.int32, (cols, ww + 1), 1)
+        colsel = (ic == jc + dx).astype(jnp.float32)
+
+        def blend(patch):
+            return ((1.0 - ax) * (1.0 - ay) * patch[:wh, :ww]
+                    + ax * (1.0 - ay) * patch[:wh, 1:ww + 1]
+                    + (1.0 - ax) * ay * patch[1:wh + 1, :ww]
+                    + ax * ay * patch[1:wh + 1, 1:ww + 1])
+
+        def fetch(ref):
+            block = ref[0, pl.ds(row_al, rows16), pl.ds(xt_al, cols)]
+            wide = jnp.dot(block, colsel,
+                           preferred_element_type=jnp.float32)
+            return jnp.dot(rowsel, wide,
+                           preferred_element_type=jnp.float32)
+
+        w2 = blend(fetch(img_ref))
+        diff = w1_ref[j] - w2
+        gx_sum = g1x_ref[j] + blend(fetch(gx_ref))
+        gy_sum = g1y_ref[j] + blend(fetch(gy_ref))
+        out_ref[j] = jnp.stack([
+            jnp.sum(gx_sum * gx_sum),
+            jnp.sum(gx_sum * gy_sum),
+            jnp.sum(gy_sum * gy_sum),
+            step_factor * jnp.sum(diff * gx_sum),
+            step_factor * jnp.sum(diff * gy_sum),
+        ])
+        return carry
+
+    lax.fori_loop(lo, hi, one, 0)
+
+
+def _make_slabs(img: jax.Array, slab_h: int, win: int, n_slabs: int
+                ) -> jax.Array:
+    """Overlapping [n_slabs, slab_h + win, W] row slabs (zero-pad tail)."""
+    h, w = img.shape
+    pad = n_slabs * slab_h + win - h
+    imgp = jnp.pad(img, ((0, max(pad, 0)), (0, 0)))
+    return jnp.stack([
+        lax.dynamic_slice(imgp, (k * slab_h, 0), (slab_h + win, w))
+        for k in range(n_slabs)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "hh", "step_factor",
+                                             "slab_h", "interpret"))
+def binned_window_terms(img2, gx2, gy2, w1, g1x, g1y, x2, y2, *,
+                        hw: int, hh: int, step_factor: float,
+                        slab_h: int = 128, interpret: bool = False):
+    """One LK iteration's (gxx, gxy, gyy, ex, ey) for every feature via
+    the binned-gather Pallas kernel. Returns [N, 5] float32.
+
+    Callers must ensure every window is in-bounds (the LK driver's
+    bounds mask guarantees this for live lanes; clamp dead lanes)."""
+    h, w = img2.shape
+    if w < 256 or w % 128 != 0:
+        raise ValueError(
+            "binned_window_terms prototype needs width >= 256 and a "
+            "multiple of 128 (Mosaic aligned lane loads)")
+    n = x2.shape[0]
+    # halo = the aligned row block the kernel fetches (see rows16 there)
+    win = 8 * ((2 * hh + 2 + 7) // 8 + 1)
+    n_slabs = -(-h // slab_h)
+
+    # bin features by the slab containing the window top row
+    top = jnp.clip(jnp.floor(y2 - hh).astype(jnp.int32), 0, h - 1)
+    slab_of = jnp.clip(top // slab_h, 0, n_slabs - 1)
+    order = jnp.argsort(slab_of)
+    counts = jnp.zeros((n_slabs,), jnp.int32).at[slab_of].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts).astype(jnp.int32)])
+
+    xs = jnp.clip(x2[order], hw, w - hw - 1.001)
+    ys = jnp.clip(y2[order], hh, h - hh - 1.001)
+    w1s, g1xs, g1ys = w1[order], g1x[order], g1y[order]
+
+    slabs_im = _make_slabs(img2, slab_h, win, n_slabs)
+    slabs_gx = _make_slabs(gx2, slab_h, win, n_slabs)
+    slabs_gy = _make_slabs(gy2, slab_h, win, n_slabs)
+
+    kernel = functools.partial(_window_terms_kernel, slab_h=slab_h,
+                               hw=hw, hh=hh, step_factor=step_factor)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_slabs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # xs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ys
+            pl.BlockSpec((1, slab_h + win, w), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # img slab
+            pl.BlockSpec((1, slab_h + win, w), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, slab_h + win, w), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w1 (all features)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+
+    out_sorted = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 5), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, xs, ys, slabs_im, slabs_gx, slabs_gy, w1s, g1xs, g1ys)
+
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1))
+    return out_sorted[inv]
+
+
+def xla_window_terms(img2, gx2, gy2, w1, g1x, g1y, x2, y2, *, hw, hh,
+                     step_factor):
+    """The production XLA path for the same op (ops/track._window_terms
+    + reductions) — the baseline the Pallas kernel must beat."""
+    from .track import _window_terms
+    diff, gx, gy = _window_terms(w1, g1x, g1y, img2, gx2, gy2, x2, y2,
+                                 hw, hh, False)
+    return jnp.stack([
+        jnp.sum(gx * gx, axis=(-2, -1)),
+        jnp.sum(gx * gy, axis=(-2, -1)),
+        jnp.sum(gy * gy, axis=(-2, -1)),
+        step_factor * jnp.sum(diff * gx, axis=(-2, -1)),
+        step_factor * jnp.sum(diff * gy, axis=(-2, -1)),
+    ], axis=-1)
+
+
+def bench_pallas_lk(h=480, w=640, n_features=1000, iters=50):
+    """Race the binned Pallas gather vs the XLA gather on the current
+    backend; returns (pallas_s, xla_s) per call."""
+    import time
+
+    from .interp import gather_window
+
+    rng = np.random.default_rng(0)
+    img2 = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    gx2 = jnp.asarray(rng.uniform(-20, 20, (h, w)), jnp.float32)
+    gy2 = jnp.asarray(rng.uniform(-20, 20, (h, w)), jnp.float32)
+    hw = hh = 3
+    x2 = jnp.asarray(rng.uniform(8, w - 9, n_features), jnp.float32)
+    y2 = jnp.asarray(rng.uniform(8, h - 9, n_features), jnp.float32)
+    w1 = gather_window(img2, x2, y2, hw, hh)
+    g1x = gather_window(gx2, x2, y2, hw, hh)
+    g1y = gather_window(gy2, x2, y2, hw, hh)
+    args = (img2, gx2, gy2, w1, g1x, g1y, x2, y2)
+    kw = dict(hw=hw, hh=hh, step_factor=1.0)
+
+    pall = binned_window_terms(*args, **kw)
+    xla_jit = jax.jit(functools.partial(xla_window_terms, **kw))
+    ref = xla_jit(*args)
+    jax.block_until_ready((pall, ref))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pall = binned_window_terms(*args, **kw)
+    jax.block_until_ready(pall)
+    pallas_s = (time.perf_counter() - t0) / iters
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ref = xla_jit(*args)
+    jax.block_until_ready(ref)
+    xla_s = (time.perf_counter() - t0) / iters
+    return pallas_s, xla_s
+
+
+if __name__ == "__main__":
+    p, x = bench_pallas_lk()
+    print(f"pallas binned gather: {p * 1e6:.1f} us/call; "
+          f"xla gather: {x * 1e6:.1f} us/call; "
+          f"{'PALLAS WINS' if p < x else 'XLA WINS'}")

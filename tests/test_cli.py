@@ -84,3 +84,35 @@ def test_cli_chunked_batched(pgm_frames, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["chunks"] == 2
     assert summary["live_last_frame"] >= 10
+
+
+def test_cli_device_loop_matches_host(pgm_frames, tmp_path, capsys):
+    """--device-loop produces the same table as the host loop."""
+    rc = main(pgm_frames + ["--features", "20",
+                            "--out", str(tmp_path / "dev"), "--device-loop"])
+    assert rc == 0
+    s_dev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s_dev["device_loop"] is True
+    rc = main(pgm_frames + ["--features", "20",
+                            "--out", str(tmp_path / "host")])
+    assert rc == 0
+    s_host = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s_dev["live_last_frame"] == s_host["live_last_frame"]
+    assert s_dev["full_tracks"] == s_host["full_tracks"]
+    ft_d = read_feature_table(tmp_path / "dev" / "features.ft")
+    ft_h = read_feature_table(tmp_path / "host" / "features.ft")
+    np.testing.assert_array_equal(np.asarray(ft_d.val),
+                                  np.asarray(ft_h.val))
+    np.testing.assert_allclose(np.asarray(ft_d.x), np.asarray(ft_h.x),
+                               atol=1e-4)
+
+
+def test_cli_flag_conflicts(pgm_frames, tmp_path):
+    with pytest.raises(SystemExit):
+        main(pgm_frames + ["--batched", "--out", str(tmp_path)])
+    with pytest.raises(SystemExit):
+        main(pgm_frames + ["--device-loop", "--affine", "2",
+                           "--out", str(tmp_path)])
+    with pytest.raises(SystemExit):
+        main(pgm_frames + ["--device-loop", "--chunks", "2",
+                           "--out", str(tmp_path)])
