@@ -74,18 +74,20 @@ def _repeat(fn, n=5):
             "max": round(float(np.max(vals)), 2), "n": n}
 
 
-def bench_sequence_replace(h=480, w=640, n_features=1000, n_frames=50,
-                           shift=2):
+def bench_sequence_replace(h=480, w=640, n_features=1000, n_frames=48,
+                           shift=2, chain=1):
     """BASELINE config 2: the example3-shaped sequence loop WITH per-frame
     lost-feature replacement, fully device-resident (ops.select_device) —
     frames/s including the replace stage. The texture ping-pongs
     horizontally so a steady trickle of features drifts out of the border
-    band and must be refilled."""
+    band and must be refilled. ``chain`` > 1 uses the micro-chained
+    driver (k frames per dispatched program — amortizes the relay's
+    ~40 us dispatch floor, ROOFLINE.md §2)."""
     import jax
     import jax.numpy as jnp
     from pyfeaturetrack_tpu.config import create_config
     from pyfeaturetrack_tpu.models.device_sequence import (
-        select_step_device, sequence_step_device)
+        select_step_device, sequence_chain_device, sequence_step_device)
 
     cfg = create_config().replace(sequentialMode=True).validated_window()
     base = _textured(h, w, seed=4)[:h, :w]
@@ -94,16 +96,23 @@ def bench_sequence_replace(h=480, w=640, n_features=1000, n_frames=50,
            for i in range(n_cycle)]
     frames = cyc + cyc[-2:0:-1]  # ping-pong: steps stay +-shift px
 
-    pyr, x, y, val = select_step_device(frames[0], cfg, n_features)
-    for i in range(1, 6):  # warm both cond branches + compile
-        pyr, x, y, val = sequence_step_device(
-            pyr, frames[i % len(frames)], x, y, val, cfg, True)
+    def advance(pyr, i, x, y, val):
+        if chain == 1:
+            return sequence_step_device(
+                pyr, frames[i % len(frames)], x, y, val, cfg, True)
+        imgs = tuple(frames[(i + j) % len(frames)] for j in range(chain))
+        pyr, _, (fx, fy, fv), aff = sequence_chain_device(
+            pyr, imgs, x, y, val, cfg, True)
+        return pyr, fx, fy, fv, aff
+
+    pyr, x, y, val, _ = select_step_device(frames[0], cfg, n_features)
+    for i in range(1, 1 + 2 * chain, chain):  # warm cond branches
+        pyr, x, y, val, _ = advance(pyr, i, x, y, val)
     jax.block_until_ready(val)
 
     t0 = time.perf_counter()
-    for i in range(n_frames):
-        pyr, x, y, val = sequence_step_device(
-            pyr, frames[(6 + i) % len(frames)], x, y, val, cfg, True)
+    for i in range(0, n_frames, chain):
+        pyr, x, y, val, _ = advance(pyr, 6 + i, x, y, val)
     jax.block_until_ready(val)
     return n_frames / (time.perf_counter() - t0)
 
@@ -261,6 +270,7 @@ def bench_sfm():
     # warm up (compile) outside the timed region; costs stay on device
     # inside bundle_adjust so the loop dispatches async
     R, t, Xh, costs = bundle_adjust(problem, Rs, ts, X0, n_iters=1)
+    jax.block_until_ready((R, t, Xh))  # compile must NOT bleed into rep 1
     t0 = time.perf_counter()
     R, t, Xh, costs = bundle_adjust(problem, Rs, ts, X0, n_iters=8)
     jax.block_until_ready((R, t, Xh))
@@ -318,6 +328,9 @@ def main():
         details["config2_sequence_replace_fps"] = _repeat(
             bench_sequence_replace, n=5)
         log(f"config2 done: {details['config2_sequence_replace_fps']}")
+        details["config2_chain8_fps"] = _repeat(
+            lambda: bench_sequence_replace(chain=8), n=3)
+        log(f"config2 chain8 done: {details['config2_chain8_fps']}")
         details["config3_affine_fps"] = _repeat(bench_affine, n=5)
         log(f"config3 done: {details['config3_affine_fps']} checks/s")
         details["config4_1080p_4096feat_4lvl_fps"] = _repeat(

@@ -41,7 +41,10 @@ def main(argv=None) -> int:
                          "replacement runs on-device)")
     ap.add_argument("--device-loop", action="store_true",
                     help="run the device-resident sequence loop (zero "
-                         "per-frame host sync; translational only)")
+                         "per-frame host sync)")
+    ap.add_argument("--chain", type=int, default=1,
+                    help="with --device-loop: frames per dispatched "
+                         "program (amortizes per-dispatch overhead)")
     ap.add_argument("--overlays", action="store_true",
                     help="write per-frame PPM overlays")
     ap.add_argument("--verbose", action="store_true")
@@ -49,9 +52,6 @@ def main(argv=None) -> int:
     if args.batched and args.chunks <= 1:
         ap.error("--batched requires --chunks > 1 "
                  "(lockstep mode advances chunk streams together)")
-    if args.device_loop and args.affine >= 0:
-        ap.error("--device-loop is translational-only "
-                 "(drop --affine or use the default host loop)")
     if args.device_loop and args.chunks > 1:
         ap.error("--device-loop and --chunks are mutually exclusive")
 
@@ -96,7 +96,7 @@ def main(argv=None) -> int:
         from .models.device_sequence import track_sequence_device
         tx, ty, tv = track_sequence_device(
             frames, cfg=cfg, n_features=args.features,
-            replace_lost=not args.no_replace)
+            replace_lost=not args.no_replace, chain=max(args.chain, 1))
         ft = FeatureTable(x=jnp.asarray(tx), y=jnp.asarray(ty),
                           val=jnp.asarray(tv, jnp.int32))
         if args.overlays:

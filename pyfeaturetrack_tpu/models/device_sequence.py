@@ -12,7 +12,9 @@ rule 3), so the host loop only *issues* steps and pulls the stacked
 track table once at the end.
 
 Replacement is lax.cond-gated on "any feature lost", so frames where
-every feature tracks pay zero selection cost.
+every feature tracks pay zero selection cost. The affine-consistency
+stage (cfg.affineConsistencyCheck >= 0) runs device-side too, carrying
+the AffineState (templates + warps) between steps.
 """
 
 from __future__ import annotations
@@ -53,7 +55,11 @@ def _selection_eig_from_pyr(img: jax.Array, pyr: TrackPyramids, cfg
 @functools.partial(jax.jit, static_argnames=("cfg", "n_features", "top_k"))
 def select_step_device(img: jax.Array, cfg, n_features: int,
                        top_k: int = DEFAULT_TOP_K):
-    """Frame-0 step: build pyramids + select n_features on device."""
+    """Frame-0 step: build pyramids + select n_features on device.
+
+    Returns (pyr, x, y, val, aff) — ``aff`` is a fresh AffineState when
+    cfg.affineConsistencyCheck >= 0, else None."""
+    from ..ops.affine import make_affine_state
     img = jnp.asarray(img, jnp.float32)
     pyr = build_track_pyramids(img, cfg)
     eig = _selection_eig_from_pyr(img, pyr, cfg)
@@ -62,7 +68,47 @@ def select_step_device(img: jax.Array, cfg, n_features: int,
     v0 = jnp.full((n_features,), KLT_NOT_FOUND, jnp.int32)
     x, y, val, _, _ = select_features_from_eig_device(
         eig, x0, y0, v0, cfg, replacing=False, top_k=top_k)
-    return pyr, x, y, val
+    aff = (make_affine_state(n_features, cfg)
+           if cfg.affineConsistencyCheck >= 0 else None)
+    return pyr, x, y, val, aff
+
+
+def _sequence_step_body(pyr_prev: TrackPyramids, img_new: jax.Array,
+                        x: jax.Array, y: jax.Array, val: jax.Array,
+                        cfg, replace_lost: bool,
+                        top_k: int, aff):
+    """Traceable one-frame body shared by the per-step and micro-chained
+    drivers. Returns (pyr_new, x, y, val, aff)."""
+    from ..features import FeatureState, reset_affine
+    img_new = jnp.asarray(img_new, jnp.float32)
+    pyr_new = build_track_pyramids(img_new, cfg)
+    nx, ny, nval = track_features_pyramids(pyr_prev, pyr_new, x, y, val,
+                                           cfg)
+
+    if cfg.affineConsistencyCheck >= 0:
+        from ..ops.affine import affine_consistency_check
+        fl_before = FeatureState(x=x, y=y, val=val, aff=aff)
+        fl_after = FeatureState(x=nx, y=ny, val=nval, aff=aff)
+        fl_after = affine_consistency_check(pyr_prev, pyr_new, fl_before,
+                                            fl_after, cfg)
+        nx, ny, nval, aff = (fl_after.x, fl_after.y, fl_after.val,
+                             fl_after.aff)
+
+    if replace_lost:
+        def refill(op):
+            xx, yy, vv, av = op
+            eig = _selection_eig_from_pyr(img_new, pyr_new, cfg)
+            rx, ry, rv, _, _ = select_features_from_eig_device(
+                eig, xx, yy, vv, cfg, replacing=True, top_k=top_k)
+            if av is not None:
+                # refilled slots are fresh features: recapture templates
+                # (reference frees aff_img when a feature is replaced)
+                av = reset_affine(av, vv < 0)
+            return rx, ry, rv, av
+
+        nx, ny, nval, aff = lax.cond(jnp.any(nval < 0), refill,
+                                     lambda op: op, (nx, ny, nval, aff))
+    return pyr_new, nx, ny, nval, aff
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "replace_lost",
@@ -70,53 +116,82 @@ def select_step_device(img: jax.Array, cfg, n_features: int,
 def sequence_step_device(pyr_prev: TrackPyramids, img_new: jax.Array,
                          x: jax.Array, y: jax.Array, val: jax.Array,
                          cfg, replace_lost: bool = True,
-                         top_k: int = DEFAULT_TOP_K):
-    """One frame step: track into img_new, then (conditionally) refill
-    lost slots — all device-side. Returns (pyr_new, x, y, val)."""
-    img_new = jnp.asarray(img_new, jnp.float32)
-    pyr_new = build_track_pyramids(img_new, cfg)
-    x, y, val = track_features_pyramids(pyr_prev, pyr_new, x, y, val, cfg)
+                         top_k: int = DEFAULT_TOP_K, aff=None):
+    """One frame step: track into img_new, run the affine consistency
+    stage when configured, then (conditionally) refill lost slots — all
+    device-side. Returns (pyr_new, x, y, val, aff)."""
+    return _sequence_step_body(pyr_prev, img_new, x, y, val, cfg,
+                               replace_lost, top_k, aff)
 
-    if replace_lost:
-        def refill(op):
-            xx, yy, vv = op
-            eig = _selection_eig_from_pyr(img_new, pyr_new, cfg)
-            nx, ny, nv, _, _ = select_features_from_eig_device(
-                eig, xx, yy, vv, cfg, replacing=True, top_k=top_k)
-            return nx, ny, nv
 
-        x, y, val = lax.cond(jnp.any(val < 0), refill, lambda op: op,
-                             (x, y, val))
-    return pyr_new, x, y, val
+@functools.partial(jax.jit, static_argnames=("cfg", "replace_lost",
+                                             "top_k"))
+def sequence_chain_device(pyr_prev: TrackPyramids, imgs: tuple,
+                          x: jax.Array, y: jax.Array, val: jax.Array,
+                          cfg, replace_lost: bool = True,
+                          top_k: int = DEFAULT_TOP_K, aff=None):
+    """Micro-chained steps: advance len(imgs) frames in ONE program.
+
+    Amortizes the per-dispatch floor (~40 us on relay rigs — see
+    ROOFLINE.md §2): measured 69 us/frame per-step vs 11.3 us/frame at
+    chain=8 and 6.5 us at chain=32 on the v5e. Same math as repeated
+    sequence_step_device calls. Returns (pyr, hist, final, aff): hist =
+    per-frame (x, y, val) stacked [k, N]; final = the UNSTACKED last
+    (x, y, val) — carry ``final`` into the next call rather than slicing
+    hist[-1] (host-side slices of device outputs are dispatch-expensive
+    on relay rigs). Compile time grows with k (~1-2 s/frame on the
+    remote compiler), so pick k to match the serving pattern.
+    """
+    xs, ys, vs = [], [], []
+    pyr = pyr_prev
+    for img in imgs:
+        pyr, x, y, val, aff = _sequence_step_body(
+            pyr, img, x, y, val, cfg, replace_lost, top_k, aff)
+        xs.append(x)
+        ys.append(y)
+        vs.append(val)
+    hist = (jnp.stack(xs), jnp.stack(ys), jnp.stack(vs))
+    return pyr, hist, (x, y, val), aff
 
 
 def track_sequence_device(frames: Iterable, cfg: Optional[TrackerConfig]
                           = None, n_features: int = 150,
                           replace_lost: bool = True,
-                          top_k: int = DEFAULT_TOP_K):
+                          top_k: int = DEFAULT_TOP_K, chain: int = 1):
     """Track a whole sequence device-resident; one host pull at the end.
 
     Returns (x, y, val) stacked [n_frames, n_features] numpy arrays —
     the FeatureTable contents of models.sequence.track_sequence.
+    ``chain`` > 1 advances that many frames per dispatched program
+    (sequence_chain_device), amortizing the per-dispatch floor; the
+    tail shorter than ``chain`` falls back to per-step calls.
     """
     cfg = (cfg if cfg is not None else create_config()).replace(
         sequentialMode=True).validated_window()
-    if cfg.affineConsistencyCheck >= 0:
-        raise NotImplementedError(
-            "device-resident sequence loop is translational-only; use "
-            "models.sequence.track_sequence for affine consistency")
     frames = list(frames)
     dev_frames = [jnp.asarray(np.asarray(f), jnp.float32) for f in frames]
 
-    pyr, x, y, val = select_step_device(dev_frames[0], cfg, n_features,
-                                        top_k)
-    xs, ys, vs = [x], [y], [val]
-    for img in dev_frames[1:]:
-        pyr, x, y, val = sequence_step_device(pyr, img, x, y, val, cfg,
-                                              replace_lost, top_k)
-        xs.append(x)
-        ys.append(y)
-        vs.append(val)
+    pyr, x, y, val, aff = select_step_device(dev_frames[0], cfg,
+                                             n_features, top_k)
+    # history accumulates as whole device chunks ([k, N] per chain call,
+    # [N] rows per single step) — concatenated once on host at the end
+    chunks = [(x, y, val)]
+    i = 1
+    while i < len(dev_frames):
+        k = len(dev_frames) - i
+        if chain > 1 and k >= chain:
+            pyr, hist, (x, y, val), aff = sequence_chain_device(
+                pyr, tuple(dev_frames[i:i + chain]), x, y, val, cfg,
+                replace_lost, top_k, aff)
+            chunks.append(hist)
+            i += chain
+        else:
+            pyr, x, y, val, aff = sequence_step_device(
+                pyr, dev_frames[i], x, y, val, cfg, replace_lost, top_k,
+                aff)
+            chunks.append((x, y, val))
+            i += 1
     jax.block_until_ready(val)
-    return (np.asarray(jnp.stack(xs)), np.asarray(jnp.stack(ys)),
-            np.asarray(jnp.stack(vs)))
+    cols = [[np.atleast_2d(np.asarray(c[j])) for c in chunks]
+            for j in range(3)]
+    return tuple(np.concatenate(col, axis=0) for col in cols)

@@ -111,8 +111,5 @@ def test_cli_flag_conflicts(pgm_frames, tmp_path):
     with pytest.raises(SystemExit):
         main(pgm_frames + ["--batched", "--out", str(tmp_path)])
     with pytest.raises(SystemExit):
-        main(pgm_frames + ["--device-loop", "--affine", "2",
-                           "--out", str(tmp_path)])
-    with pytest.raises(SystemExit):
         main(pgm_frames + ["--device-loop", "--chunks", "2",
                            "--out", str(tmp_path)])

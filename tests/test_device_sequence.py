@@ -40,8 +40,30 @@ def test_device_sequence_replaces_lost():
     assert (dv[-1] >= 0).all()
 
 
-def test_device_sequence_rejects_affine():
-    frames = _rolling_frames(n_frames=2)
-    with pytest.raises(NotImplementedError):
-        track_sequence_device(frames,
-                              cfg=create_config(affineConsistencyCheck=2))
+@pytest.mark.parametrize("mode", [0, 2])
+def test_device_sequence_affine_matches_host(mode):
+    """The device loop's affine-consistency stage == the host loop's,
+    table for table (templates + warps carried on device)."""
+    frames = _rolling_frames(n_frames=5, shift=3, seed=17)
+    cfg = create_config(mindist=8, affineConsistencyCheck=mode)
+    ft, _ = track_sequence(frames, cfg=cfg, n_features=30,
+                           replace_lost=True)
+    dx, dy, dv = track_sequence_device(frames, cfg=cfg, n_features=30,
+                                       replace_lost=True)
+    np.testing.assert_array_equal(dv, np.asarray(ft.val))
+    np.testing.assert_allclose(dx, np.asarray(ft.x), atol=1e-4)
+    np.testing.assert_allclose(dy, np.asarray(ft.y), atol=1e-4)
+
+
+@pytest.mark.parametrize("chain", [3, 4])
+def test_chained_matches_per_step(chain):
+    """Micro-chained dispatch (k frames per program) == per-step calls."""
+    frames = _rolling_frames(n_frames=9, shift=4, seed=29)
+    cfg = create_config(mindist=8)
+    x1, y1, v1 = track_sequence_device(frames, cfg=cfg, n_features=30,
+                                       replace_lost=True)
+    x2, y2, v2 = track_sequence_device(frames, cfg=cfg, n_features=30,
+                                       replace_lost=True, chain=chain)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_allclose(x1, x2, atol=1e-5)
+    np.testing.assert_allclose(y1, y2, atol=1e-5)
