@@ -98,21 +98,22 @@ def bench_sequence_replace(h=480, w=640, n_features=1000, n_frames=48,
 
     def advance(pyr, i, x, y, val):
         if chain == 1:
-            return sequence_step_device(
+            out = sequence_step_device(
                 pyr, frames[i % len(frames)], x, y, val, cfg, True)
+            return out[0], out[1], out[2], out[3]
         imgs = tuple(frames[(i + j) % len(frames)] for j in range(chain))
-        pyr, _, (fx, fy, fv), aff = sequence_chain_device(
+        pyr, _, (fx, fy, fv), _, _ = sequence_chain_device(
             pyr, imgs, x, y, val, cfg, True)
-        return pyr, fx, fy, fv, aff
+        return pyr, fx, fy, fv
 
-    pyr, x, y, val, _ = select_step_device(frames[0], cfg, n_features)
+    pyr, x, y, val, _, _ = select_step_device(frames[0], cfg, n_features)
     for i in range(1, 1 + 2 * chain, chain):  # warm cond branches
-        pyr, x, y, val, _ = advance(pyr, i, x, y, val)
+        pyr, x, y, val = advance(pyr, i, x, y, val)
     jax.block_until_ready(val)
 
     t0 = time.perf_counter()
     for i in range(0, n_frames, chain):
-        pyr, x, y, val, _ = advance(pyr, 6 + i, x, y, val)
+        pyr, x, y, val = advance(pyr, 6 + i, x, y, val)
     jax.block_until_ready(val)
     return n_frames / (time.perf_counter() - t0)
 
@@ -231,7 +232,8 @@ def bench_sfm_windowed(C=60, L=6000, kw=12, n_iters=8):
                                 uv=uv, w=jnp.ones((L, kw), jnp.float32))
     X0 = jnp.asarray(X + 0.05 * rng.standard_normal(X.shape
                                                     ).astype(np.float32))
-    out = bundle_adjust_windowed(problem, Rs, ts, X0, n_iters=1)
+    out = bundle_adjust_windowed(problem, Rs, ts, X0, n_iters=n_iters,
+                                 point_only_iters=0)
     jax.block_until_ready(out[:3])
     t0 = time.perf_counter()
     out = bundle_adjust_windowed(problem, Rs, ts, X0, n_iters=n_iters,
@@ -267,9 +269,10 @@ def bench_sfm():
                         uv_dev.reshape(-1, 2),
                         jnp.ones((C * L,), jnp.float32))
     X0 = X + 0.05 * rng.standard_normal(X.shape).astype(np.float32)
-    # warm up (compile) outside the timed region; costs stay on device
-    # inside bundle_adjust so the loop dispatches async
-    R, t, Xh, costs = bundle_adjust(problem, Rs, ts, X0, n_iters=1)
+    # warm up (compile) outside the timed region with the SAME n_iters —
+    # even the trailing jnp.stack differs per count and recompiles on
+    # the remote compiler; costs stay on device so the loop is async
+    R, t, Xh, costs = bundle_adjust(problem, Rs, ts, X0, n_iters=8)
     jax.block_until_ready((R, t, Xh))  # compile must NOT bleed into rep 1
     t0 = time.perf_counter()
     R, t, Xh, costs = bundle_adjust(problem, Rs, ts, X0, n_iters=8)
@@ -315,10 +318,17 @@ def main():
     if args.all:
         def log(msg):
             print(f"[bench] {msg}", file=sys.stderr, flush=True)
-            # incremental flush: a timeout mid-run still leaves a
-            # valid partial artifact for the round record
+            # incremental flush MERGED over any previous artifact: a
+            # timeout mid-run must neither lose this run's completed
+            # configs nor wipe results the previous complete run had
+            try:
+                with open("BENCH_DETAILS.json") as f:
+                    merged = json.load(f)
+            except (OSError, ValueError):
+                merged = {}
+            merged.update(details)
             with open("BENCH_DETAILS.json", "w") as f:
-                json.dump(details, f, indent=2)
+                json.dump(merged, f, indent=2)
         details = {"headline": headline, "headline_runs": reps}
         # ORDER MATTERS: on the axon relay, the first device->host
         # transfer in a process degrades every later dispatch to a
@@ -375,8 +385,7 @@ def main():
                              sc["efficiency_vs_smallest"][d], 3)}
                 for d in sc["device_counts"]}
             log(f"scaling done: {details['scaling']}")
-        with open("BENCH_DETAILS.json", "w") as f:
-            json.dump(details, f, indent=2)
+        log("all configs done")  # final merged flush
         print(json.dumps(details), file=sys.stderr)
 
     print(json.dumps(headline))

@@ -69,16 +69,19 @@ def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
         nx, ny, nv = jax.vmap(
             lambda p1, p2, xx, yy, vv: track_features_pyramids(
                 p1, p2, xx, yy, vv, cfg))(pyr_prev, pyr_new, x, y, v)
+        ex = jnp.asarray(False)
         if replace_lost:
             # under vmap a cond would run both branches anyway; the
             # refill is an exact identity on chunks with nothing lost
             def refill(img, p2, xx, yy, vv):
                 eig = _selection_eig_from_pyr(img, p2, cfg)
-                rx, ry, rv, _, _ = select_features_from_eig_device(
+                rx, ry, rv, _, exhausted = select_features_from_eig_device(
                     eig, xx, yy, vv, cfg, replacing=True)
-                return rx, ry, rv
-            nx, ny, nv = jax.vmap(refill)(frame_batch, pyr_new, nx, ny, nv)
-        return pyr_new, nx, ny, nv
+                return rx, ry, rv, exhausted
+            nx, ny, nv, exs = jax.vmap(refill)(frame_batch, pyr_new,
+                                               nx, ny, nv)
+            ex = jnp.any(exs)
+        return pyr_new, nx, ny, nv, ex
 
     # Per-step frame batches must be separate contiguous device arrays:
     # slicing a packed [C, F, H, W] device array per step ([:, i]) runs a
@@ -96,13 +99,22 @@ def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
 
     pyr = first(frame_steps[0])
     xs, ys, vs = [x], [y], [v]
+    exhausted = jnp.asarray(False)
     for i in range(1, f):
-        pyr, x, y, v = step(pyr, frame_steps[i], x, y, v)
+        pyr, x, y, v, ex = step(pyr, frame_steps[i], x, y, v)
+        exhausted = exhausted | ex
         xs.append(x)
         ys.append(y)
         vs.append(v)
-    return (jnp.stack(xs, axis=1), jnp.stack(ys, axis=1),
-            jnp.stack(vs, axis=1))
+    out = (jnp.stack(xs, axis=1), jnp.stack(ys, axis=1),
+           jnp.stack(vs, axis=1))
+    if replace_lost and bool(exhausted):
+        from ..errors import KLTWarning
+        KLTWarning(
+            "(track_chunks_batched) a refill ran out of top-K "
+            "candidates with free slots left — the host full-scan path "
+            "may fill more")
+    return out
 
 
 def chunk_bounds(n_frames: int, n_chunks: int) -> list[tuple[int, int]]:

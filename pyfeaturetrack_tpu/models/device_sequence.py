@@ -57,8 +57,8 @@ def select_step_device(img: jax.Array, cfg, n_features: int,
                        top_k: int = DEFAULT_TOP_K):
     """Frame-0 step: build pyramids + select n_features on device.
 
-    Returns (pyr, x, y, val, aff) — ``aff`` is a fresh AffineState when
-    cfg.affineConsistencyCheck >= 0, else None."""
+    Returns (pyr, x, y, val, aff, exhausted) — ``aff`` is a fresh
+    AffineState when cfg.affineConsistencyCheck >= 0, else None."""
     from ..ops.affine import make_affine_state
     img = jnp.asarray(img, jnp.float32)
     pyr = build_track_pyramids(img, cfg)
@@ -66,11 +66,11 @@ def select_step_device(img: jax.Array, cfg, n_features: int,
     x0 = jnp.full((n_features,), -1.0, jnp.float32)
     y0 = jnp.full((n_features,), -1.0, jnp.float32)
     v0 = jnp.full((n_features,), KLT_NOT_FOUND, jnp.int32)
-    x, y, val, _, _ = select_features_from_eig_device(
+    x, y, val, _, exhausted = select_features_from_eig_device(
         eig, x0, y0, v0, cfg, replacing=False, top_k=top_k)
     aff = (make_affine_state(n_features, cfg)
            if cfg.affineConsistencyCheck >= 0 else None)
-    return pyr, x, y, val, aff
+    return pyr, x, y, val, aff, exhausted
 
 
 def _sequence_step_body(pyr_prev: TrackPyramids, img_new: jax.Array,
@@ -78,7 +78,10 @@ def _sequence_step_body(pyr_prev: TrackPyramids, img_new: jax.Array,
                         cfg, replace_lost: bool,
                         top_k: int, aff):
     """Traceable one-frame body shared by the per-step and micro-chained
-    drivers. Returns (pyr_new, x, y, val, aff)."""
+    drivers. Returns (pyr_new, x, y, val, aff, exhausted) — ``exhausted``
+    is True when a refill ran out of top-K candidates with free slots
+    left (the one case where the device path can fill fewer slots than
+    the host's full candidate scan; drivers surface it as a warning)."""
     from ..features import FeatureState, reset_affine
     img_new = jnp.asarray(img_new, jnp.float32)
     pyr_new = build_track_pyramids(img_new, cfg)
@@ -94,21 +97,23 @@ def _sequence_step_body(pyr_prev: TrackPyramids, img_new: jax.Array,
         nx, ny, nval, aff = (fl_after.x, fl_after.y, fl_after.val,
                              fl_after.aff)
 
+    exhausted = jnp.asarray(False)
     if replace_lost:
         def refill(op):
-            xx, yy, vv, av = op
+            xx, yy, vv, av, _ = op
             eig = _selection_eig_from_pyr(img_new, pyr_new, cfg)
-            rx, ry, rv, _, _ = select_features_from_eig_device(
+            rx, ry, rv, _, ex = select_features_from_eig_device(
                 eig, xx, yy, vv, cfg, replacing=True, top_k=top_k)
             if av is not None:
                 # refilled slots are fresh features: recapture templates
                 # (reference frees aff_img when a feature is replaced)
                 av = reset_affine(av, vv < 0)
-            return rx, ry, rv, av
+            return rx, ry, rv, av, ex
 
-        nx, ny, nval, aff = lax.cond(jnp.any(nval < 0), refill,
-                                     lambda op: op, (nx, ny, nval, aff))
-    return pyr_new, nx, ny, nval, aff
+        nx, ny, nval, aff, exhausted = lax.cond(
+            jnp.any(nval < 0), refill, lambda op: op,
+            (nx, ny, nval, aff, exhausted))
+    return pyr_new, nx, ny, nval, aff, exhausted
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "replace_lost",
@@ -119,7 +124,7 @@ def sequence_step_device(pyr_prev: TrackPyramids, img_new: jax.Array,
                          top_k: int = DEFAULT_TOP_K, aff=None):
     """One frame step: track into img_new, run the affine consistency
     stage when configured, then (conditionally) refill lost slots — all
-    device-side. Returns (pyr_new, x, y, val, aff)."""
+    device-side. Returns (pyr_new, x, y, val, aff, exhausted)."""
     return _sequence_step_body(pyr_prev, img_new, x, y, val, cfg,
                                replace_lost, top_k, aff)
 
@@ -135,23 +140,26 @@ def sequence_chain_device(pyr_prev: TrackPyramids, imgs: tuple,
     Amortizes the per-dispatch floor (~40 us on relay rigs — see
     ROOFLINE.md §2): measured 69 us/frame per-step vs 11.3 us/frame at
     chain=8 and 6.5 us at chain=32 on the v5e. Same math as repeated
-    sequence_step_device calls. Returns (pyr, hist, final, aff): hist =
-    per-frame (x, y, val) stacked [k, N]; final = the UNSTACKED last
-    (x, y, val) — carry ``final`` into the next call rather than slicing
-    hist[-1] (host-side slices of device outputs are dispatch-expensive
-    on relay rigs). Compile time grows with k (~1-2 s/frame on the
-    remote compiler), so pick k to match the serving pattern.
+    sequence_step_device calls. Returns (pyr, hist, final, aff,
+    exhausted): hist = per-frame (x, y, val) stacked [k, N]; final = the
+    UNSTACKED last (x, y, val) — carry ``final`` into the next call
+    rather than slicing hist[-1] (host-side slices of device outputs are
+    dispatch-expensive on relay rigs); exhausted = any step's refill ran
+    out of top-K candidates. Compile time grows with k (~1-2 s/frame on
+    the remote compiler), so pick k to match the serving pattern.
     """
     xs, ys, vs = [], [], []
     pyr = pyr_prev
+    exhausted = jnp.asarray(False)
     for img in imgs:
-        pyr, x, y, val, aff = _sequence_step_body(
+        pyr, x, y, val, aff, ex = _sequence_step_body(
             pyr, img, x, y, val, cfg, replace_lost, top_k, aff)
+        exhausted = exhausted | ex
         xs.append(x)
         ys.append(y)
         vs.append(val)
     hist = (jnp.stack(xs), jnp.stack(ys), jnp.stack(vs))
-    return pyr, hist, (x, y, val), aff
+    return pyr, hist, (x, y, val), aff, exhausted
 
 
 def track_sequence_device(frames: Iterable, cfg: Optional[TrackerConfig]
@@ -169,29 +177,40 @@ def track_sequence_device(frames: Iterable, cfg: Optional[TrackerConfig]
     cfg = (cfg if cfg is not None else create_config()).replace(
         sequentialMode=True).validated_window()
     frames = list(frames)
-    dev_frames = [jnp.asarray(np.asarray(f), jnp.float32) for f in frames]
 
-    pyr, x, y, val, aff = select_step_device(dev_frames[0], cfg,
-                                             n_features, top_k)
+    def dev(j):
+        # frames are staged as they are consumed (only `chain` at a
+        # time): a long video held fully device-resident would exceed
+        # HBM (3600 x 1080p f32 = ~30 GB vs 16 GB on a v5e)
+        return jnp.asarray(np.asarray(frames[j]), jnp.float32)
+
+    pyr, x, y, val, aff, exhausted = select_step_device(
+        dev(0), cfg, n_features, top_k)
     # history accumulates as whole device chunks ([k, N] per chain call,
     # [N] rows per single step) — concatenated once on host at the end
     chunks = [(x, y, val)]
     i = 1
-    while i < len(dev_frames):
-        k = len(dev_frames) - i
+    while i < len(frames):
+        k = len(frames) - i
         if chain > 1 and k >= chain:
-            pyr, hist, (x, y, val), aff = sequence_chain_device(
-                pyr, tuple(dev_frames[i:i + chain]), x, y, val, cfg,
-                replace_lost, top_k, aff)
+            pyr, hist, (x, y, val), aff, ex = sequence_chain_device(
+                pyr, tuple(dev(i + j) for j in range(chain)), x, y, val,
+                cfg, replace_lost, top_k, aff)
             chunks.append(hist)
             i += chain
         else:
-            pyr, x, y, val, aff = sequence_step_device(
-                pyr, dev_frames[i], x, y, val, cfg, replace_lost, top_k,
-                aff)
+            pyr, x, y, val, aff, ex = sequence_step_device(
+                pyr, dev(i), x, y, val, cfg, replace_lost, top_k, aff)
             chunks.append((x, y, val))
             i += 1
+        exhausted = exhausted | ex
     jax.block_until_ready(val)
+    if bool(exhausted):
+        from ..errors import KLTWarning
+        KLTWarning(
+            "(track_sequence_device) a selection ran out of top-%d "
+            "candidates with free slots left — the host full-scan path "
+            "may fill more; raise top_k for exact parity", top_k)
     cols = [[np.atleast_2d(np.asarray(c[j])) for c in chunks]
             for j in range(3)]
     return tuple(np.concatenate(col, axis=0) for col in cols)

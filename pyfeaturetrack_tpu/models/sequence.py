@@ -46,6 +46,22 @@ def frame_metrics(fl: FeatureState, elapsed_s: float | None = None) -> dict:
     return m
 
 
+def metrics_from_table(x, y, val) -> list[dict]:
+    """Per-frame metrics from stacked [F, N] track arrays — the post-hoc
+    observability path for the device-resident drivers, which pull their
+    whole history in one transfer (no per-frame host sync to time)."""
+    val = np.asarray(val, np.int64)
+    out = []
+    for i in range(val.shape[0]):
+        counts = {name: int((val[i] == code).sum())
+                  for code, name in STATUS_NAMES.items()}
+        out.append({"n_features": int(val.shape[1]),
+                    "n_live": int((val[i] >= 0).sum()),
+                    "n_refilled": int((val[i] > 0).sum()) if i else 0,
+                    "status_counts": counts})
+    return out
+
+
 class SequenceTracker:
     """Streaming sequence tracker with explicit functional state."""
 

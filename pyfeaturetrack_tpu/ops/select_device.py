@@ -165,17 +165,21 @@ def select_features_from_eig_device(eig: jax.Array, x: jax.Array,
 
     if replacing:
         free = val < 0
-        # Stamp kept features into an occupancy map and dilate it by the
-        # mindist radius: candidates inside are rejected before ranking,
-        # so the top-K budget is spent only on placeable candidates.
-        keep = ~free
-        xi = jnp.clip(x.astype(jnp.int32), 0, ncols - 1)
-        yi = jnp.clip(y.astype(jnp.int32), 0, nrows - 1)
-        occ = jnp.zeros((nrows, ncols), bool).at[yi, xi].max(keep)
-        blocked = _dilate_chebyshev(occ, int(cfg.mindist) - 1)
-        cand_blocked = blocked[bordery:nrows - bordery:step,
-                               borderx:ncols - borderx:step][:ny, :nx]
-        cand = jnp.where(cand_blocked, 0, cand)
+        if int(cfg.mindist) >= 1:
+            # Stamp kept features into an occupancy map and dilate it by
+            # the mindist radius: candidates inside are rejected before
+            # ranking, so the top-K budget is spent only on placeable
+            # candidates. mindist == 0 suppresses NOTHING in the host
+            # greedy (the decremented radius makes fill_map's box
+            # empty), so the pre-mask is skipped there.
+            keep = ~free
+            xi = jnp.clip(x.astype(jnp.int32), 0, ncols - 1)
+            yi = jnp.clip(y.astype(jnp.int32), 0, nrows - 1)
+            occ = jnp.zeros((nrows, ncols), bool).at[yi, xi].max(keep)
+            blocked = _dilate_chebyshev(occ, int(cfg.mindist) - 1)
+            cand_blocked = blocked[bordery:nrows - bordery:step,
+                                   borderx:ncols - borderx:step][:ny, :nx]
+            cand = jnp.where(cand_blocked, 0, cand)
     else:
         free = jnp.ones_like(val, bool)
 

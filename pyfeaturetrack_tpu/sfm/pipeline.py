@@ -84,11 +84,16 @@ def run_sfm(ft, K, R0, t0, n_iters: int = 15, damping: float = 1e-3,
     cam_idx, pt_idx, uv, w, runs = observations_from_feature_table(
         ft, min_track_len, return_runs=True)
     X0 = initial_landmarks(K, R0, t0, ft, min_track_len, runs=runs)
-    # Zero-weighted short runs can triangulate to non-finite points; park
-    # them at a finite dummy so NaN Jacobians (NaN * w=0 = NaN) cannot
-    # poison the camera-block sums in the BA.
-    finite = jnp.isfinite(X0).all(axis=-1, keepdims=True)
-    X0 = jnp.where(finite, X0, jnp.asarray([0.0, 0.0, 1.0], X0.dtype))
+    # Degenerate triangulations (short zero-weighted runs, but also
+    # full-weight runs with no parallax / epipole geometry) come back
+    # non-finite: park them at a finite dummy AND zero their
+    # observations' weights — a NaN Jacobian (NaN * w=0 = NaN) would
+    # poison the camera-block sums, and keeping w=1 on a dummy point
+    # would silently bias the solve.
+    finite = np.isfinite(np.asarray(X0)).all(axis=-1)
+    X0 = jnp.where(jnp.asarray(finite)[:, None], X0,
+                   jnp.asarray([0.0, 0.0, 1.0], X0.dtype))
+    w = w * finite[pt_idx]
 
     if max_init_reproj_error is not None:
         from .geometry import project
@@ -130,7 +135,7 @@ def run_sfm_windowed(ft, K, R0, t0, n_iters: int = 15,
                      damping: float = 1e-3, min_track_len: int = 3,
                      huber_delta: float | None = 3.0,
                      max_init_reproj_error: float | None = 20.0,
-                     point_only_iters: int = 3):
+                     point_only_iters: int = 3, solver: str = "dense"):
     """Windowed block-sparse back-end pass (the production-scale path).
 
     Splits the table into contiguous track runs (a refilled slot is a new
@@ -151,7 +156,8 @@ def run_sfm_windowed(ft, K, R0, t0, n_iters: int = 15,
         problem = gate_windowed(problem, R0, t0, X0, max_init_reproj_error)
     R, t, X, costs = bundle_adjust_windowed(
         problem, R0, t0, X0, n_iters=n_iters, damping=damping,
-        huber_delta=huber_delta, point_only_iters=point_only_iters)
+        huber_delta=huber_delta, point_only_iters=point_only_iters,
+        solver=solver)
     return {"R": R, "t": t, "X": X, "costs": costs, "runs": runs,
             "n_observations": int((np.asarray(w) > 0).sum())}
 

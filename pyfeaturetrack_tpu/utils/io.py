@@ -96,11 +96,14 @@ def pgm_read(path) -> np.ndarray:
                 raise KLTError(f"(pgm_read) {path}: truncated pixel data "
                                f"({len(vals)} of {nrows * ncols} values)")
             try:
+                # out-of-range values raise OverflowError from the uint8
+                # cast, non-numeric tokens ValueError — both are malformed
                 img = np.array([int(v) for v in vals[:nrows * ncols]],
                                dtype=np.uint8)
-            except ValueError:
+            except (ValueError, OverflowError):
                 raise KLTError(
-                    f"(pgm_read) {path}: non-numeric pixel data") from None
+                    f"(pgm_read) {path}: bad pixel data (non-numeric or "
+                    "outside 0..255)") from None
     return img.reshape(nrows, ncols)
 
 

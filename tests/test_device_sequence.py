@@ -67,3 +67,13 @@ def test_chained_matches_per_step(chain):
     np.testing.assert_array_equal(v1, v2)
     np.testing.assert_allclose(x1, x2, atol=1e-5)
     np.testing.assert_allclose(y1, y2, atol=1e-5)
+
+
+def test_exhausted_selection_warns():
+    """Candidate exhaustion in the device path is surfaced, not silent."""
+    from pyfeaturetrack_tpu.errors import KLTWarningCategory
+    frames = _rolling_frames(n_frames=3, shift=4, seed=31)
+    # top_k=4 cannot fill 40 slots -> exhausted on the initial selection
+    with pytest.warns(KLTWarningCategory, match="ran out of top-4"):
+        track_sequence_device(frames, cfg=create_config(mindist=8),
+                              n_features=40, replace_lost=True, top_k=4)

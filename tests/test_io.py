@@ -197,3 +197,10 @@ def test_feature_table_text_bad_header(tmp_path):
     p = tmp_path / "ft.txt"
     p.write_text("this is not a feature table\n")
     _expect_klt_error(io.read_feature_table, p)
+
+
+@pytest.mark.parametrize("token", ["300", "-3"])
+def test_pgm_ascii_out_of_range_pixel_raises_klt_error(tmp_path, token):
+    p = tmp_path / "range.pgm"
+    p.write_bytes(f"P2\n2 2\n255\n0 1 {token} 3".encode())
+    _expect_klt_error(io.pgm_read, p)

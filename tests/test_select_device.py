@@ -91,3 +91,16 @@ def test_exhausted_flag_when_candidates_run_out():
     assert not filled.all()
     # full-candidate top_k is still the exact greedy even when exhausted
     np.testing.assert_array_equal(dev, host)
+
+
+def test_mindist_zero_matches_host():
+    """mindist=0 suppresses nothing in the host greedy (the decremented
+    radius empties the stamp box); the device pre-mask must skip too."""
+    img = make_textured_image(120, 160, seed=15)
+    cfg = create_config(mindist=0)
+    base = select_good_features_arrays(img, 20, cfg)
+    lost = base.copy()
+    lost[::4] = (-1.0, -1.0, -1)
+    host = select_good_features_arrays(img, 20, cfg, existing=lost.copy())
+    dev, _, _ = _device_select(img, 20, cfg, existing=lost.copy())
+    np.testing.assert_array_equal(dev, host)
