@@ -246,13 +246,28 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
     Jp = jnp.einsum("lkij,lkjm->lkim", dpi, Rc, precision=_PREC)
     cost = jnp.sum(r * r)
 
-    U = jnp.zeros((n_cameras, 6, 6), r.dtype).at[cidx].add(
-        jnp.einsum("lkri,lkrj->lkij", Jc, Jc, precision=_PREC))
+    # Camera-block accumulation WITHOUT duplicate-index scatters (XLA
+    # serializes those; they dominated this step at ~74 ms/iter). The
+    # row camera of every block is c0[l] + k, so each per-k slice is a
+    # segment-sum over c0 — one one-hot matmul onto the MXU — followed
+    # by a STATIC roll by k. Landmarks whose window is clipped past the
+    # last camera carry zero weight, so their wrapped rows add zeros.
+    onehot = (c0[:, None] == jnp.arange(n_cameras, dtype=c0.dtype)[None, :]
+              ).astype(r.dtype)                            # [L, C]
+
+    def by_row(blocks, spec):
+        """einsum blocks [L, Kw, ...] -> [Kw, C, ...] at c0, then shift
+        slice k down by k so rows land at c0 + k."""
+        per_k = jnp.einsum(spec, onehot, blocks, precision=_PREC)
+        return sum(jnp.roll(per_k[k], k, axis=0) for k in range(kw))
+
+    U = by_row(jnp.einsum("lkri,lkrj->lkij", Jc, Jc, precision=_PREC),
+               "lc,lkij->kcij")
     V = jnp.sum(jnp.einsum("lkri,lkrj->lkij", Jp, Jp, precision=_PREC),
                 axis=1)                                    # [L, 3, 3]
     W = jnp.einsum("lkri,lkrj->lkij", Jc, Jp, precision=_PREC)  # [L,Kw,6,3]
-    b_c = jnp.zeros((n_cameras, 6), r.dtype).at[cidx].add(
-        -jnp.einsum("lkri,lkr->lki", Jc, r, precision=_PREC))
+    b_c = by_row(-jnp.einsum("lkri,lkr->lki", Jc, r, precision=_PREC),
+                 "lc,lki->kci")
     b_p = -jnp.sum(jnp.einsum("lkri,lkr->lki", Jp, r, precision=_PREC),
                    axis=1)                                 # [L, 3]
 
@@ -261,23 +276,32 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
 
     T1 = jnp.einsum("lkij,ljm->lkim", W, V_inv, precision=_PREC)
     S_blocks = jnp.einsum("lkim,lbnm->lkbin", T1, W, precision=_PREC)
-    b_red = jnp.zeros((n_cameras, 6), r.dtype).at[cidx].add(
-        jnp.einsum("lkim,lm->lki", T1, b_p, precision=_PREC))
+    b_red = by_row(jnp.einsum("lkim,lm->lki", T1, b_p, precision=_PREC),
+                   "lc,lki->kci")
+
+    # Band form first in BOTH solver modes: block (l, k, b) couples row
+    # camera c0+k with col camera c0+b at offset b - k + half_band.
+    half_band = kw - 1
+    width = 2 * half_band + 1
+    S_by = jnp.einsum("lc,lkbin->kbcin", onehot, S_blocks,
+                      precision=_PREC)                     # [Kw,Kw,C,6,6]
+    S_band = jnp.zeros((n_cameras, width, 6, 6), r.dtype)
+    for k in range(kw):
+        for b in range(kw):
+            S_band = S_band.at[:, b - k + half_band].add(
+                jnp.roll(S_by[k, b], k, axis=0))
 
     if solver == "dense":
-        # scatter block (l, k, b) into S[c0+k, :, c0+b, :]; advanced-index
-        # dims come first, so values align as [L, Kw, Kw, 6, 6]
+        # densify the band with a UNIQUE-index scatter (fast): row c,
+        # col c + off - half_band
+        ci = jnp.arange(n_cameras)[:, None]
+        di = ci + jnp.arange(width)[None, :] - half_band   # [C, width]
+        ok = (di >= 0) & (di < n_cameras)
         S_red = jnp.zeros((n_cameras, 6, n_cameras, 6), r.dtype).at[
-            cidx[:, :, None], :, cidx[:, None, :], :].add(S_blocks)
+            ci, :, jnp.clip(di, 0, n_cameras - 1), :].add(
+            jnp.where(ok[:, :, None, None], S_band, 0.0))
         dx_c = _reduce_and_solve(U, b_c, S_red, b_red, damping, fix_first)
     else:
-        # banded assembly: block (l, k, b) couples cameras cidx[l, k] and
-        # cidx[l, b]; its band offset is their (clipped) difference
-        half_band = kw - 1
-        # off[l, k, b] = cidx[l, b] - cidx[l, k] + half_band
-        off = cidx[:, None, :] - cidx[:, :, None] + half_band  # [L,Kw,Kw]
-        S_band = jnp.zeros((n_cameras, 2 * half_band + 1, 6, 6),
-                           r.dtype).at[cidx[:, :, None], off].add(S_blocks)
         dx_c = _banded_pcg_solve(U, b_c, S_band, b_red, damping,
                                  fix_first, half_band)
 
