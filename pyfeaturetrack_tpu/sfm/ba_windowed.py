@@ -280,16 +280,19 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
                    "lc,lki->kci")
 
     # Band form first in BOTH solver modes: block (l, k, b) couples row
-    # camera c0+k with col camera c0+b at offset b - k + half_band.
+    # camera c0+k with col camera c0+b at offset b - k + half_band. For
+    # each k the whole b-axis lands contiguously at offsets
+    # [half_band-k, half_band-k+kw), so one roll + one pad per k builds
+    # the band (kw ops, keeps the compiled graph small).
     half_band = kw - 1
     width = 2 * half_band + 1
-    S_by = jnp.einsum("lc,lkbin->kbcin", onehot, S_blocks,
-                      precision=_PREC)                     # [Kw,Kw,C,6,6]
+    S_by = jnp.einsum("lc,lkbin->kcbin", onehot, S_blocks,
+                      precision=_PREC)                     # [Kw,C,Kw,6,6]
     S_band = jnp.zeros((n_cameras, width, 6, 6), r.dtype)
     for k in range(kw):
-        for b in range(kw):
-            S_band = S_band.at[:, b - k + half_band].add(
-                jnp.roll(S_by[k, b], k, axis=0))
+        rolled = jnp.roll(S_by[k], k, axis=0)              # [C, Kw, 6, 6]
+        S_band = S_band + jnp.pad(
+            rolled, ((0, 0), (half_band - k, k), (0, 0), (0, 0)))
 
     if solver == "dense":
         # densify the band with a UNIQUE-index scatter (fast): row c,
