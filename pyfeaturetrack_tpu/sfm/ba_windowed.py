@@ -233,7 +233,13 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
         jnp.stack([zero, fy / zs, -fy * Y[..., 1] / (zs * zs)], -1),
     ], -2)                                                 # [L, Kw, 2, 3]
 
-    weight = (w * (~behind)).astype(r.dtype)
+    # window slots past the last camera are IGNORED regardless of the
+    # caller's weights: the roll-based row assembly wraps modulo C, so a
+    # nonzero out-of-range block would corrupt early cameras (old code
+    # clipped onto the last camera — also wrong, just contained)
+    in_range = (c0[:, None] + jnp.arange(kw, dtype=c0.dtype)[None, :]
+                < n_cameras)
+    weight = (w * (~behind) * in_range).astype(r.dtype)
     if huber_delta is not None:
         rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
         weight = weight * jnp.sqrt(
@@ -295,8 +301,10 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
             rolled, ((0, 0), (half_band - k, k), (0, 0), (0, 0)))
 
     if solver == "dense":
-        # densify the band with a UNIQUE-index scatter (fast): row c,
-        # col c + off - half_band
+        # densify the band: row c, col c + off - half_band. Indices are
+        # unique EXCEPT the clipped boundary rows (their values are
+        # zeroed by ``ok``) — correct, but do NOT add unique_indices
+        # hints here
         ci = jnp.arange(n_cameras)[:, None]
         di = ci + jnp.arange(width)[None, :] - half_band   # [C, width]
         ok = (di >= 0) & (di < n_cameras)
@@ -341,7 +349,9 @@ def _points_only_step(K, R, t, X, c0, uv, w, damping, n_cameras: int):
         jnp.stack([fx / zs, zero, -fx * Y[..., 0] / (zs * zs)], -1),
         jnp.stack([zero, fy / zs, -fy * Y[..., 1] / (zs * zs)], -1),
     ], -2)
-    weight = (w * (~behind)).astype(r.dtype)
+    in_range = (c0[:, None] + jnp.arange(kw, dtype=c0.dtype)[None, :]
+                < n_cameras)
+    weight = (w * (~behind) * in_range).astype(r.dtype)
     r = r * weight[..., None]
     dpi = dpi * weight[..., None, None]
     Jp = jnp.einsum("lkij,lkjm->lkim", dpi, Rc, precision=_PREC)

@@ -236,3 +236,28 @@ def test_cg_solver_scales_to_500_cameras():
     costs = np.asarray(costs)
     assert np.isfinite(costs).all()
     assert costs[-1] < 1e-2 * costs[0]
+
+
+def test_out_of_range_window_slots_are_ignored():
+    """Observations whose window slot points past the last camera are
+    ignored even with nonzero weights (the roll-based assembly would
+    otherwise wrap them onto early cameras)."""
+    problem, Rs, ts, X = _staggered_problem(n_cams=10, n_pts=60, kw=4)
+    # push some windows past the end WITHOUT zeroing their weights
+    c0 = np.asarray(problem.c0).copy()
+    c0[:10] = 8  # slots 8,9,10,11 -> 10,11 are out of range
+    bad = problem._replace(c0=jnp.asarray(c0))
+    # reference: identical problem with those slots explicitly zeroed
+    wz = np.asarray(problem.w).copy()
+    oob = (c0[:, None] + np.arange(4)[None, :]) >= 10
+    wz[oob] = 0.0
+    ref = problem._replace(c0=jnp.asarray(c0), w=jnp.asarray(wz))
+    R0, t0, X0 = _perturb(Rs, ts, X)
+    out_bad = bundle_adjust_windowed(bad, R0, t0, X0, n_iters=3,
+                                     point_only_iters=0)
+    out_ref = bundle_adjust_windowed(ref, R0, t0, X0, n_iters=3,
+                                     point_only_iters=0)
+    np.testing.assert_allclose(np.asarray(out_bad[3]),
+                               np.asarray(out_ref[3]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_bad[1]),
+                               np.asarray(out_ref[1]), atol=1e-6)
