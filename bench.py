@@ -118,6 +118,48 @@ def bench_sequence_replace(h=480, w=640, n_features=1000, n_frames=48,
     return n_frames / (time.perf_counter() - t0)
 
 
+def bench_serving(h=480, w=640, n_features=1000, n_frames=48, chain=8,
+                  prefetch=0, stage_uint8=True, warmed=[]):
+    """Live-video ingestion: frames start HOST-side and the timed loop
+    covers h2d staging + tracking with replace-lost (serving.py). The
+    uint8-vs-float32 A/B exposes the host-link bytes (4x); prefetch=0
+    is the shipped default (JAX async dispatch already overlaps h2d —
+    a forced staging thread measured slower on the relay)."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.serving import StreamingTracker, prefetch_to_device
+
+    cfg = create_config().replace(sequentialMode=True).validated_window()
+    base = _textured(h, w, seed=4)[:h, :w]
+    n_cycle = 16
+    cyc = [np.roll(base, 2 * i, axis=1).astype(np.uint8)
+           for i in range(n_cycle)]
+    host_frames = cyc + cyc[-2:0:-1]
+
+    def run_once():
+        tr = StreamingTracker(cfg, n_features, replace_lost=True,
+                              chain=chain)
+        src = (host_frames[i % len(host_frames)] for i in range(n_frames))
+        it = (prefetch_to_device(
+                  src, depth=prefetch,
+                  stage_dtype=np.uint8 if stage_uint8 else np.float32)
+              if prefetch > 0 else
+              (jnp.asarray(f, jnp.uint8 if stage_uint8 else jnp.float32)
+               for f in src))
+        for fr in it:
+            tr.feed(fr)
+        tr.block()  # fence only — no d2h (relay poisoning, DESIGN.md)
+
+    key = (chain, prefetch, stage_uint8)
+    if key not in warmed:  # one unmeasured pass to absorb compiles
+        warmed.append(key)
+        run_once()
+    t0 = time.perf_counter()
+    run_once()
+    return n_frames / (time.perf_counter() - t0)
+
+
 def bench_two_frame_demo():
     """Config 1: the stock example1 flow (select 100 + track), end to end
     host-to-host, seconds per run."""
@@ -207,9 +249,13 @@ def bench_batched_streams(h=480, w=640, n_features=1000, batch=8,
     return n_iters * batch / (time.perf_counter() - t0)
 
 
-def bench_sfm_windowed(C=60, L=6000, kw=12, n_iters=8):
+def bench_sfm_windowed(C=60, L=6000, kw=12, n_iters=8, solver="dense",
+                       precond_block=1):
     """Config 5b: windowed block-sparse BA iteration rate at production
-    scale (60 cameras x 6000 landmarks, 12-frame windows)."""
+    scale (60 cameras x 6000 landmarks, 12-frame windows). With
+    ``solver="cg"`` this doubles as config 5c (long-trajectory scale:
+    banded PCG, no [6C, 6C] materialization; ``precond_block`` groups
+    the preconditioner — see sfm/ba_windowed._banded_pcg_solve)."""
     import jax
     import jax.numpy as jnp
     from pyfeaturetrack_tpu.sfm import (WindowedBAProblem,
@@ -233,11 +279,13 @@ def bench_sfm_windowed(C=60, L=6000, kw=12, n_iters=8):
     X0 = jnp.asarray(X + 0.05 * rng.standard_normal(X.shape
                                                     ).astype(np.float32))
     out = bundle_adjust_windowed(problem, Rs, ts, X0, n_iters=n_iters,
-                                 point_only_iters=0)
+                                 point_only_iters=0, solver=solver,
+                                 precond_block=precond_block)
     jax.block_until_ready(out[:3])
     t0 = time.perf_counter()
     out = bundle_adjust_windowed(problem, Rs, ts, X0, n_iters=n_iters,
-                                 point_only_iters=0)
+                                 point_only_iters=0, solver=solver,
+                                 precond_block=precond_block)
     jax.block_until_ready(out[:3])
     return n_iters / (time.perf_counter() - t0)
 
@@ -352,6 +400,14 @@ def main():
         details["batched8_streams_aggregate_fps"] = _repeat(
             bench_batched_streams, n=3)
         log(f"batched8 done: {details['batched8_streams_aggregate_fps']}")
+        # live ingestion (h2d inside the timed loop; h2d does not
+        # trigger the relay's d2h poisoning, so safe to run here)
+        details["serving_uint8_ingest_fps"] = _repeat(
+            lambda: bench_serving(stage_uint8=True), n=3)
+        log(f"serving uint8 done: {details['serving_uint8_ingest_fps']}")
+        details["serving_f32_ingest_fps"] = _repeat(
+            lambda: bench_serving(stage_uint8=False), n=3)
+        log(f"serving f32 done: {details['serving_f32_ingest_fps']}")
         from pyfeaturetrack_tpu.utils.roofline import roofline_report
         details["roofline"] = roofline_report()
         log(f"roofline done: " + ", ".join(
@@ -369,6 +425,12 @@ def main():
         details["config5b_windowed_ba_iters_per_s"] = _repeat(
             bench_sfm_windowed, n=2)
         log(f"config5b done: {details['config5b_windowed_ba_iters_per_s']}")
+        details["config5c_cg_ba_500cams_20kpts_iters_per_s"] = _repeat(
+            lambda: bench_sfm_windowed(C=500, L=20000, kw=8, n_iters=6,
+                                       solver="cg", precond_block=16),
+            n=2)
+        log("config5c done: "
+            f"{details['config5c_cg_ba_500cams_20kpts_iters_per_s']}")
         # final/initial cost: ~0 means excellent convergence, 1 means
         # none. First d2h of the process — everything after runs
         # host-side, so the relay poisoning no longer matters.

@@ -51,5 +51,11 @@ from .models import (  # noqa: F401
     track_sequence,
     track_sequence_chunked,
 )
+from .models.device_sequence import track_sequence_device  # noqa: F401
+from .serving import (  # noqa: F401
+    StreamingTracker,
+    prefetch_to_device,
+    serve_stream,
+)
 
 __version__ = "0.1.0"

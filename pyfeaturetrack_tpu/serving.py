@@ -1,0 +1,242 @@
+"""Live-video serving: overlapped host->device staging for the
+device-resident sequence loop.
+
+Reference parity: the reference (SURVEY.md section 3.5, example3.py)
+reads each frame from disk synchronously before tracking it — fine on a
+CPU where "transfer" is a pointer. On a TPU the frame must cross
+PCIe/host-link first, and on relay-backed rigs that link is the
+bottleneck (~12 MB/s measured here, DESIGN.md; a 1080p float32 frame is
+8.3 MB ≈ 700 ms). A serving deployment therefore needs the *next*
+frame's h2d transfer to overlap the *current* frame's compute.
+
+This module provides that overlap:
+
+- :class:`StreamingTracker` — an incremental (push-style) wrapper over
+  ``models.device_sequence``: feed frames as they arrive, results stay
+  device-resident; pull the stacked track table at the end (or every
+  ``emit_every`` frames when the deployment needs live positions and
+  can afford the d2h).
+- :func:`prefetch_to_device` — a bounded background-thread iterator
+  that stages upcoming frames with ``jax.device_put`` and forces the
+  transfer to completion *in the worker thread*, so the main thread's
+  ``next()`` returns an already-resident array.
+
+Design notes, MEASURED on the v5e relay rig (bench.bench_serving):
+- JAX's own dispatch is already asynchronous: ``jnp.asarray`` staging
+  enqueues the transfer and returns, so the plain synchronous-looking
+  feed loop ALREADY overlaps h2d with compute — 3.2k fps uint8 /
+  1.3k fps float32 ingest at 480x640, chain=8.
+- The staging THREAD is for slow *sources* (a decoder that takes ms
+  per frame), not for h2d: on the relay rig forcing transfers from a
+  second thread contends with dispatch and measured 4-50x SLOWER than
+  the plain loop. Hence ``prefetch=0`` is the default; raise it only
+  when the frame source itself blocks.
+- Ship frames uint8 (``stage_uint8=True``): 4x less link traffic than
+  float32 (2.4x the measured end-to-end ingest rate); the f32 cast
+  happens inside the jitted step where it fuses for free.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import TrackerConfig, create_config
+from .errors import KLTError, KLTWarning
+from .models.device_sequence import (select_step_device,
+                                     sequence_chain_device,
+                                     sequence_step_device)
+from .ops.select_device import DEFAULT_TOP_K
+
+_STOP = object()
+
+
+def prefetch_to_device(frames: Iterable, depth: int = 2,
+                       device: Optional[jax.Device] = None,
+                       stage_dtype=np.float32) -> Iterator[jax.Array]:
+    """Iterate ``frames`` with up to ``depth`` frames staged on device
+    ahead of consumption.
+
+    A daemon thread pulls host frames, ``device_put``s them and blocks
+    on the transfer *there*, so the consumer overlap-hides h2d latency
+    behind whatever it does between ``next()`` calls (normally the
+    tracking dispatch). Exceptions in the source iterator are re-raised
+    at the consuming ``next()``.
+
+    ``stage_dtype=np.uint8`` ships 8-bit frames over the host link (4x
+    less transfer than float32 — the link, not compute, bounds live
+    video; DESIGN.md) and leaves the f32 cast to the consuming jitted
+    step, where it fuses into the pyramid build for free.
+    """
+    if depth < 1:
+        raise KLTError(f"(prefetch_to_device) depth must be >= 1, got {depth}")
+    dev = device if device is not None else jax.devices()[0]
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for f in frames:
+                arr = jax.device_put(np.asarray(f, stage_dtype), dev)
+                arr.block_until_ready()  # complete transfer in THIS thread
+                q.put(arr)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            q.put(e)
+            return
+        q.put(_STOP)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="pft-prefetch")
+    t.start()
+
+    while True:
+        item = q.get()
+        if item is _STOP:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+class StreamingTracker:
+    """Push-style live tracking: ``feed`` frames as they arrive, state
+    stays device-resident between calls.
+
+    The first fed frame runs feature selection; every later frame runs
+    the full track -> affine-check -> replace-lost step
+    (``models.device_sequence``). Frames are buffered until ``chain``
+    are available, then advanced in ONE dispatched program
+    (amortizing the per-dispatch floor, ROOFLINE.md section 2); call
+    :meth:`flush` to force out a partial chain (e.g. at end of stream
+    or when latency matters more than throughput).
+
+    Per-frame history accumulates as device chunks; :meth:`table`
+    concatenates on host — ONE d2h at the end of (each segment of) the
+    stream. ``emit_every`` > 0 instead auto-pulls and yields numpy
+    positions every that-many frames from :meth:`feed` — use only where
+    the deployment genuinely needs live positions: on relay-backed rigs
+    any d2h degrades subsequent dispatch (DESIGN.md rule 3).
+    """
+
+    def __init__(self, cfg: Optional[TrackerConfig] = None,
+                 n_features: int = 150, replace_lost: bool = True,
+                 top_k: int = DEFAULT_TOP_K, chain: int = 1,
+                 emit_every: int = 0):
+        if chain < 1:
+            raise KLTError(f"(StreamingTracker) chain must be >= 1, got {chain}")
+        self.cfg = (cfg if cfg is not None else create_config()).replace(
+            sequentialMode=True).validated_window()
+        self.n_features = int(n_features)
+        self.replace_lost = bool(replace_lost)
+        self.top_k = int(top_k)
+        self.chain = int(chain)
+        self.emit_every = int(emit_every)
+        self._pyr = None
+        self._aff = None
+        self._state = None          # (x, y, val) device arrays
+        self._pending: list = []    # device frames awaiting a chain
+        self._chunks: list = []     # [k,N] (or [N]) device history rows
+        self._exhausted = None
+        self.n_frames = 0
+
+    # -- internals -------------------------------------------------------
+
+    def _advance(self, frames: list) -> None:
+        x, y, val = self._state
+        if len(frames) == 1:
+            self._pyr, x, y, val, self._aff, ex = sequence_step_device(
+                self._pyr, frames[0], x, y, val, self.cfg,
+                self.replace_lost, self.top_k, self._aff)
+            self._chunks.append((x, y, val))
+        else:
+            self._pyr, hist, (x, y, val), self._aff, ex = \
+                sequence_chain_device(
+                    self._pyr, tuple(frames), x, y, val, self.cfg,
+                    self.replace_lost, self.top_k, self._aff)
+            self._chunks.append(hist)
+        self._state = (x, y, val)
+        self._exhausted = (ex if self._exhausted is None
+                           else self._exhausted | ex)
+
+    # -- public API ------------------------------------------------------
+
+    def feed(self, frame) -> Optional[tuple]:
+        """Process one frame (device array or host ndarray). Returns the
+        stacked numpy table so far iff ``emit_every`` fired, else None."""
+        frame = (frame if isinstance(frame, jax.Array)
+                 else jnp.asarray(np.asarray(frame), jnp.float32))
+        if self._state is None:
+            self._pyr, x, y, val, self._aff, self._exhausted = \
+                select_step_device(frame, self.cfg, self.n_features,
+                                   self.top_k)
+            self._state = (x, y, val)
+            self._chunks.append((x, y, val))
+        else:
+            self._pending.append(frame)
+            if len(self._pending) >= self.chain:
+                self._advance(self._pending)
+                self._pending = []
+        self.n_frames += 1
+        if self.emit_every > 0 and self.n_frames % self.emit_every == 0:
+            self.flush()
+            return self.table()
+        return None
+
+    def flush(self) -> None:
+        """Force out any buffered partial chain (ends a latency window)."""
+        if self._pending:
+            self._advance(self._pending)
+            self._pending = []
+
+    def block(self) -> None:
+        """Wait for all dispatched work (throughput-benchmark fence)."""
+        self.flush()
+        if self._state is not None:
+            jax.block_until_ready(self._state[2])
+
+    def table(self) -> tuple:
+        """(x, y, val) numpy arrays stacked [n_frames, n_features] — the
+        FeatureTable contents, same layout as track_sequence_device."""
+        self.flush()
+        if not self._chunks:
+            raise KLTError("(StreamingTracker.table) no frames fed yet")
+        if self._exhausted is not None and bool(self._exhausted):
+            KLTWarning(
+                "(StreamingTracker) a selection ran out of top-%d "
+                "candidates with free slots left — raise top_k for "
+                "exact host-path parity", self.top_k)
+            self._exhausted = jnp.asarray(False)  # warn once per pull
+        cols = [[np.atleast_2d(np.asarray(c[j])) for c in self._chunks]
+                for j in range(3)]
+        return tuple(np.concatenate(col, axis=0) for col in cols)
+
+
+def serve_stream(frames: Iterable, cfg: Optional[TrackerConfig] = None,
+                 n_features: int = 150, replace_lost: bool = True,
+                 top_k: int = DEFAULT_TOP_K, chain: int = 1,
+                 prefetch: int = 0, stage_uint8: bool = False) -> tuple:
+    """Track a frame stream end-to-end with h2d/compute overlap.
+
+    The streaming analogue of ``track_sequence_device``: identical math
+    and return layout ((x, y, val) stacked numpy), but frames may come
+    from any iterable (camera, decoder, ...). h2d overlaps compute via
+    JAX's async dispatch; ``prefetch`` > 0 additionally pulls from the
+    source in a background staging thread (use when the SOURCE is slow
+    — for fast sources the thread contends and measures slower, see
+    module notes). ``stage_uint8=True`` ships frames 8-bit (exact for
+    uint8 sources — the reference's PGM lineage — and 4x less link
+    traffic)."""
+    tr = StreamingTracker(cfg, n_features, replace_lost=replace_lost,
+                          top_k=top_k, chain=chain)
+    stage_dtype = np.uint8 if stage_uint8 else np.float32
+    it = (prefetch_to_device(frames, depth=prefetch,
+                             stage_dtype=stage_dtype) if prefetch > 0
+          else (jnp.asarray(np.asarray(f, stage_dtype))
+                for f in frames))
+    for frame in it:
+        tr.feed(frame)
+    return tr.table()

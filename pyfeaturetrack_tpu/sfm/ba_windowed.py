@@ -133,7 +133,8 @@ def triangulate_windowed(K, Rs, ts, c0, uv, w):
 
 
 def _banded_pcg_solve(U, b_c, S_band, b_red, damping, fix_first: bool,
-                      half_band: int, n_cg: int = 200, tol: float = 1e-6):
+                      half_band: int, n_cg: int = 200, tol: float = 1e-6,
+                      precond_block: int = 1):
     """Solve the reduced camera system in BANDED form by block-Jacobi
     preconditioned CG — never materializing the [6C, 6C] matrix.
 
@@ -142,6 +143,14 @@ def _banded_pcg_solve(U, b_c, S_band, b_red, damping, fix_first: bool,
     is O(C * kw) and each matvec is one batched einsum, so the camera
     count scales to thousands (VERDICT r1 item 7; the dense solve caps
     at a few hundred).
+
+    ``precond_block`` = cameras per preconditioner group: 1 is classic
+    block-Jacobi on the [6, 6] diagonal; g > 1 gathers each run of g
+    cameras' intra-band couplings into a dense [6g, 6g] block and
+    inverts those (batched, ONCE per solve) — a group/overlap-free
+    additive-Schwarz preconditioner that captures the in-window camera
+    coupling the 6x6 diagonal ignores. Application stays one batched
+    matmul per CG iteration.
     """
     C = U.shape[0]
     width = 2 * half_band + 1
@@ -170,11 +179,40 @@ def _banded_pcg_solve(U, b_c, S_band, b_red, damping, fix_first: bool,
         vg = vpad[cg_idx]                                   # [C, width, 6]
         return jnp.einsum("coij,coj->ci", A, vg, precision=_PREC)
 
-    M = A[:, half_band]                                     # block-Jacobi
+    if precond_block <= 1:
+        M = A[:, half_band]                                 # block-Jacobi
 
-    def prec(r):
-        z, _ = gauss_solve_det(M, r)
-        return z
+        def prec(r):
+            z, _ = gauss_solve_det(M, r)
+            return z
+    else:
+        g = int(precond_block)
+        nG = -(-C // g)                                     # ceil(C / g)
+        Cp = nG * g
+        # gather each group's intra-band couplings into [6g, 6g] blocks:
+        # entry (i, j) of group G is A[G*g + i, j - i + half_band]
+        # (identity on the pad rows so the blocks stay SPD)
+        A_pad = jnp.concatenate(
+            [A, jnp.zeros((Cp - C, width, 6, 6), A.dtype)
+                   .at[:, half_band].set(jnp.eye(6, dtype=A.dtype))],
+            axis=0)
+        ii = jnp.arange(g)
+        off = ii[None, :] - ii[:, None] + half_band         # [g, g]
+        valid = (off >= 0) & (off < width)
+        cams = (jnp.arange(nG)[:, None, None] * g + ii[:, None])  # [nG,g,1]
+        Mg = jnp.where(
+            valid[None, :, :, None, None],
+            A_pad[cams, jnp.clip(off, 0, width - 1)[None]], 0.0)
+        Mg = Mg.transpose(0, 1, 3, 2, 4).reshape(nG, 6 * g, 6 * g)
+        # ONE batched inversion per solve; application is one matmul
+        # per CG iteration. (jnp.linalg.inv is the pivoted-LU slow path
+        # on TPU, but amortized over the ~n_cg iterations it enables.)
+        Mg_inv = jnp.linalg.inv(Mg)
+
+        def prec(r):
+            rp = jnp.pad(r, ((0, Cp - C), (0, 0))).reshape(nG, 6 * g)
+            z = jnp.einsum("gij,gj->gi", Mg_inv, rp, precision=_PREC)
+            return z.reshape(Cp, 6)[:C]
 
     # standard PCG on the 6C-dim system, batched as [C, 6]
     x0 = jnp.zeros_like(b)
@@ -199,15 +237,16 @@ def _banded_pcg_solve(U, b_c, S_band, b_red, damping, fix_first: bool,
         beta = rz_new / jnp.maximum(rz, 1e-30)
         return x, r, z + beta * p, rz_new, k + 1
 
-    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
-    return x
+    x, _, _, _, k = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    return x, k
 
 
 @functools.partial(jax.jit, static_argnames=("n_cameras", "fix_first",
-                                             "huber_delta", "solver"))
+                                             "huber_delta", "solver",
+                                             "precond_block"))
 def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
                       fix_first: bool = True, huber_delta=None,
-                      solver: str = "dense"):
+                      solver: str = "dense", precond_block: int = 1):
     """One GN/LM step with K-windowed cross blocks. Returns (R,t,X,cost)."""
     L, kw, _ = uv.shape
     cidx = jnp.clip(c0[:, None] + jnp.arange(kw, dtype=c0.dtype)[None, :],
@@ -312,9 +351,11 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
             ci, :, jnp.clip(di, 0, n_cameras - 1), :].add(
             jnp.where(ok[:, :, None, None], S_band, 0.0))
         dx_c = _reduce_and_solve(U, b_c, S_red, b_red, damping, fix_first)
+        cg_iters = jnp.int32(0)
     else:
-        dx_c = _banded_pcg_solve(U, b_c, S_band, b_red, damping,
-                                 fix_first, half_band)
+        dx_c, cg_iters = _banded_pcg_solve(U, b_c, S_band, b_red, damping,
+                                           fix_first, half_band,
+                                           precond_block=precond_block)
 
     dxc_g = dx_c[cidx]                                     # [L, Kw, 6]
     rhs_p = b_p - jnp.einsum("lkij,lki->lj", W, dxc_g, precision=_PREC)
@@ -322,7 +363,7 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
 
     R_new = jnp.matmul(so3_exp(dx_c[:, :3]), R, precision=_PREC)
     t_new = t + dx_c[:, 3:]
-    return R_new, t_new, X + dx_p, cost
+    return R_new, t_new, X + dx_p, cost, cg_iters
 
 
 @functools.partial(jax.jit, static_argnames=("n_cameras",))
@@ -389,7 +430,9 @@ def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
                            fix_first: bool = True,
                            huber_delta: float | None = None,
                            point_only_iters: int = 2,
-                           solver: str = "dense"):
+                           solver: str = "dense",
+                           precond_block: int = 1,
+                           return_info: bool = False):
     """Run GN/LM with K-windowed sparsity. Returns (R, t, X, costs) with
     costs a device array. ``point_only_iters`` camera-frozen landmark
     refinements run first (cheap, stabilizes weak triangulations).
@@ -397,7 +440,11 @@ def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
     ``solver="dense"`` materializes + solves the [6C, 6C] reduced camera
     system (exact; fine to a few hundred cameras). ``solver="cg"`` keeps
     it in banded block form and runs block-Jacobi PCG — O(C*kw) memory,
-    scaling to thousands of cameras.
+    scaling to thousands of cameras. ``precond_block`` > 1 strengthens
+    the CG preconditioner from the [6, 6] diagonal to [6g, 6g] camera
+    groups (fewer CG iterations per GN step; see _banded_pcg_solve).
+    ``return_info=True`` appends a diagnostics dict (per-GN-iter CG
+    iteration counts; zeros for dense).
     """
     n_cameras = int(np.asarray(R0).shape[0])
     R = jnp.asarray(R0, jnp.float32)
@@ -406,11 +453,15 @@ def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
     for _ in range(point_only_iters):
         X = _points_only_step(problem.K, R, t, X, problem.c0, problem.uv,
                               problem.w, jnp.float32(damping), n_cameras)
-    costs = []
+    costs, cg_iters = [], []
     for _ in range(n_iters):
-        R, t, X, cost = _gn_step_windowed(
+        R, t, X, cost, k = _gn_step_windowed(
             problem.K, R, t, X, problem.c0, problem.uv, problem.w,
             jnp.float32(damping), n_cameras, fix_first, huber_delta,
-            solver)
+            solver, precond_block)
         costs.append(cost)
-    return R, t, X, jnp.stack(costs)
+        cg_iters.append(k)
+    out = (R, t, X, jnp.stack(costs))
+    if return_info:
+        out = out + ({"cg_iters": jnp.stack(cg_iters)},)
+    return out

@@ -135,7 +135,8 @@ def run_sfm_windowed(ft, K, R0, t0, n_iters: int = 15,
                      damping: float = 1e-3, min_track_len: int = 3,
                      huber_delta: float | None = 3.0,
                      max_init_reproj_error: float | None = 20.0,
-                     point_only_iters: int = 3, solver: str = "dense"):
+                     point_only_iters: int = 3, solver: str = "dense",
+                     precond_block: int = 1):
     """Windowed block-sparse back-end pass (the production-scale path).
 
     Splits the table into contiguous track runs (a refilled slot is a new
@@ -157,7 +158,7 @@ def run_sfm_windowed(ft, K, R0, t0, n_iters: int = 15,
     R, t, X, costs = bundle_adjust_windowed(
         problem, R0, t0, X0, n_iters=n_iters, damping=damping,
         huber_delta=huber_delta, point_only_iters=point_only_iters,
-        solver=solver)
+        solver=solver, precond_block=precond_block)
     return {"R": R, "t": t, "X": X, "costs": costs, "runs": runs,
             "n_observations": int((np.asarray(w) > 0).sum())}
 

@@ -224,6 +224,29 @@ def test_cg_solver_matches_dense():
     np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xd), atol=5e-3)
 
 
+@pytest.mark.parametrize("g", [4, 16])
+def test_cg_group_preconditioner_matches_dense(g):
+    """Group ([6g, 6g]) preconditioned CG converges to the dense answer
+    in FEWER iterations than plain block-Jacobi (g covers the pad path:
+    16 does not divide 12 cameras)."""
+    problem, Rs, ts, X = _staggered_problem(n_cams=12, n_pts=120, kw=5)
+    R0, t0, X0 = _perturb(Rs, ts, X)
+    Rd, td, Xd, cd = bundle_adjust_windowed(problem, R0, t0, X0, n_iters=6,
+                                            point_only_iters=0)
+    Rg, tg, Xg, cg, info = bundle_adjust_windowed(
+        problem, R0, t0, X0, n_iters=6, point_only_iters=0, solver="cg",
+        precond_block=g, return_info=True)
+    _, _, _, _, info1 = bundle_adjust_windowed(
+        problem, R0, t0, X0, n_iters=6, point_only_iters=0, solver="cg",
+        precond_block=1, return_info=True)
+    cd, cg = np.asarray(cd), np.asarray(cg)
+    np.testing.assert_allclose(cg, cd, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(tg), np.asarray(td), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(Xg), np.asarray(Xd), atol=5e-3)
+    assert (np.asarray(info["cg_iters"]).sum()
+            < np.asarray(info1["cg_iters"]).sum())
+
+
 def test_cg_solver_scales_to_500_cameras():
     """The CG path runs at C=500 without materializing [6C, 6C] and
     converges on a long staggered-window trajectory."""

@@ -1,0 +1,113 @@
+"""Streaming/serving path == the device-resident sequence loop."""
+
+import numpy as np
+import pytest
+
+from conftest import make_textured_image
+
+from pyfeaturetrack_tpu.config import create_config
+from pyfeaturetrack_tpu.errors import KLTError
+from pyfeaturetrack_tpu.models.device_sequence import track_sequence_device
+from pyfeaturetrack_tpu.serving import (StreamingTracker,
+                                        prefetch_to_device, serve_stream)
+
+
+def _rolling_frames(n_frames=6, shift=4, seed=13):
+    base = make_textured_image(120, 160, seed=seed)
+    return [np.roll(base, shift * i, axis=1) for i in range(n_frames)]
+
+
+@pytest.mark.parametrize("chain,prefetch", [(1, 2), (3, 2), (4, 0)])
+def test_serve_stream_matches_device_loop(chain, prefetch):
+    """serve_stream (prefetch thread on or off, chained or per-step)
+    produces the identical track table to track_sequence_device."""
+    frames = _rolling_frames(n_frames=7)
+    cfg = create_config(mindist=8)
+    dx, dy, dv = track_sequence_device(frames, cfg=cfg, n_features=40,
+                                       replace_lost=True, chain=chain)
+    sx, sy, sv = serve_stream(iter(frames), cfg=cfg, n_features=40,
+                              replace_lost=True, chain=chain,
+                              prefetch=prefetch)
+    np.testing.assert_array_equal(sv, dv)
+    np.testing.assert_allclose(sx, dx, atol=1e-5)
+    np.testing.assert_allclose(sy, dy, atol=1e-5)
+
+
+def test_serve_stream_uint8_staging_exact():
+    """8-bit staged frames (4x less h2d) track identically to float32
+    staging when the source is uint8 (the PGM lineage)."""
+    frames = [f.astype(np.uint8) for f in _rolling_frames(n_frames=6)]
+    cfg = create_config(mindist=8)
+    fx, fy, fv = serve_stream(iter(frames), cfg=cfg, n_features=30,
+                              chain=2, stage_uint8=False)
+    ux, uy, uv = serve_stream(iter(frames), cfg=cfg, n_features=30,
+                              chain=2, stage_uint8=True)
+    np.testing.assert_array_equal(uv, fv)
+    np.testing.assert_allclose(ux, fx, atol=1e-6)
+    np.testing.assert_allclose(uy, fy, atol=1e-6)
+
+
+def test_streaming_tracker_incremental_partial_chain():
+    """Feeding one frame at a time with chain=4 and a stream length that
+    leaves a partial chain (flush path) still matches per-step."""
+    frames = _rolling_frames(n_frames=6)  # 5 tracked frames: 4 + partial 1
+    cfg = create_config(mindist=8)
+    dx, dy, dv = track_sequence_device(frames, cfg=cfg, n_features=30)
+    tr = StreamingTracker(cfg, n_features=30, chain=4)
+    for f in frames:
+        tr.feed(f)
+    sx, sy, sv = tr.table()
+    assert sx.shape == dx.shape
+    np.testing.assert_array_equal(sv, dv)
+    np.testing.assert_allclose(sx, dx, atol=1e-5)
+
+
+def test_streaming_tracker_emit_every():
+    frames = _rolling_frames(n_frames=5)
+    tr = StreamingTracker(create_config(mindist=8), n_features=20,
+                          emit_every=2)
+    emitted = [tr.feed(f) for f in frames]
+    # fires on frames 2 and 4 (1-based), None otherwise
+    assert [e is not None for e in emitted] == [False, True, False, True,
+                                               False]
+    x2, _, _ = emitted[1]
+    assert x2.shape == (2, 20)
+    x4, _, v4 = emitted[3]
+    assert x4.shape == (4, 20)
+    # emitted prefixes are consistent with the final table
+    fx, _, fv = tr.table()
+    assert fx.shape == (5, 20)
+    np.testing.assert_allclose(fx[:4], x4, atol=1e-6)
+    np.testing.assert_array_equal(fv[:4], v4)
+
+
+def test_streaming_tracker_table_before_feed_raises():
+    with pytest.raises(KLTError):
+        StreamingTracker(create_config()).table()
+    with pytest.raises(KLTError):
+        StreamingTracker(create_config(), chain=0)
+
+
+def test_prefetch_to_device_order_and_residency():
+    frames = [np.full((8, 8), i, np.float32) for i in range(5)]
+    out = list(prefetch_to_device(iter(frames), depth=2))
+    assert len(out) == 5
+    for i, a in enumerate(out):
+        assert a.dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(a), frames[i])
+
+
+def test_prefetch_to_device_relays_source_exception():
+    def bad_source():
+        yield np.zeros((4, 4), np.float32)
+        raise RuntimeError("decoder died")
+
+    it = prefetch_to_device(bad_source(), depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="decoder died"):
+        list(it)
+
+
+def test_prefetch_depth_validation():
+    with pytest.raises(KLTError):
+        list(prefetch_to_device([], depth=0))
