@@ -42,9 +42,14 @@ def main(argv=None) -> int:
     ap.add_argument("--device-loop", action="store_true",
                     help="run the device-resident sequence loop (zero "
                          "per-frame host sync)")
+    ap.add_argument("--stream", action="store_true",
+                    help="serving mode: read each PGM lazily and feed "
+                         "it through the streaming tracker (uint8 "
+                         "staging, h2d overlapped with compute)")
     ap.add_argument("--chain", type=int, default=1,
-                    help="with --device-loop: frames per dispatched "
-                         "program (amortizes per-dispatch overhead)")
+                    help="with --device-loop/--stream: frames per "
+                         "dispatched program (amortizes per-dispatch "
+                         "overhead)")
     ap.add_argument("--overlays", action="store_true",
                     help="write per-frame PPM overlays")
     ap.add_argument("--verbose", action="store_true")
@@ -54,6 +59,9 @@ def main(argv=None) -> int:
                  "(lockstep mode advances chunk streams together)")
     if args.device_loop and args.chunks > 1:
         ap.error("--device-loop and --chunks are mutually exclusive")
+    if args.stream and (args.chunks > 1 or args.device_loop):
+        ap.error("--stream is mutually exclusive with --chunks/"
+                 "--device-loop")
 
     import numpy as np
 
@@ -67,7 +75,10 @@ def main(argv=None) -> int:
         KLTSetVerbosity(1)
     os.makedirs(args.out, exist_ok=True)
 
-    frames = [pgm_read(p) for p in args.frames]
+    # serving mode streams frames one at a time (a live deployment's
+    # decoder); the batch modes need them all resident anyway
+    frames = (None if args.stream
+              else [pgm_read(p) for p in args.frames])
     cfg = create_config(
         search_range=args.search_range,
         mindist=args.mindist,
@@ -90,6 +101,34 @@ def main(argv=None) -> int:
                    "global_tracks": int(table["val"].shape[1]),
                    "live_last_frame": live_last,
                    "chunks": args.chunks}
+    elif args.stream:
+        import jax.numpy as jnp
+        from .features import FeatureTable
+        from .serving import serve_stream
+        tx, ty, tv = serve_stream(
+            (pgm_read(p) for p in args.frames), cfg=cfg,
+            n_features=args.features,
+            replace_lost=not args.no_replace,
+            chain=max(args.chain, 1), stage_uint8=True)
+        ft = FeatureTable(x=jnp.asarray(tx), y=jnp.asarray(ty),
+                          val=jnp.asarray(tv, jnp.int32))
+        if args.overlays:
+            from .features import feature_state_from_numpy
+            for i, path in enumerate(args.frames):
+                fl = feature_state_from_numpy(
+                    np.stack([tx[i], ty[i], tv[i]], -1))
+                write_feature_list_to_ppm(
+                    fl, pgm_read(path),
+                    os.path.join(args.out, f"feat{i}.ppm"))
+        write_feature_table(ft, os.path.join(args.out, "features.txt"),
+                            fmt="%5.1f")
+        write_feature_table(ft, os.path.join(args.out, "features.ft"))
+        v = np.asarray(ft.val)
+        summary = {"frames": len(args.frames),
+                   "features": args.features,
+                   "live_last_frame": int((v[-1] >= 0).sum()),
+                   "full_tracks": int((v >= 0).all(axis=0).sum()),
+                   "stream": True}
     elif args.device_loop:
         import jax.numpy as jnp
         from .features import FeatureTable

@@ -107,7 +107,31 @@ def test_cli_device_loop_matches_host(pgm_frames, tmp_path, capsys):
                                atol=1e-4)
 
 
+def test_cli_stream_matches_device_loop(pgm_frames, tmp_path, capsys):
+    """--stream (serving path: lazy PGM reads, uint8 staging) produces
+    the same table as --device-loop."""
+    rc = main(pgm_frames + ["--features", "20", "--chain", "2",
+                            "--out", str(tmp_path / "srv"), "--stream"])
+    assert rc == 0
+    s_srv = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s_srv["stream"] is True
+    rc = main(pgm_frames + ["--features", "20",
+                            "--out", str(tmp_path / "dev"),
+                            "--device-loop"])
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ft_s = read_feature_table(tmp_path / "srv" / "features.ft")
+    ft_d = read_feature_table(tmp_path / "dev" / "features.ft")
+    np.testing.assert_array_equal(np.asarray(ft_s.val),
+                                  np.asarray(ft_d.val))
+    np.testing.assert_allclose(np.asarray(ft_s.x), np.asarray(ft_d.x),
+                               atol=1e-4)
+
+
 def test_cli_flag_conflicts(pgm_frames, tmp_path):
+    with pytest.raises(SystemExit):
+        main(pgm_frames + ["--stream", "--device-loop",
+                           "--out", str(tmp_path)])
     with pytest.raises(SystemExit):
         main(pgm_frames + ["--batched", "--out", str(tmp_path)])
     with pytest.raises(SystemExit):
