@@ -12,7 +12,8 @@ from .geometry import (se3_apply, se3_compose, se3_exp, se3_inverse,  # noqa: F4
 from .triangulate import triangulate_dlt  # noqa: F401
 from .ba import BAProblem, bundle_adjust  # noqa: F401
 from .ba_windowed import (WindowedBAProblem, bundle_adjust_windowed,  # noqa: F401
-                          triangulate_windowed, windowed_from_feature_table)
+                          pad_windowed_for_mesh, triangulate_windowed,
+                          windowed_from_feature_table)
 from .posegraph import PoseGraph, optimize_pose_graph  # noqa: F401
 from .pipeline import (ate_rmse, ate_rmse_aligned,  # noqa: F401
                        observations_from_feature_table, run_sfm,

@@ -241,13 +241,15 @@ def _banded_pcg_solve(U, b_c, S_band, b_red, damping, fix_first: bool,
     return x, k
 
 
-@functools.partial(jax.jit, static_argnames=("n_cameras", "fix_first",
-                                             "huber_delta", "solver",
-                                             "precond_block"))
-def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
-                      fix_first: bool = True, huber_delta=None,
-                      solver: str = "dense", precond_block: int = 1):
-    """One GN/LM step with K-windowed cross blocks. Returns (R,t,X,cost)."""
+def _windowed_camera_system(K, R, t, X, c0, uv, w, damping,
+                            n_cameras: int, huber_delta=None):
+    """Per-landmark assembly of the windowed reduced camera system.
+
+    Returns (U, b_c, S_band, b_red, cost) — the camera-side system in
+    banded form (psum-reducible across landmark shards) — plus the
+    per-landmark factors (V_inv, W, b_p, cidx) needed for the point
+    back-substitution after the camera solve.
+    """
     L, kw, _ = uv.shape
     cidx = jnp.clip(c0[:, None] + jnp.arange(kw, dtype=c0.dtype)[None, :],
                     0, n_cameras - 1)                      # [L, Kw]
@@ -339,6 +341,19 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
         S_band = S_band + jnp.pad(
             rolled, ((0, 0), (half_band - k, k), (0, 0), (0, 0)))
 
+    return (U, b_c, S_band, b_red, cost), (V_inv, W, b_p, cidx)
+
+
+def _windowed_solve_and_update(R, t, X, sys_terms, point_terms, damping,
+                               n_cameras: int, fix_first: bool,
+                               solver: str, precond_block: int):
+    """Camera solve on the (possibly psum-reduced) banded system, then
+    the per-landmark back-substitution. Returns (R,t,X,cost,cg_iters)."""
+    U, b_c, S_band, b_red, cost = sys_terms
+    V_inv, W, b_p, cidx = point_terms
+    half_band = S_band.shape[1] // 2
+    width = 2 * half_band + 1
+
     if solver == "dense":
         # densify the band: row c, col c + off - half_band. Indices are
         # unique EXCEPT the clipped boundary rows (their values are
@@ -347,7 +362,7 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
         ci = jnp.arange(n_cameras)[:, None]
         di = ci + jnp.arange(width)[None, :] - half_band   # [C, width]
         ok = (di >= 0) & (di < n_cameras)
-        S_red = jnp.zeros((n_cameras, 6, n_cameras, 6), r.dtype).at[
+        S_red = jnp.zeros((n_cameras, 6, n_cameras, 6), S_band.dtype).at[
             ci, :, jnp.clip(di, 0, n_cameras - 1), :].add(
             jnp.where(ok[:, :, None, None], S_band, 0.0))
         dx_c = _reduce_and_solve(U, b_c, S_red, b_red, damping, fix_first)
@@ -364,6 +379,40 @@ def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
     R_new = jnp.matmul(so3_exp(dx_c[:, :3]), R, precision=_PREC)
     t_new = t + dx_c[:, 3:]
     return R_new, t_new, X + dx_p, cost, cg_iters
+
+
+@functools.partial(jax.jit, static_argnames=("n_cameras", "fix_first",
+                                             "huber_delta", "solver",
+                                             "precond_block"))
+def _gn_step_windowed(K, R, t, X, c0, uv, w, damping, n_cameras: int,
+                      fix_first: bool = True, huber_delta=None,
+                      solver: str = "dense", precond_block: int = 1):
+    """One GN/LM step with K-windowed cross blocks (single device)."""
+    sys_terms, point_terms = _windowed_camera_system(
+        K, R, t, X, c0, uv, w, damping, n_cameras, huber_delta)
+    return _windowed_solve_and_update(R, t, X, sys_terms, point_terms,
+                                      damping, n_cameras, fix_first,
+                                      solver, precond_block)
+
+
+def _gn_step_windowed_sharded_body(K, R, t, X_loc, c0_loc, uv_loc, w_loc,
+                                   damping, n_cameras: int,
+                                   fix_first: bool, huber_delta,
+                                   solver: str, precond_block: int,
+                                   axis: str):
+    """Per-shard windowed GN step (runs under shard_map): landmarks and
+    their window observations shard over ``axis``; camera state is
+    replicated. The banded camera system is ONE psum over ICI (same
+    all-reduce shape as sfm/ba._gn_step_sharded_body); every shard then
+    runs the identical replicated camera solve and back-substitutes its
+    local landmarks."""
+    sys_terms, point_terms = _windowed_camera_system(
+        K, R, t, X_loc, c0_loc, uv_loc, w_loc, damping, n_cameras,
+        huber_delta)
+    sys_terms = jax.tree.map(lambda a: lax.psum(a, axis), sys_terms)
+    return _windowed_solve_and_update(R, t, X_loc, sys_terms, point_terms,
+                                      damping, n_cameras, fix_first,
+                                      solver, precond_block)
 
 
 @functools.partial(jax.jit, static_argnames=("n_cameras",))
@@ -432,7 +481,8 @@ def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
                            point_only_iters: int = 2,
                            solver: str = "dense",
                            precond_block: int = 1,
-                           return_info: bool = False):
+                           return_info: bool = False,
+                           mesh=None, axis: str = "landmark"):
     """Run GN/LM with K-windowed sparsity. Returns (R, t, X, costs) with
     costs a device array. ``point_only_iters`` camera-frozen landmark
     refinements run first (cheap, stabilizes weak triangulations).
@@ -445,6 +495,13 @@ def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
     groups (fewer CG iterations per GN step; see _banded_pcg_solve).
     ``return_info=True`` appends a diagnostics dict (per-GN-iter CG
     iteration counts; zeros for dense).
+
+    With ``mesh``, landmarks (problem rows + X) shard over ``axis``
+    and the banded camera system is ONE psum per GN step over ICI —
+    the multi-chip scale-out of the assembly, which dominates the step
+    at production landmark counts (measured 44 ms/iter at L=20k on one
+    v5e). Landmark count must be a multiple of the mesh size (use
+    pad_windowed_for_mesh); camera state stays replicated.
     """
     n_cameras = int(np.asarray(R0).shape[0])
     R = jnp.asarray(R0, jnp.float32)
@@ -453,15 +510,74 @@ def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
     for _ in range(point_only_iters):
         X = _points_only_step(problem.K, R, t, X, problem.c0, problem.uv,
                               problem.w, jnp.float32(damping), n_cameras)
+
+    if mesh is None:
+        step = functools.partial(
+            _gn_step_windowed, n_cameras=n_cameras, fix_first=fix_first,
+            huber_delta=huber_delta, solver=solver,
+            precond_block=precond_block)
+        K_, c0, uv, w = problem.K, problem.c0, problem.uv, problem.w
+    else:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = mesh.devices.size
+        if int(problem.c0.shape[0]) % n_dev:
+            raise ValueError(
+                "landmark count must be a multiple of the mesh size — "
+                "use pad_windowed_for_mesh")
+        body = functools.partial(
+            _gn_step_windowed_sharded_body, n_cameras=n_cameras,
+            fix_first=fix_first, huber_delta=huber_delta, solver=solver,
+            precond_block=precond_block, axis=axis)
+        step = jax.jit(shard_map(
+            lambda K, R, t, X, c0, uv, w, damping: body(
+                K, R, t, X, c0, uv, w, damping),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P()),
+            out_specs=(P(), P(), P(axis), P(), P()),
+            check_vma=False))
+        sh = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        K_ = jax.device_put(problem.K, rep)
+        c0 = jax.device_put(problem.c0, sh)
+        uv = jax.device_put(problem.uv, sh)
+        w = jax.device_put(problem.w, sh)
+        X = jax.device_put(X, sh)
+        R = jax.device_put(R, rep)
+        t = jax.device_put(t, rep)
+
     costs, cg_iters = [], []
     for _ in range(n_iters):
-        R, t, X, cost, k = _gn_step_windowed(
-            problem.K, R, t, X, problem.c0, problem.uv, problem.w,
-            jnp.float32(damping), n_cameras, fix_first, huber_delta,
-            solver, precond_block)
+        R, t, X, cost, k = step(K_, R, t, X, c0, uv, w,
+                                jnp.float32(damping))
         costs.append(cost)
         cg_iters.append(k)
     out = (R, t, X, jnp.stack(costs))
     if return_info:
         out = out + ({"cg_iters": jnp.stack(cg_iters)},)
     return out
+
+
+def pad_windowed_for_mesh(problem: WindowedBAProblem, X0, n_dev: int
+                          ) -> tuple[WindowedBAProblem, jnp.ndarray, int]:
+    """Pad landmarks (rows of the problem + X0) to a multiple of the
+    mesh size with zero-weight windows. Returns (problem, X0, n_pad);
+    slice the trailing n_pad rows off the returned X after BA. Zero
+    weights make pad rows exact no-ops in the camera system (V gets
+    only _damp's 1e-9 ridge, so T1 = W·V⁻¹ = 0, dx_p = 0)."""
+    L = int(problem.c0.shape[0])
+    n_pad = (-L) % n_dev
+    if n_pad == 0:
+        return problem, jnp.asarray(X0, jnp.float32), 0
+    kw = int(problem.uv.shape[1])
+    problem = problem._replace(
+        c0=jnp.concatenate([problem.c0,
+                            jnp.zeros((n_pad,), problem.c0.dtype)]),
+        uv=jnp.concatenate([problem.uv,
+                            jnp.zeros((n_pad, kw, 2), problem.uv.dtype)]),
+        w=jnp.concatenate([problem.w,
+                           jnp.zeros((n_pad, kw), problem.w.dtype)]))
+    Xp = jnp.concatenate([jnp.asarray(X0, jnp.float32),
+                          jnp.ones((n_pad, 3), jnp.float32)])
+    return problem, Xp, n_pad

@@ -261,6 +261,37 @@ def test_cg_solver_scales_to_500_cameras():
     assert costs[-1] < 1e-2 * costs[0]
 
 
+@pytest.mark.skipif(len(__import__("jax").devices()) < 8,
+                    reason="needs 8 (virtual) devices")
+@pytest.mark.parametrize("solver", ["dense", "cg"])
+def test_landmark_sharded_windowed_ba_matches_single_device(solver):
+    """Windowed BA with landmarks sharded over an 8-device mesh (one
+    psum of the banded camera system per GN step) == single device,
+    including the non-divisible pad path (123 landmarks on 8 devices)."""
+    import jax
+    from jax.sharding import Mesh
+    from pyfeaturetrack_tpu.sfm.ba_windowed import pad_windowed_for_mesh
+
+    problem, Rs, ts, X = _staggered_problem(n_cams=12, n_pts=123, kw=5)
+    R0, t0, X0 = _perturb(Rs, ts, X)
+    R1, t1, X1, c1 = bundle_adjust_windowed(
+        problem, R0, t0, X0, n_iters=4, point_only_iters=1, solver=solver)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("landmark",))
+    pp, Xp, n_pad = pad_windowed_for_mesh(problem, X0, 8)
+    assert n_pad == 5
+    Rm, tm, Xm, cm = bundle_adjust_windowed(
+        pp, R0, t0, Xp, n_iters=4, point_only_iters=1, solver=solver,
+        mesh=mesh)
+    # cost is a psum of f32 partial sums — ordering noise ~1e-4 rel;
+    # the parameters themselves agree to ~3e-6
+    np.testing.assert_allclose(np.asarray(cm), np.asarray(c1), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(tm), np.asarray(t1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Rm), np.asarray(R1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Xm)[:123], np.asarray(X1),
+                               atol=1e-3)
+
+
 def test_out_of_range_window_slots_are_ignored():
     """Observations whose window slot points past the last camera are
     ignored even with nonzero weights (the roll-based assembly would
