@@ -91,9 +91,32 @@ def main(port: str, pid: int, out_path: str) -> int:
     np.testing.assert_allclose(np.asarray(X1_full), np.asarray(X2),
                                atol=1e-4)
 
+    # --- landmark-sharded WINDOWED BA over the same global mesh
+    from pyfeaturetrack_tpu.sfm import (WindowedBAProblem,
+                                        bundle_adjust_windowed,
+                                        pad_windowed_for_mesh)
+    kw = 3
+    c0 = rng.integers(0, C - kw + 1, L).astype(np.int32)
+    cidx = c0[:, None] + np.arange(kw)[None, :]
+    uv_w = np.asarray(uv_dev)[cidx, np.arange(L)[:, None]]  # [L, kw, 2]
+    wproblem = WindowedBAProblem(
+        K=jnp.asarray(K), c0=jnp.asarray(c0), uv=jnp.asarray(uv_w),
+        w=jnp.ones((L, kw), jnp.float32))
+    wp, X0p, _ = pad_windowed_for_mesh(wproblem, X0, 8)
+    Rw, tw, Xw, costs_w = bundle_adjust_windowed(
+        wp, Rs, ts, X0p, n_iters=3, point_only_iters=0, solver="cg",
+        mesh=mesh)
+    Rw2, tw2, Xw2, costs_w2 = bundle_adjust_windowed(
+        wproblem, Rs, ts, X0, n_iters=3, point_only_iters=0)
+    np.testing.assert_allclose(np.asarray(costs_w), np.asarray(costs_w2),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(tw), np.asarray(tw2), atol=2e-4)
+
     with open(out_path, "w") as f:
         json.dump({"ok": True, "pid": pid,
-                   "final_cost": float(np.asarray(costs_sh)[-1])}, f)
+                   "final_cost": float(np.asarray(costs_sh)[-1]),
+                   "final_cost_windowed": float(np.asarray(costs_w)[-1])},
+                  f)
     return 0
 
 

@@ -48,6 +48,8 @@ def test_two_process_cluster(tmp_path):
     assert all(p.returncode == 0 for p in procs), "\n".join(logs)
     results = [json.load(open(o)) for o in outs]
     assert all(r["ok"] for r in results)
-    # both controllers computed the same replicated final cost
+    # both controllers computed the same replicated final costs
     assert results[0]["final_cost"] == pytest.approx(
         results[1]["final_cost"], rel=1e-6)
+    assert results[0]["final_cost_windowed"] == pytest.approx(
+        results[1]["final_cost_windowed"], rel=1e-6)
