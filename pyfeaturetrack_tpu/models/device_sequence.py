@@ -162,6 +162,26 @@ def sequence_chain_device(pyr_prev: TrackPyramids, imgs: tuple,
     return pyr, hist, (x, y, val), aff, exhausted
 
 
+def warn_selection_exhausted(where: str, top_k: int) -> None:
+    """Shared warning for device-selection top-K exhaustion (the one
+    case where the device path can fill fewer slots than the host's
+    full candidate scan)."""
+    from ..errors import KLTWarning
+    KLTWarning(
+        "(%s) a selection ran out of top-%d candidates with free slots "
+        "left — the host full-scan path may fill more; raise top_k for "
+        "exact parity", where, top_k)
+
+
+def stack_history_chunks(chunks) -> tuple:
+    """Concatenate per-frame history chunks ([k, N] triplets from
+    chained steps, [N] rows from single steps) into stacked
+    [n_frames, N] numpy (x, y, val)."""
+    cols = [[np.atleast_2d(np.asarray(c[j])) for c in chunks]
+            for j in range(3)]
+    return tuple(np.concatenate(col, axis=0) for col in cols)
+
+
 def track_sequence_device(frames: Iterable, cfg: Optional[TrackerConfig]
                           = None, n_features: int = 150,
                           replace_lost: bool = True,
@@ -206,11 +226,5 @@ def track_sequence_device(frames: Iterable, cfg: Optional[TrackerConfig]
         exhausted = exhausted | ex
     jax.block_until_ready(val)
     if bool(exhausted):
-        from ..errors import KLTWarning
-        KLTWarning(
-            "(track_sequence_device) a selection ran out of top-%d "
-            "candidates with free slots left — the host full-scan path "
-            "may fill more; raise top_k for exact parity", top_k)
-    cols = [[np.atleast_2d(np.asarray(c[j])) for c in chunks]
-            for j in range(3)]
-    return tuple(np.concatenate(col, axis=0) for col in cols)
+        warn_selection_exhausted("track_sequence_device", top_k)
+    return stack_history_chunks(chunks)

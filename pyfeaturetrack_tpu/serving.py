@@ -47,10 +47,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import TrackerConfig, create_config
-from .errors import KLTError, KLTWarning
+from .errors import KLTError
 from .models.device_sequence import (select_step_device,
                                      sequence_chain_device,
-                                     sequence_step_device)
+                                     sequence_step_device,
+                                     warn_selection_exhausted)
 from .ops.select_device import DEFAULT_TOP_K
 
 _STOP = object()
@@ -77,13 +78,18 @@ def prefetch_to_device(frames: Iterable, depth: int = 2,
         raise KLTError(f"(prefetch_to_device) depth must be >= 1, got {depth}")
     dev = device if device is not None else jax.devices()[0]
     q: queue.Queue = queue.Queue(maxsize=depth)
+    cancelled = threading.Event()
 
     def worker():
         try:
             for f in frames:
+                if cancelled.is_set():
+                    return
                 arr = jax.device_put(np.asarray(f, stage_dtype), dev)
                 arr.block_until_ready()  # complete transfer in THIS thread
                 q.put(arr)
+                if cancelled.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
             q.put(e)
             return
@@ -93,13 +99,24 @@ def prefetch_to_device(frames: Iterable, depth: int = 2,
                          name="pft-prefetch")
     t.start()
 
-    while True:
-        item = q.get()
-        if item is _STOP:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _STOP:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer abandoned the stream (break / exception / GC): unblock
+        # a producer stuck on the full queue so it can exit and release
+        # the staged frames + source iterator
+        cancelled.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class StreamingTracker:
@@ -140,27 +157,37 @@ class StreamingTracker:
         self._state = None          # (x, y, val) device arrays
         self._pending: list = []    # device frames awaiting a chain
         self._chunks: list = []     # [k,N] (or [N]) device history rows
+        self._host_chunks: list = []  # history already pulled to host
         self._exhausted = None
         self.n_frames = 0
 
     # -- internals -------------------------------------------------------
 
     def _advance(self, frames: list) -> None:
-        x, y, val = self._state
-        if len(frames) == 1:
-            self._pyr, x, y, val, self._aff, ex = sequence_step_device(
-                self._pyr, frames[0], x, y, val, self.cfg,
-                self.replace_lost, self.top_k, self._aff)
-            self._chunks.append((x, y, val))
-        else:
+        # a full chain uses the one compiled k-frame program; partial
+        # chains (flush/emit tails) fall back to per-step calls so every
+        # distinct tail length does not compile its own program (same
+        # policy as track_sequence_device's tail handling)
+        if len(frames) == self.chain and self.chain > 1:
+            x, y, val = self._state
             self._pyr, hist, (x, y, val), self._aff, ex = \
                 sequence_chain_device(
                     self._pyr, tuple(frames), x, y, val, self.cfg,
                     self.replace_lost, self.top_k, self._aff)
             self._chunks.append(hist)
-        self._state = (x, y, val)
-        self._exhausted = (ex if self._exhausted is None
-                           else self._exhausted | ex)
+            self._state = (x, y, val)
+            self._exhausted = (ex if self._exhausted is None
+                               else self._exhausted | ex)
+            return
+        for f in frames:
+            x, y, val = self._state
+            self._pyr, x, y, val, self._aff, ex = sequence_step_device(
+                self._pyr, f, x, y, val, self.cfg,
+                self.replace_lost, self.top_k, self._aff)
+            self._chunks.append((x, y, val))
+            self._state = (x, y, val)
+            self._exhausted = (ex if self._exhausted is None
+                               else self._exhausted | ex)
 
     # -- public API ------------------------------------------------------
 
@@ -198,20 +225,44 @@ class StreamingTracker:
         if self._state is not None:
             jax.block_until_ready(self._state[2])
 
+    def _migrate_history(self) -> None:
+        """Pull device history chunks to host (one d2h per chunk) so
+        device memory stays bounded by the emit/pull cadence, and each
+        table() only transfers rows produced since the previous pull."""
+        if self._exhausted is not None and bool(self._exhausted):
+            warn_selection_exhausted("StreamingTracker", self.top_k)
+            self._exhausted = jnp.asarray(False)  # warn once per pull
+        for c in self._chunks:
+            self._host_chunks.append(tuple(
+                np.atleast_2d(np.asarray(c[j])) for j in range(3)))
+        self._chunks = []
+
     def table(self) -> tuple:
         """(x, y, val) numpy arrays stacked [n_frames, n_features] — the
-        FeatureTable contents, same layout as track_sequence_device."""
+        FeatureTable contents, same layout as track_sequence_device.
+        History rows migrate to host on each call, so device memory is
+        bounded by the pull cadence; the host copy still grows with the
+        stream — long-lived servers should use :meth:`drain`."""
         self.flush()
-        if not self._chunks:
+        self._migrate_history()
+        if not self._host_chunks:
             raise KLTError("(StreamingTracker.table) no frames fed yet")
-        if self._exhausted is not None and bool(self._exhausted):
-            KLTWarning(
-                "(StreamingTracker) a selection ran out of top-%d "
-                "candidates with free slots left — raise top_k for "
-                "exact host-path parity", self.top_k)
-            self._exhausted = jnp.asarray(False)  # warn once per pull
-        cols = [[np.atleast_2d(np.asarray(c[j])) for c in self._chunks]
-                for j in range(3)]
+        cols = [[c[j] for c in self._host_chunks] for j in range(3)]
+        return tuple(np.concatenate(col, axis=0) for col in cols)
+
+    def drain(self) -> tuple:
+        """Like :meth:`table`, but returns ONLY the rows accumulated
+        since the previous drain/construction and releases them —
+        bounded memory for unbounded (24/7) streams. An empty interval
+        returns [0, n_features]-shaped arrays."""
+        self.flush()
+        self._migrate_history()
+        if not self._host_chunks:
+            return (np.empty((0, self.n_features), np.float32),
+                    np.empty((0, self.n_features), np.float32),
+                    np.empty((0, self.n_features), np.int32))
+        cols = [[c[j] for c in self._host_chunks] for j in range(3)]
+        self._host_chunks = []
         return tuple(np.concatenate(col, axis=0) for col in cols)
 
 
@@ -235,7 +286,10 @@ def serve_stream(frames: Iterable, cfg: Optional[TrackerConfig] = None,
     stage_dtype = np.uint8 if stage_uint8 else np.float32
     it = (prefetch_to_device(frames, depth=prefetch,
                              stage_dtype=stage_dtype) if prefetch > 0
-          else (jnp.asarray(np.asarray(f, stage_dtype))
+          # already-device frames pass through untouched: np.asarray on
+          # a jax.Array would d2h-pull it (relay poisoning, DESIGN.md)
+          else (f if isinstance(f, jax.Array)
+                else jnp.asarray(np.asarray(f, stage_dtype))
                 for f in frames))
     for frame in it:
         tr.feed(frame)

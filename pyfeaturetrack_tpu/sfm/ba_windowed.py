@@ -507,9 +507,6 @@ def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
     R = jnp.asarray(R0, jnp.float32)
     t = jnp.asarray(t0, jnp.float32)
     X = jnp.asarray(X0, jnp.float32)
-    for _ in range(point_only_iters):
-        X = _points_only_step(problem.K, R, t, X, problem.c0, problem.uv,
-                              problem.w, jnp.float32(damping), n_cameras)
 
     if mesh is None:
         step = functools.partial(
@@ -546,6 +543,13 @@ def bundle_adjust_windowed(problem: WindowedBAProblem, R0, t0, X0,
         X = jax.device_put(X, sh)
         R = jax.device_put(R, rep)
         t = jax.device_put(t, rep)
+
+    # warm start AFTER the (optional) sharding setup: the points-only
+    # step is per-landmark independent, so with sharded inputs GSPMD
+    # partitions it across the mesh instead of bottlenecking one device
+    for _ in range(point_only_iters):
+        X = _points_only_step(K_, R, t, X, c0, uv, w,
+                              jnp.float32(damping), n_cameras)
 
     costs, cg_iters = [], []
     for _ in range(n_iters):

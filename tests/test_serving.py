@@ -81,6 +81,54 @@ def test_streaming_tracker_emit_every():
     np.testing.assert_array_equal(fv[:4], v4)
 
 
+def test_streaming_tracker_drain_releases_history():
+    """drain() returns only rows since the previous drain and releases
+    them (bounded memory for unbounded streams)."""
+    frames = _rolling_frames(n_frames=7)
+    cfg = create_config(mindist=8)
+    full_x, _, full_v = serve_stream(iter(frames), cfg=cfg, n_features=20)
+    tr = StreamingTracker(cfg, n_features=20)
+    for f in frames[:4]:
+        tr.feed(f)
+    x1, _, v1 = tr.drain()
+    assert x1.shape == (4, 20)
+    for f in frames[4:]:
+        tr.feed(f)
+    x2, _, v2 = tr.drain()
+    assert x2.shape == (3, 20)
+    np.testing.assert_allclose(np.concatenate([x1, x2]), full_x,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.concatenate([v1, v2]), full_v)
+    # empty interval: empty arrays, not an error
+    x3, _, _ = tr.drain()
+    assert x3.shape == (0, 20)
+
+
+def test_prefetch_abandoned_consumer_stops_worker():
+    """Breaking out of a prefetch iterator unblocks and stops the
+    staging thread (no leak of the source or staged frames)."""
+    import threading
+    import time
+
+    pulled = []
+
+    def source():
+        for i in range(100):
+            pulled.append(i)
+            yield np.zeros((4, 4), np.float32)
+
+    before = threading.active_count()
+    it = prefetch_to_device(source(), depth=2)
+    next(it)
+    it.close()  # abandon (same path as break / GC)
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(pulled) < 100  # source was not fully consumed
+
+
 def test_streaming_tracker_table_before_feed_raises():
     with pytest.raises(KLTError):
         StreamingTracker(create_config()).table()
