@@ -45,6 +45,19 @@ def main(out_dir="."):
     full = (val >= 0).all(axis=0).sum()
     print(f"{full} features survive all {N_FRAMES} frames "
           f"(chain={CHAIN}, zero per-frame host sync)")
+
+    # Push-style live serving: the same math, but frames arrive one at
+    # a time (a camera/decoder) and are shipped 8-bit — 4x less host
+    # link traffic; the f32 cast fuses into the jitted step. drain()
+    # returns-and-releases rows, bounding memory on unbounded streams.
+    from pyfeaturetrack_tpu import StreamingTracker  # noqa: E402
+    tr = StreamingTracker(cfg, n_features=N_FEATURES, chain=CHAIN)
+    for f in frames:
+        tr.feed(f)   # uint8 ndarray straight from pgm_read
+    sx, sy, sval = tr.drain()
+    assert (sval == val).all() and abs(sx - x).max() < 1e-4
+    print(f"streaming feed matches: {int((sval[-1] >= 0).sum())} live "
+          "on the final frame")
     return x, y, val
 
 

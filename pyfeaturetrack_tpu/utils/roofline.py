@@ -93,15 +93,23 @@ def lk_counts(h: int, w: int, n_features: int, cfg) -> dict:
     return {"bytes": float(bytes_total), "flops": float(flops)}
 
 
-def affine_counts(n_features: int, cfg) -> dict:
-    """Affine-consistency GN for one frame step (mode 2: 6-param)."""
+def affine_counts(n_features: int, cfg, h: int = 480, w: int = 640
+                  ) -> dict:
+    """Affine-consistency GN for one frame step (mode 2: 6-param).
+
+    Bytes = COMPULSORY HBM traffic: the three image channels (img, gx,
+    gy) and the per-feature templates stream to VMEM once; the
+    per-iteration warp gathers are then served from VMEM. (The earlier
+    every-gather-from-HBM model measured 966 GB/s "achieved" against
+    the 819 GB/s chip peak — i.e. >100% of roofline, proving the
+    gathers cache; this floor model replaces it.) FLOPs still count
+    every fixed-trip iteration, matching the compiled program."""
     t = cfg.affine_window_width * cfg.affine_window_height
     patch = (cfg.affine_window_width + 1) ** 2
     it = cfg.affine_max_iterations
     params = 6
-    # per iteration: warp-gather 3 windows + Jacobian outer products +
-    # [P, P] normal matrix + unrolled solve
-    bytes_total = n_features * it * 3 * patch * _F32
+    bytes_total = (3 * h * w + n_features * 3 * patch
+                   + 4 * n_features) * _F32
     flops = n_features * it * (
         3 * patch * 8 + t * (params * 4 + params * params * 2)
         + params ** 3)
@@ -215,7 +223,8 @@ def roofline_report(h=480, w=640, n_features=1000, stage_times=None,
                               stage_times["lk_s"]),
         "affine_check": summarize(
             affine_counts(n_features,
-                          create_config(affineConsistencyCheck=2)),
+                          create_config(affineConsistencyCheck=2),
+                          h=h, w=w),
             stage_times["affine_s"]),
     }
     if ba_iter_s is not None:
