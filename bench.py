@@ -92,7 +92,7 @@ def bench_sequence_replace(h=480, w=640, n_features=1000, n_frames=48,
     cfg = create_config().replace(sequentialMode=True).validated_window()
     base = _textured(h, w, seed=4)[:h, :w]
     n_cycle = 16
-    cyc = [jnp.asarray(np.roll(base, shift * i, axis=1), jnp.float32)
+    cyc = [jnp.asarray(np.roll(base, shift * i, axis=1).astype(np.float32))
            for i in range(n_cycle)]
     frames = cyc + cyc[-2:0:-1]  # ping-pong: steps stay +-shift px
 
@@ -145,7 +145,8 @@ def bench_serving(h=480, w=640, n_features=1000, n_frames=48, chain=8,
                   src, depth=prefetch,
                   stage_dtype=np.uint8 if stage_uint8 else np.float32)
               if prefetch > 0 else
-              (jnp.asarray(f, jnp.uint8 if stage_uint8 else jnp.float32)
+              (jnp.asarray(np.asarray(
+                   f, np.uint8 if stage_uint8 else np.float32))
                for f in src))
         for fr in it:
             tr.feed(fr)
@@ -158,6 +159,38 @@ def bench_serving(h=480, w=640, n_features=1000, n_frames=48, chain=8,
     t0 = time.perf_counter()
     run_once()
     return n_frames / (time.perf_counter() - t0)
+
+
+def bench_serving_batched(h=480, w=640, n_features=1000, n_streams=8,
+                          n_ticks=12, chain=4, warmed=[]):
+    """Multi-camera serving: n_streams live uint8 feeds advanced in
+    lockstep (BatchedStreamingTracker), h2d staging inside the timed
+    loop. Returns AGGREGATE frames/s across streams."""
+    import jax
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.serving import BatchedStreamingTracker
+
+    cfg = create_config().replace(sequentialMode=True).validated_window()
+    rng = np.random.default_rng(3)
+    bases = [np.floor(_textured(h, w, seed=10 + b)[:h, :w])
+             for b in range(n_streams)]
+    ticks = [np.stack([np.roll(bases[b], 2 * i, axis=1)
+                       for b in range(n_streams)]).astype(np.uint8)
+             for i in range(16)]
+
+    def run_once():
+        bt = BatchedStreamingTracker(cfg, n_streams=n_streams,
+                                     n_features=n_features, chain=chain)
+        for i in range(n_ticks):
+            bt.feed(ticks[i % len(ticks)])
+        bt.block()
+
+    if not warmed:
+        warmed.append(True)
+        run_once()
+    t0 = time.perf_counter()
+    run_once()
+    return n_ticks * n_streams / (time.perf_counter() - t0)
 
 
 def bench_two_frame_demo():
@@ -232,8 +265,8 @@ def bench_batched_streams(h=480, w=640, n_features=1000, batch=8,
         return jax.vmap(one)(imgs1, imgs2, x, y, val)
 
     rng = np.random.default_rng(0)
-    imgs1 = jnp.asarray(rng.uniform(0, 255, (batch, h, w)), jnp.float32)
-    imgs2 = jnp.asarray(rng.uniform(0, 255, (batch, h, w)), jnp.float32)
+    imgs1 = jnp.asarray(rng.uniform(0, 255, (batch, h, w)).astype(np.float32))
+    imgs2 = jnp.asarray(rng.uniform(0, 255, (batch, h, w)).astype(np.float32))
     x = jnp.asarray(rng.uniform(cfg.borderx + 1, w - cfg.borderx - 2,
                                 (batch, n_features)), jnp.float32)
     y = jnp.asarray(rng.uniform(cfg.bordery + 1, h - cfg.bordery - 2,
@@ -408,6 +441,10 @@ def main():
         details["serving_f32_ingest_fps"] = _repeat(
             lambda: bench_serving(stage_uint8=False), n=3)
         log(f"serving f32 done: {details['serving_f32_ingest_fps']}")
+        details["serving_batched8_aggregate_ingest_fps"] = _repeat(
+            bench_serving_batched, n=3)
+        log("serving batched8 done: "
+            f"{details['serving_batched8_aggregate_ingest_fps']}")
         from pyfeaturetrack_tpu.utils.roofline import roofline_report
         details["roofline"] = roofline_report()
         log(f"roofline done: " + ", ".join(

@@ -53,6 +53,7 @@ from .models import (  # noqa: F401
 )
 from .models.device_sequence import track_sequence_device  # noqa: F401
 from .serving import (  # noqa: F401
+    BatchedStreamingTracker,
     StreamingTracker,
     prefetch_to_device,
     serve_stream,

@@ -201,8 +201,11 @@ def track_sequence_device(frames: Iterable, cfg: Optional[TrackerConfig]
     def dev(j):
         # frames are staged as they are consumed (only `chain` at a
         # time): a long video held fully device-resident would exceed
-        # HBM (3600 x 1080p f32 = ~30 GB vs 16 GB on a v5e)
-        return jnp.asarray(np.asarray(frames[j]), jnp.float32)
+        # HBM (3600 x 1080p f32 = ~30 GB vs 16 GB on a v5e).
+        # NB convert on HOST: a dtype-converting device put
+        # (jnp.asarray(uint8_host, float32)) measured 5 MB/s on the
+        # relay vs ~1 GB/s for same-dtype puts (serving._stage_host)
+        return jnp.asarray(np.asarray(frames[j], np.float32))
 
     pyr, x, y, val, aff, exhausted = select_step_device(
         dev(0), cfg, n_features, top_k)

@@ -28,6 +28,7 @@ from ..features import (STATUS_NAMES, FeatureState, FeatureTable,
                         store_feature_list)
 from ..ops.select import replace_lost_features, select_good_features
 from ..ops.track import build_track_pyramids_jit
+from ..utils.staging import stage_f32
 import jax.numpy as jnp
 
 
@@ -82,7 +83,7 @@ class SequenceTracker:
         frame = np.asarray(frame)
         self.fl = select_good_features(frame, self.n_features, self.cfg)
         self._cache = build_track_pyramids_jit(
-            jnp.asarray(frame, jnp.float32), self.cfg.validated_window())
+            stage_f32(frame), self.cfg.validated_window())
         self._prev = frame
         self.n_frames_seen += 1
         self.metrics.append(frame_metrics(self.fl))
@@ -162,7 +163,7 @@ class KeyframeTracker(SequenceTracker):
             self.fl = fl
             self._key_fl = fl
             self._cache = build_track_pyramids_jit(
-                jnp.asarray(frame, jnp.float32), self.cfg.validated_window())
+                stage_f32(frame), self.cfg.validated_window())
             self._prev = frame
             self._since_key = 0
         self.n_frames_seen += 1

@@ -30,6 +30,7 @@ from ..features import (FeatureState, FeatureTable, count_remaining_features,
 from ..ops.select import replace_lost_features, select_good_features
 from ..ops.track import (TrackPyramids, build_track_pyramids_jit,
                          track_features)
+from ..utils.staging import stage_f32
 
 # ---------------------------------------------------------------------------
 # Reference-shaped functional API
@@ -103,7 +104,7 @@ def KLTTrackFeatures(cfg: TrackerConfig, img1, img2, fl: FeatureState,
     cfgv = cfg.validated_window()
     pyr1 = pyramid_last
     if pyr1 is None:
-        pyr1 = build_track_pyramids_jit(jnp.asarray(img1, jnp.float32), cfgv)
+        pyr1 = build_track_pyramids_jit(stage_f32(img1), cfgv)
     fl_after, pyr2 = track_features(img1, img2, fl, cfgv, pyr1=pyr1)
     if cfgv.affineConsistencyCheck >= 0:
         from ..ops.affine import affine_consistency_check
@@ -149,7 +150,7 @@ class Tracker:
         self._prev_img = img
         if self.cfg.sequentialMode:
             self._cache = build_track_pyramids_jit(
-                jnp.asarray(img, jnp.float32), self.cfg.validated_window())
+                stage_f32(img), self.cfg.validated_window())
         return select_good_features(img, n_features, self.cfg)
 
     def track(self, img, fl: FeatureState,

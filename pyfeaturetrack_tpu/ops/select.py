@@ -30,6 +30,7 @@ from jax import lax
 from ..errors import KLTWarning, verbose_print
 from ..features import KLT_NOT_FOUND, FeatureState
 from .convolve import compute_gradients, compute_smoothed_image, to_float_image
+from ..utils.staging import stage_f32
 
 # Selection keeps EXACT fp32 window sums regardless of PFT_CONV_PRECISION:
 # the (gxx - gyy) cancellation in the min-eigenvalue formula amplifies
@@ -112,7 +113,7 @@ def _write_internal_images(img, cfg) -> None:
     kltimg_sgfrlf_gx/_gy.pgm in the working directory.
     """
     from ..utils.io import float_image_to_pgm
-    fimg = jnp.asarray(img, jnp.float32)
+    fimg = stage_f32(img)
     if cfg.smoothBeforeSelecting:
         fimg = compute_smoothed_image(fimg, cfg.smooth_sigma)
     gradx, grady = compute_gradients(fimg, cfg.grad_sigma)
@@ -190,7 +191,7 @@ def select_good_features_arrays(img, n_features: int, cfg,
         _write_internal_images(img, cfg)
 
     eig = np.asarray(_selection_eig_map(
-        jnp.asarray(img, jnp.float32),
+        stage_f32(img),
         window_width=int(cfg.window_width),
         window_height=int(cfg.window_height),
         smooth_before=bool(cfg.smoothBeforeSelecting),

@@ -34,6 +34,7 @@ from ..features import (KLT_LARGE_RESIDUE, KLT_MAX_ITERATIONS, KLT_OOB,
 from .convolve import compute_smoothed_image, to_float_image
 from .interp import gather_patch, patch_indices, window_from_patch
 from .pyramid import compute_gradient_pyramids, compute_pyramid
+from ..utils.staging import stage_f32
 
 _ONE_PLUS_EPS = 1.001
 
@@ -296,8 +297,8 @@ def track_features(img1, img2, fl, cfg, pyr1: TrackPyramids | None = None):
     from ..errors import KLTGetVerbosity, verbose_print
     cfg = cfg.validated_window()
     if pyr1 is None:
-        pyr1 = build_track_pyramids_jit(jnp.asarray(img1, jnp.float32), cfg)
-    pyr2 = build_track_pyramids_jit(jnp.asarray(img2, jnp.float32), cfg)
+        pyr1 = build_track_pyramids_jit(stage_f32(img1), cfg)
+    pyr2 = build_track_pyramids_jit(stage_f32(img2), cfg)
     nrows, ncols = pyr2.img[0].shape
     verbose_print(f"(KLT) Tracking {fl.nFeatures} features in a "
                   f"{ncols} by {nrows} image...  ")

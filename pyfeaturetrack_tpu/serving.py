@@ -38,6 +38,7 @@ Design notes, MEASURED on the v5e relay rig (bench.bench_serving):
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from typing import Iterable, Iterator, Optional
@@ -48,13 +49,28 @@ import numpy as np
 
 from .config import TrackerConfig, create_config
 from .errors import KLTError
-from .models.device_sequence import (select_step_device,
+from .models.device_sequence import (_sequence_step_body,
+                                     select_step_device,
                                      sequence_chain_device,
                                      sequence_step_device,
                                      warn_selection_exhausted)
 from .ops.select_device import DEFAULT_TOP_K
 
 _STOP = object()
+
+
+def _stage_host(arr) -> jax.Array:
+    """Stage a host frame with a SAME-DTYPE device put.
+
+    A dtype-converting put (``jnp.asarray(uint8_host, float32)``)
+    measured 5 MB/s on the relay — ~50-200x slower than same-dtype puts
+    (0.3-1.1 GB/s). uint8/float32 ship as-is (the jitted step casts
+    uint8 to f32 on device, fused for free); anything else converts on
+    host first."""
+    a = np.asarray(arr)
+    if a.dtype not in (np.uint8, np.float32):
+        a = a.astype(np.float32)
+    return jnp.asarray(a)
 
 
 def prefetch_to_device(frames: Iterable, depth: int = 2,
@@ -195,7 +211,7 @@ class StreamingTracker:
         """Process one frame (device array or host ndarray). Returns the
         stacked numpy table so far iff ``emit_every`` fired, else None."""
         frame = (frame if isinstance(frame, jax.Array)
-                 else jnp.asarray(np.asarray(frame), jnp.float32))
+                 else _stage_host(frame))
         if self._state is None:
             self._pyr, x, y, val, self._aff, self._exhausted = \
                 select_step_device(frame, self.cfg, self.n_features,
@@ -261,6 +277,156 @@ class StreamingTracker:
             return (np.empty((0, self.n_features), np.float32),
                     np.empty((0, self.n_features), np.float32),
                     np.empty((0, self.n_features), np.int32))
+        cols = [[c[j] for c in self._host_chunks] for j in range(3)]
+        self._host_chunks = []
+        return tuple(np.concatenate(col, axis=0) for col in cols)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_features", "top_k"))
+def _select_batch(imgs, cfg, n_features: int, top_k: int):
+    return jax.vmap(
+        lambda im: select_step_device(im, cfg, n_features, top_k))(imgs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "replace_lost",
+                                             "top_k", "n_steps"))
+def _step_batch(pyr, imgs, x, y, val, cfg, replace_lost: bool,
+                top_k: int, aff, n_steps: int = 1):
+    """Advance every stream ``n_steps`` frames in ONE program: vmap of
+    the shared per-frame body (track -> affine check -> refill).
+    ``imgs`` is a tuple of n_steps [B, H, W] frame batches."""
+    def chain_one(p, ims, xx, yy, vv, af):
+        hx, hy, hv = [], [], []
+        ex = jnp.asarray(False)
+        for i in range(n_steps):
+            p, xx, yy, vv, af, e = _sequence_step_body(
+                p, ims[i], xx, yy, vv, cfg, replace_lost, top_k, af)
+            ex = ex | e
+            hx.append(xx)
+            hy.append(yy)
+            hv.append(vv)
+        return (p, (jnp.stack(hx), jnp.stack(hy), jnp.stack(hv)),
+                (xx, yy, vv), af, ex)
+
+    return jax.vmap(chain_one, in_axes=(0, 0, 0, 0, 0, 0))(
+        pyr, jnp.stack(imgs, axis=1), x, y, val, aff)
+
+
+class BatchedStreamingTracker:
+    """Lockstep serving for B independent camera streams: every
+    :meth:`feed` takes a [B, H, W] frame batch (one new frame per
+    stream) and ONE vmapped device program advances all streams —
+    aggregate throughput at the batched-streams rate (~40 us dispatch
+    floor amortized across B, ROOFLINE.md) with full per-stream
+    replace-lost and affine-consistency semantics.
+
+    Per-stream math is IDENTICAL to :class:`StreamingTracker` (shared
+    `_sequence_step_body`); the history layout gains a leading stream
+    axis: :meth:`table`/:meth:`drain` return [n_frames, B, n_features].
+    ``chain`` buffers that many ticks and advances them in one program.
+    """
+
+    def __init__(self, cfg: Optional[TrackerConfig] = None,
+                 n_streams: int = 8, n_features: int = 150,
+                 replace_lost: bool = True, top_k: int = DEFAULT_TOP_K,
+                 chain: int = 1):
+        if chain < 1:
+            raise KLTError(
+                f"(BatchedStreamingTracker) chain must be >= 1, got {chain}")
+        self.cfg = (cfg if cfg is not None else create_config()).replace(
+            sequentialMode=True).validated_window()
+        self.n_streams = int(n_streams)
+        self.n_features = int(n_features)
+        self.replace_lost = bool(replace_lost)
+        self.top_k = int(top_k)
+        self.chain = int(chain)
+        self._pyr = None
+        self._aff = None
+        self._state = None
+        self._pending: list = []
+        self._chunks: list = []      # [B, k, N] triplets (device)
+        self._host_chunks: list = []
+        self._exhausted = None
+        self.n_frames = 0
+
+    def _coerce(self, batch) -> jax.Array:
+        batch = (batch if isinstance(batch, jax.Array)
+                 else _stage_host(batch))
+        if batch.ndim != 3 or batch.shape[0] != self.n_streams:
+            raise KLTError(
+                "(BatchedStreamingTracker.feed) expected a "
+                f"[{self.n_streams}, H, W] frame batch, got {batch.shape}")
+        return batch
+
+    def _advance(self, batches: list) -> None:
+        x, y, val = self._state
+        self._pyr, hist, (x, y, val), self._aff, ex = _step_batch(
+            self._pyr, tuple(batches), x, y, val, self.cfg,
+            self.replace_lost, self.top_k, self._aff,
+            n_steps=len(batches))
+        self._chunks.append(hist)
+        self._state = (x, y, val)
+        ex = jnp.any(ex)
+        self._exhausted = (ex if self._exhausted is None
+                           else self._exhausted | ex)
+
+    def feed(self, batch) -> None:
+        """Process one [B, H, W] tick (one new frame per stream)."""
+        batch = self._coerce(batch)
+        if self._state is None:
+            self._pyr, x, y, val, self._aff, ex = _select_batch(
+                batch, self.cfg, self.n_features, self.top_k)
+            self._state = (x, y, val)
+            self._chunks.append((x[:, None], y[:, None], val[:, None]))
+            self._exhausted = jnp.any(ex)
+        else:
+            self._pending.append(batch)
+            if len(self._pending) >= self.chain:
+                self._advance(self._pending)
+                self._pending = []
+        self.n_frames += 1
+
+    def flush(self) -> None:
+        if self._pending:
+            # partial chains advance per-tick (one program per tick) so
+            # each tail length does not compile its own chained program
+            for b in self._pending:
+                self._advance([b])
+            self._pending = []
+
+    def block(self) -> None:
+        self.flush()
+        if self._state is not None:
+            jax.block_until_ready(self._state[2])
+
+    def _migrate_history(self) -> None:
+        if self._exhausted is not None and bool(self._exhausted):
+            warn_selection_exhausted("BatchedStreamingTracker", self.top_k)
+            self._exhausted = jnp.asarray(False)
+        for c in self._chunks:
+            # [B, k, N] device -> [k, B, N] host rows
+            self._host_chunks.append(tuple(
+                np.moveaxis(np.asarray(c[j]), 0, 1) for j in range(3)))
+        self._chunks = []
+
+    def table(self) -> tuple:
+        """(x, y, val) numpy [n_frames, B, n_features]."""
+        self.flush()
+        self._migrate_history()
+        if not self._host_chunks:
+            raise KLTError("(BatchedStreamingTracker.table) no frames fed")
+        cols = [[c[j] for c in self._host_chunks] for j in range(3)]
+        return tuple(np.concatenate(col, axis=0) for col in cols)
+
+    def drain(self) -> tuple:
+        """Rows since the last drain, released (bounded memory)."""
+        self.flush()
+        self._migrate_history()
+        if not self._host_chunks:
+            b, n = self.n_streams, self.n_features
+            return (np.empty((0, b, n), np.float32),
+                    np.empty((0, b, n), np.float32),
+                    np.empty((0, b, n), np.int32))
         cols = [[c[j] for c in self._host_chunks] for j in range(3)]
         self._host_chunks = []
         return tuple(np.concatenate(col, axis=0) for col in cols)

@@ -8,7 +8,8 @@ from conftest import make_textured_image
 from pyfeaturetrack_tpu.config import create_config
 from pyfeaturetrack_tpu.errors import KLTError
 from pyfeaturetrack_tpu.models.device_sequence import track_sequence_device
-from pyfeaturetrack_tpu.serving import (StreamingTracker,
+from pyfeaturetrack_tpu.serving import (BatchedStreamingTracker,
+                                        StreamingTracker,
                                         prefetch_to_device, serve_stream)
 
 
@@ -134,6 +135,50 @@ def test_streaming_tracker_table_before_feed_raises():
         StreamingTracker(create_config()).table()
     with pytest.raises(KLTError):
         StreamingTracker(create_config(), chain=0)
+
+
+@pytest.mark.parametrize("replace_lost,affine,chain", [
+    (True, -1, 1), (False, -1, 2), (True, 2, 2)])
+def test_batched_streaming_matches_independent_streams(replace_lost,
+                                                       affine, chain):
+    """B lockstep streams == B independent StreamingTrackers, frame for
+    frame (incl. replace-lost, affine mode 2, and a partial-chain
+    flush: 6 tracked frames with chain=2 after the select tick)."""
+    B, n = 3, 25
+    cfg = create_config(mindist=8, affineConsistencyCheck=affine)
+    streams = [_rolling_frames(n_frames=7, shift=3 + b, seed=20 + b)
+               for b in range(B)]
+    singles = []
+    for b in range(B):
+        tr = StreamingTracker(cfg, n_features=n,
+                              replace_lost=replace_lost, chain=chain)
+        for f in streams[b]:
+            tr.feed(f)
+        singles.append(tr.table())
+    bt = BatchedStreamingTracker(cfg, n_streams=B, n_features=n,
+                                 replace_lost=replace_lost, chain=chain)
+    for i in range(7):
+        bt.feed(np.stack([streams[b][i] for b in range(B)]))
+    bx, by, bv = bt.table()
+    assert bx.shape == (7, B, n)
+    for b in range(B):
+        np.testing.assert_array_equal(bv[:, b], singles[b][2])
+        np.testing.assert_allclose(bx[:, b], singles[b][0], atol=1e-4)
+        np.testing.assert_allclose(by[:, b], singles[b][1], atol=1e-4)
+
+
+def test_batched_streaming_drain_and_validation():
+    cfg = create_config(mindist=8)
+    bt = BatchedStreamingTracker(cfg, n_streams=2, n_features=10)
+    with pytest.raises(KLTError):
+        bt.feed(np.zeros((3, 32, 32)))  # wrong stream count
+    frames = _rolling_frames(n_frames=3)
+    for i in range(3):
+        bt.feed(np.stack([frames[i], frames[i]]))
+    x1, _, _ = bt.drain()
+    assert x1.shape == (3, 2, 10)
+    x2, _, _ = bt.drain()
+    assert x2.shape == (0, 2, 10)
 
 
 def test_prefetch_to_device_order_and_residency():
