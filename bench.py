@@ -161,6 +161,38 @@ def bench_serving(h=480, w=640, n_features=1000, n_frames=48, chain=8,
     return n_frames / (time.perf_counter() - t0)
 
 
+def bench_batched_chain(h=480, w=640, n_features=1000, n_streams=8,
+                        chain=8, n_prog=6):
+    """Peak aggregate: chain frames per program x n_streams lockstep
+    streams, REPLACE-LOST ON (full example3 semantics). Compute-side:
+    frames pre-staged on device; one program advances every stream by
+    ``chain`` frames (both dispatch-floor levers composed — DESIGN.md
+    section 3a + the vmapped stream axis). Returns aggregate frames/s."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.serving import _select_batch, _step_batch
+
+    cfg = create_config().replace(sequentialMode=True).validated_window()
+    rng = np.random.default_rng(3)
+    bases = [np.floor(_textured(h, w, seed=10 + b)[:h, :w])
+             for b in range(n_streams)]
+    ticks = [jnp.asarray(np.stack([np.roll(bases[b], 2 * i, axis=1)
+                                   for b in range(n_streams)]
+                                  ).astype(np.float32))
+             for i in range(chain)]
+    pyr, x, y, val, aff, _ = _select_batch(ticks[0], cfg, n_features, 512)
+    out = _step_batch(pyr, tuple(ticks), x, y, val, cfg, True, 512, aff,
+                      n_steps=chain)
+    jax.block_until_ready(out[2])
+    t0 = time.perf_counter()
+    for _ in range(n_prog):
+        out = _step_batch(pyr, tuple(ticks), x, y, val, cfg, True, 512,
+                          aff, n_steps=chain)
+    jax.block_until_ready(out[2])
+    return n_prog * chain * n_streams / (time.perf_counter() - t0)
+
+
 def bench_serving_batched(h=480, w=640, n_features=1000, n_streams=8,
                           n_ticks=12, chain=4, warmed=[]):
     """Multi-camera serving: n_streams live uint8 feeds advanced in
@@ -438,13 +470,19 @@ def main():
         details["serving_uint8_ingest_fps"] = _repeat(
             lambda: bench_serving(stage_uint8=True), n=3)
         log(f"serving uint8 done: {details['serving_uint8_ingest_fps']}")
-        details["serving_f32_ingest_fps"] = _repeat(
-            lambda: bench_serving(stage_uint8=False), n=3)
-        log(f"serving f32 done: {details['serving_f32_ingest_fps']}")
+        # NB: an f32-staging A/B (bench_serving(stage_uint8=False)) is
+        # deliberately NOT in the sweep: the f32 put path on this relay
+        # degrades erratically when run after other configs in the same
+        # process (21-920 fps across runs for identical code), which
+        # misleads round-over-round comparison. Run it standalone.
         details["serving_batched8_aggregate_ingest_fps"] = _repeat(
             bench_serving_batched, n=3)
         log("serving batched8 done: "
             f"{details['serving_batched8_aggregate_ingest_fps']}")
+        details["batched8_chain8_replace_aggregate_fps"] = _repeat(
+            bench_batched_chain, n=3)
+        log("batched8 chain8 done: "
+            f"{details['batched8_chain8_replace_aggregate_fps']}")
         from pyfeaturetrack_tpu.utils.roofline import roofline_report
         details["roofline"] = roofline_report()
         log(f"roofline done: " + ", ".join(

@@ -81,3 +81,54 @@ def resume_sequence(tracker, state: dict) -> None:
                                   gradx=tuple(cache["gradx"]),
                                   grady=tuple(cache["grady"]))
         tracker._cache = cache
+
+
+def _pyramids_from(obj):
+    from ..ops.track import TrackPyramids
+    if isinstance(obj, dict):
+        return TrackPyramids(img=tuple(obj["img"]),
+                             gradx=tuple(obj["gradx"]),
+                             grady=tuple(obj["grady"]))
+    return obj
+
+
+def streaming_state(tracker) -> dict:
+    """Snapshot a serving.StreamingTracker / BatchedStreamingTracker
+    for resume (the long-running-serving failure-recovery path).
+
+    Buffered partial chains are flushed into the snapshot; the row
+    HISTORY is not included — call ``drain()`` and persist its output
+    alongside if the accumulated table matters across the restart."""
+    if tracker._state is None:
+        raise ValueError(
+            "streaming_state: tracker has not processed any frame yet")
+    tracker.flush()
+    x, y, val = tracker._state
+    state = {
+        "pyr": tracker._pyr,
+        "x": x, "y": y, "val": val,
+        "n_frames": np.asarray(tracker.n_frames),
+    }
+    if tracker._aff is not None:
+        state["aff"] = tracker._aff
+    return state
+
+
+def resume_streaming(tracker, state: dict) -> None:
+    """Restore a StreamingTracker/BatchedStreamingTracker from
+    streaming_state output (tracker must be constructed with the same
+    config/feature-count arguments)."""
+    import jax.numpy as jnp
+
+    from ..features import AffineState
+    tracker._pyr = _pyramids_from(state["pyr"])
+    tracker._state = (jnp.asarray(state["x"]), jnp.asarray(state["y"]),
+                      jnp.asarray(state["val"]))
+    aff = state.get("aff")
+    if isinstance(aff, dict):
+        aff = AffineState(**aff)
+    tracker._aff = aff
+    tracker.n_frames = int(state["n_frames"])
+    tracker._pending = []
+    tracker._chunks = []
+    tracker._exhausted = None

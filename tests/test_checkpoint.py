@@ -53,3 +53,69 @@ def test_sequence_resume_continues_identically(tmp_path):
                                atol=1e-4)
     np.testing.assert_array_equal(np.asarray(t1.fl.val),
                                   np.asarray(t2b.fl.val))
+
+
+def test_streaming_resume_continues_identically(tmp_path):
+    """serving.StreamingTracker checkpoint/resume: a tracker restored
+    mid-stream produces the same final state as an uninterrupted run
+    (incl. the affine templates)."""
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.serving import StreamingTracker
+    from pyfeaturetrack_tpu.utils.checkpoint import (resume_streaming,
+                                                     streaming_state)
+
+    base = make_textured_image(96, 128, seed=52)
+    frames = [shift_image_bilinear(base, 0.7 * i, 0.4 * i)
+              for i in range(6)]
+    cfg = create_config(mindist=8, affineConsistencyCheck=2)
+
+    t1 = StreamingTracker(cfg, n_features=20, chain=2)
+    for f in frames:
+        t1.feed(f)
+    x1, _, v1 = t1.drain()
+
+    t2a = StreamingTracker(cfg, n_features=20, chain=2)
+    for f in frames[:3]:
+        t2a.feed(f)
+    p = tmp_path / "stream"
+    save_checkpoint(p, streaming_state(t2a))
+    state = restore_checkpoint(p)
+
+    t2b = StreamingTracker(cfg, n_features=20, chain=2)
+    resume_streaming(t2b, state)
+    for f in frames[3:]:
+        t2b.feed(f)
+    x2, _, v2 = t2b.drain()
+
+    np.testing.assert_array_equal(v2[-1], v1[-1])
+    np.testing.assert_allclose(x2[-1], x1[-1], atol=1e-4)
+
+
+def test_batched_streaming_resume(tmp_path):
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.serving import BatchedStreamingTracker
+    from pyfeaturetrack_tpu.utils.checkpoint import (resume_streaming,
+                                                     streaming_state)
+
+    base = make_textured_image(96, 128, seed=53)
+    ticks = [np.stack([shift_image_bilinear(base, 0.6 * i, 0.3 * i),
+                       shift_image_bilinear(base, -0.5 * i, 0.4 * i)])
+             for i in range(5)]
+    cfg = create_config(mindist=8)
+
+    t1 = BatchedStreamingTracker(cfg, n_streams=2, n_features=15)
+    for t in ticks:
+        t1.feed(t)
+    _, _, v1 = t1.drain()
+
+    t2a = BatchedStreamingTracker(cfg, n_streams=2, n_features=15)
+    for t in ticks[:2]:
+        t2a.feed(t)
+    p = tmp_path / "bstream"
+    save_checkpoint(p, streaming_state(t2a))
+    t2b = BatchedStreamingTracker(cfg, n_streams=2, n_features=15)
+    resume_streaming(t2b, restore_checkpoint(p))
+    for t in ticks[2:]:
+        t2b.feed(t)
+    _, _, v2 = t2b.drain()
+    np.testing.assert_array_equal(v2[-1], v1[-1])
