@@ -204,7 +204,7 @@ def track_sequence_device(frames: Iterable, cfg: Optional[TrackerConfig]
         # HBM (3600 x 1080p f32 = ~30 GB vs 16 GB on a v5e).
         # NB convert on HOST: a dtype-converting device put
         # (jnp.asarray(uint8_host, float32)) measured 5 MB/s on the
-        # relay vs ~1 GB/s for same-dtype puts (serving._stage_host)
+        # relay vs ~1 GB/s for same-dtype puts (utils/staging)
         return jnp.asarray(np.asarray(frames[j], np.float32))
 
     pyr, x, y, val, aff, exhausted = select_step_device(

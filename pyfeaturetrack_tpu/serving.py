@@ -3,11 +3,11 @@ device-resident sequence loop.
 
 Reference parity: the reference (SURVEY.md section 3.5, example3.py)
 reads each frame from disk synchronously before tracking it — fine on a
-CPU where "transfer" is a pointer. On a TPU the frame must cross
-PCIe/host-link first, and on relay-backed rigs that link is the
-bottleneck (~12 MB/s measured here, DESIGN.md; a 1080p float32 frame is
-8.3 MB ≈ 700 ms). A serving deployment therefore needs the *next*
-frame's h2d transfer to overlap the *current* frame's compute.
+CPU where "transfer" is a pointer. On a TPU the frame must cross the
+host link first, and at serving rates the link bytes (and the put
+path taken — see utils/staging) bound throughput, so frames ship
+uint8 and the next frame's transfer overlaps the current frame's
+compute.
 
 This module provides that overlap:
 
@@ -46,6 +46,7 @@ from typing import Iterable, Iterator, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .config import TrackerConfig, create_config
 from .errors import KLTError
@@ -55,22 +56,9 @@ from .models.device_sequence import (_sequence_step_body,
                                      sequence_step_device,
                                      warn_selection_exhausted)
 from .ops.select_device import DEFAULT_TOP_K
+from .utils.staging import stage_raw
 
 _STOP = object()
-
-
-def _stage_host(arr) -> jax.Array:
-    """Stage a host frame with a SAME-DTYPE device put.
-
-    A dtype-converting put (``jnp.asarray(uint8_host, float32)``)
-    measured 5 MB/s on the relay — ~50-200x slower than same-dtype puts
-    (0.3-1.1 GB/s). uint8/float32 ship as-is (the jitted step casts
-    uint8 to f32 on device, fused for free); anything else converts on
-    host first."""
-    a = np.asarray(arr)
-    if a.dtype not in (np.uint8, np.float32):
-        a = a.astype(np.float32)
-    return jnp.asarray(a)
 
 
 def prefetch_to_device(frames: Iterable, depth: int = 2,
@@ -135,102 +123,56 @@ def prefetch_to_device(frames: Iterable, depth: int = 2,
                 break
 
 
-class StreamingTracker:
-    """Push-style live tracking: ``feed`` frames as they arrive, state
-    stays device-resident between calls.
+class _StreamingBase:
+    """Shared push-feed machinery for the streaming trackers: chain
+    buffering, device-history bookkeeping with host migration on pull,
+    exhaustion surfacing, and the flush/block/table/drain lifecycle.
+    Subclasses define the wire format (``_coerce``), first-frame
+    selection (``_start``), the advance program (``_advance``), and the
+    host row layout (``_host_rows``/``_empty_rows``)."""
 
-    The first fed frame runs feature selection; every later frame runs
-    the full track -> affine-check -> replace-lost step
-    (``models.device_sequence``). Frames are buffered until ``chain``
-    are available, then advanced in ONE dispatched program
-    (amortizing the per-dispatch floor, ROOFLINE.md section 2); call
-    :meth:`flush` to force out a partial chain (e.g. at end of stream
-    or when latency matters more than throughput).
+    _name = "StreamingTracker"
 
-    Per-frame history accumulates as device chunks; :meth:`table`
-    concatenates on host — ONE d2h at the end of (each segment of) the
-    stream. ``emit_every`` > 0 instead auto-pulls and yields numpy
-    positions every that-many frames from :meth:`feed` — use only where
-    the deployment genuinely needs live positions: on relay-backed rigs
-    any d2h degrades subsequent dispatch (DESIGN.md rule 3).
-    """
-
-    def __init__(self, cfg: Optional[TrackerConfig] = None,
-                 n_features: int = 150, replace_lost: bool = True,
-                 top_k: int = DEFAULT_TOP_K, chain: int = 1,
-                 emit_every: int = 0):
+    def __init__(self, cfg, n_features, replace_lost, top_k, chain):
         if chain < 1:
-            raise KLTError(f"(StreamingTracker) chain must be >= 1, got {chain}")
+            raise KLTError(f"({self._name}) chain must be >= 1, got {chain}")
         self.cfg = (cfg if cfg is not None else create_config()).replace(
             sequentialMode=True).validated_window()
         self.n_features = int(n_features)
         self.replace_lost = bool(replace_lost)
         self.top_k = int(top_k)
         self.chain = int(chain)
-        self.emit_every = int(emit_every)
         self._pyr = None
         self._aff = None
         self._state = None          # (x, y, val) device arrays
-        self._pending: list = []    # device frames awaiting a chain
-        self._chunks: list = []     # [k,N] (or [N]) device history rows
+        self._pending: list = []    # staged items awaiting a chain
+        self._chunks: list = []     # device history chunks
         self._host_chunks: list = []  # history already pulled to host
         self._exhausted = None
         self.n_frames = 0
 
-    # -- internals -------------------------------------------------------
+    def _note_exhausted(self, ex) -> None:
+        self._exhausted = (ex if self._exhausted is None
+                           else self._exhausted | ex)
 
-    def _advance(self, frames: list) -> None:
-        # a full chain uses the one compiled k-frame program; partial
-        # chains (flush/emit tails) fall back to per-step calls so every
-        # distinct tail length does not compile its own program (same
-        # policy as track_sequence_device's tail handling)
-        if len(frames) == self.chain and self.chain > 1:
-            x, y, val = self._state
-            self._pyr, hist, (x, y, val), self._aff, ex = \
-                sequence_chain_device(
-                    self._pyr, tuple(frames), x, y, val, self.cfg,
-                    self.replace_lost, self.top_k, self._aff)
-            self._chunks.append(hist)
-            self._state = (x, y, val)
-            self._exhausted = (ex if self._exhausted is None
-                               else self._exhausted | ex)
-            return
-        for f in frames:
-            x, y, val = self._state
-            self._pyr, x, y, val, self._aff, ex = sequence_step_device(
-                self._pyr, f, x, y, val, self.cfg,
-                self.replace_lost, self.top_k, self._aff)
-            self._chunks.append((x, y, val))
-            self._state = (x, y, val)
-            self._exhausted = (ex if self._exhausted is None
-                               else self._exhausted | ex)
-
-    # -- public API ------------------------------------------------------
-
-    def feed(self, frame) -> Optional[tuple]:
-        """Process one frame (device array or host ndarray). Returns the
-        stacked numpy table so far iff ``emit_every`` fired, else None."""
-        frame = (frame if isinstance(frame, jax.Array)
-                 else _stage_host(frame))
+    def feed(self, item) -> Optional[tuple]:
+        """Process one input (device array or host ndarray)."""
+        item = self._coerce(item if isinstance(item, jax.Array)
+                            else stage_raw(item))
         if self._state is None:
-            self._pyr, x, y, val, self._aff, self._exhausted = \
-                select_step_device(frame, self.cfg, self.n_features,
-                                   self.top_k)
-            self._state = (x, y, val)
-            self._chunks.append((x, y, val))
+            self._start(item)
         else:
-            self._pending.append(frame)
+            self._pending.append(item)
             if len(self._pending) >= self.chain:
                 self._advance(self._pending)
                 self._pending = []
         self.n_frames += 1
-        if self.emit_every > 0 and self.n_frames % self.emit_every == 0:
-            self.flush()
-            return self.table()
         return None
 
     def flush(self) -> None:
-        """Force out any buffered partial chain (ends a latency window)."""
+        """Force out any buffered partial chain (ends a latency
+        window); ``_advance`` runs tails per-step so each distinct tail
+        length does not compile its own chained program."""
         if self._pending:
             self._advance(self._pending)
             self._pending = []
@@ -246,23 +188,21 @@ class StreamingTracker:
         device memory stays bounded by the emit/pull cadence, and each
         table() only transfers rows produced since the previous pull."""
         if self._exhausted is not None and bool(self._exhausted):
-            warn_selection_exhausted("StreamingTracker", self.top_k)
+            warn_selection_exhausted(self._name, self.top_k)
             self._exhausted = jnp.asarray(False)  # warn once per pull
         for c in self._chunks:
-            self._host_chunks.append(tuple(
-                np.atleast_2d(np.asarray(c[j])) for j in range(3)))
+            self._host_chunks.append(self._host_rows(c))
         self._chunks = []
 
     def table(self) -> tuple:
-        """(x, y, val) numpy arrays stacked [n_frames, n_features] — the
-        FeatureTable contents, same layout as track_sequence_device.
-        History rows migrate to host on each call, so device memory is
-        bounded by the pull cadence; the host copy still grows with the
-        stream — long-lived servers should use :meth:`drain`."""
+        """(x, y, val) numpy arrays, frames stacked on axis 0. History
+        rows migrate to host on each call, so device memory is bounded
+        by the pull cadence; the host copy still grows with the stream
+        — long-lived servers should use :meth:`drain`."""
         self.flush()
         self._migrate_history()
         if not self._host_chunks:
-            raise KLTError("(StreamingTracker.table) no frames fed yet")
+            raise KLTError(f"({self._name}.table) no frames fed yet")
         cols = [[c[j] for c in self._host_chunks] for j in range(3)]
         return tuple(np.concatenate(col, axis=0) for col in cols)
 
@@ -270,16 +210,95 @@ class StreamingTracker:
         """Like :meth:`table`, but returns ONLY the rows accumulated
         since the previous drain/construction and releases them —
         bounded memory for unbounded (24/7) streams. An empty interval
-        returns [0, n_features]-shaped arrays."""
+        returns zero-row arrays."""
         self.flush()
         self._migrate_history()
         if not self._host_chunks:
-            return (np.empty((0, self.n_features), np.float32),
-                    np.empty((0, self.n_features), np.float32),
-                    np.empty((0, self.n_features), np.int32))
+            return self._empty_rows()
         cols = [[c[j] for c in self._host_chunks] for j in range(3)]
         self._host_chunks = []
         return tuple(np.concatenate(col, axis=0) for col in cols)
+
+
+class StreamingTracker(_StreamingBase):
+    """Push-style live tracking: ``feed`` frames as they arrive, state
+    stays device-resident between calls.
+
+    The first fed frame runs feature selection; every later frame runs
+    the full track -> affine-check -> replace-lost step
+    (``models.device_sequence``). Frames are buffered until ``chain``
+    are available, then advanced in ONE dispatched program
+    (amortizing the per-dispatch floor, ROOFLINE.md section 2); call
+    :meth:`flush` to force out a partial chain (e.g. at end of stream
+    or when latency matters more than throughput).
+
+    :meth:`table`/:meth:`drain` return [n_frames, n_features] numpy
+    arrays (the FeatureTable layout of track_sequence_device).
+    ``emit_every`` > 0 auto-pulls and returns the table every
+    that-many frames from :meth:`feed` — use only where the deployment
+    genuinely needs live positions: on relay-backed rigs any d2h
+    degrades subsequent dispatch (DESIGN.md rule 3).
+    """
+
+    _name = "StreamingTracker"
+
+    def __init__(self, cfg: Optional[TrackerConfig] = None,
+                 n_features: int = 150, replace_lost: bool = True,
+                 top_k: int = DEFAULT_TOP_K, chain: int = 1,
+                 emit_every: int = 0):
+        super().__init__(cfg, n_features, replace_lost, top_k, chain)
+        self.emit_every = int(emit_every)
+
+    def _coerce(self, frame) -> jax.Array:
+        return frame
+
+    def _start(self, frame) -> None:
+        self._pyr, x, y, val, self._aff, self._exhausted = \
+            select_step_device(frame, self.cfg, self.n_features,
+                               self.top_k)
+        self._state = (x, y, val)
+        self._chunks.append((x, y, val))
+
+    def _advance(self, frames: list) -> None:
+        # a full chain uses the one compiled k-frame program; partial
+        # chains (flush/emit tails) fall back to per-step calls (same
+        # policy as track_sequence_device's tail handling)
+        if len(frames) == self.chain and self.chain > 1:
+            x, y, val = self._state
+            self._pyr, hist, (x, y, val), self._aff, ex = \
+                sequence_chain_device(
+                    self._pyr, tuple(frames), x, y, val, self.cfg,
+                    self.replace_lost, self.top_k, self._aff)
+            self._chunks.append(hist)
+            self._state = (x, y, val)
+            self._note_exhausted(ex)
+            return
+        for f in frames:
+            x, y, val = self._state
+            self._pyr, x, y, val, self._aff, ex = sequence_step_device(
+                self._pyr, f, x, y, val, self.cfg,
+                self.replace_lost, self.top_k, self._aff)
+            self._chunks.append((x, y, val))
+            self._state = (x, y, val)
+            self._note_exhausted(ex)
+
+    def _host_rows(self, c) -> tuple:
+        return tuple(np.atleast_2d(np.asarray(c[j])) for j in range(3))
+
+    def _empty_rows(self) -> tuple:
+        n = self.n_features
+        return (np.empty((0, n), np.float32),
+                np.empty((0, n), np.float32),
+                np.empty((0, n), np.int32))
+
+    def feed(self, frame) -> Optional[tuple]:
+        """Process one frame. Returns the stacked numpy table so far
+        iff ``emit_every`` fired, else None."""
+        super().feed(frame)
+        if self.emit_every > 0 and self.n_frames % self.emit_every == 0:
+            self.flush()
+            return self.table()
+        return None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_features", "top_k"))
@@ -293,26 +312,59 @@ def _select_batch(imgs, cfg, n_features: int, top_k: int):
 def _step_batch(pyr, imgs, x, y, val, cfg, replace_lost: bool,
                 top_k: int, aff, n_steps: int = 1):
     """Advance every stream ``n_steps`` frames in ONE program: vmap of
-    the shared per-frame body (track -> affine check -> refill).
-    ``imgs`` is a tuple of n_steps [B, H, W] frame batches."""
-    def chain_one(p, ims, xx, yy, vv, af):
-        hx, hy, hv = [], [], []
-        ex = jnp.asarray(False)
-        for i in range(n_steps):
-            p, xx, yy, vv, af, e = _sequence_step_body(
-                p, ims[i], xx, yy, vv, cfg, replace_lost, top_k, af)
-            ex = ex | e
-            hx.append(xx)
-            hy.append(yy)
-            hv.append(vv)
-        return (p, (jnp.stack(hx), jnp.stack(hy), jnp.stack(hv)),
-                (xx, yy, vv), af, ex)
+    the shared per-frame body (track -> affine check), then a
+    BATCH-WIDE cond-gated refill. ``imgs`` is a tuple of n_steps
+    [B, H, W] frame batches.
 
-    return jax.vmap(chain_one, in_axes=(0, 0, 0, 0, 0, 0))(
-        pyr, jnp.stack(imgs, axis=1), x, y, val, aff)
+    The refill gate lives OUTSIDE the vmap on purpose: a lax.cond with
+    a batched predicate lowers to select (both branches always run),
+    so gating per-stream inside the body would pay the full selection
+    cost (eig map + top-K sort) every frame. One scalar any-stream-lost
+    predicate per frame step preserves the skip; when it fires, the
+    refill is an exact identity on streams with nothing lost (same
+    argument as models/chunked.track_chunks_batched)."""
+    from .features import reset_affine
+    from .models.device_sequence import _selection_eig_from_pyr
+    from .ops.select_device import select_features_from_eig_device
+
+    def track_one(p, im, xx, yy, vv, af):
+        return _sequence_step_body(p, im, xx, yy, vv, cfg, False,
+                                   top_k, af)
+
+    imgs_b = jnp.stack(imgs, axis=0)          # [n_steps, B, H, W]
+    hx, hy, hv = [], [], []
+    exhausted = jnp.asarray(False)
+    for i in range(n_steps):
+        pyr, x, y, val, aff, _ = jax.vmap(
+            track_one, in_axes=(0, 0, 0, 0, 0, 0))(
+            pyr, imgs_b[i], x, y, val, aff)
+        if replace_lost:
+            def refill(op):
+                xx, yy, vv, av, ex = op
+                def one(im, p, sx, sy, sv):
+                    eig = _selection_eig_from_pyr(im, p, cfg)
+                    return select_features_from_eig_device(
+                        eig, sx, sy, sv, cfg, replacing=True,
+                        top_k=top_k)
+                rx, ry, rv, _, exs = jax.vmap(one)(
+                    jnp.asarray(imgs_b[i], jnp.float32), pyr,
+                    xx, yy, vv)
+                if av is not None:
+                    av = jax.vmap(reset_affine)(av, vv < 0)
+                return rx, ry, rv, av, ex | jnp.any(exs)
+
+            x, y, val, aff, exhausted = lax.cond(
+                jnp.any(val < 0), refill, lambda op: op,
+                (x, y, val, aff, exhausted))
+        hx.append(x)
+        hy.append(y)
+        hv.append(val)
+    hist = (jnp.stack(hx, axis=1), jnp.stack(hy, axis=1),
+            jnp.stack(hv, axis=1))            # [B, n_steps, N]
+    return pyr, hist, (x, y, val), aff, exhausted
 
 
-class BatchedStreamingTracker:
+class BatchedStreamingTracker(_StreamingBase):
     """Lockstep serving for B independent camera streams: every
     :meth:`feed` takes a [B, H, W] frame batch (one new frame per
     stream) and ONE vmapped device program advances all streams —
@@ -321,44 +373,41 @@ class BatchedStreamingTracker:
     replace-lost and affine-consistency semantics.
 
     Per-stream math is IDENTICAL to :class:`StreamingTracker` (shared
-    `_sequence_step_body`); the history layout gains a leading stream
-    axis: :meth:`table`/:meth:`drain` return [n_frames, B, n_features].
+    `_sequence_step_body`); the history layout gains a stream axis:
+    :meth:`table`/:meth:`drain` return [n_frames, B, n_features].
     ``chain`` buffers that many ticks and advances them in one program.
     """
+
+    _name = "BatchedStreamingTracker"
 
     def __init__(self, cfg: Optional[TrackerConfig] = None,
                  n_streams: int = 8, n_features: int = 150,
                  replace_lost: bool = True, top_k: int = DEFAULT_TOP_K,
                  chain: int = 1):
-        if chain < 1:
-            raise KLTError(
-                f"(BatchedStreamingTracker) chain must be >= 1, got {chain}")
-        self.cfg = (cfg if cfg is not None else create_config()).replace(
-            sequentialMode=True).validated_window()
+        super().__init__(cfg, n_features, replace_lost, top_k, chain)
         self.n_streams = int(n_streams)
-        self.n_features = int(n_features)
-        self.replace_lost = bool(replace_lost)
-        self.top_k = int(top_k)
-        self.chain = int(chain)
-        self._pyr = None
-        self._aff = None
-        self._state = None
-        self._pending: list = []
-        self._chunks: list = []      # [B, k, N] triplets (device)
-        self._host_chunks: list = []
-        self._exhausted = None
-        self.n_frames = 0
 
     def _coerce(self, batch) -> jax.Array:
-        batch = (batch if isinstance(batch, jax.Array)
-                 else _stage_host(batch))
         if batch.ndim != 3 or batch.shape[0] != self.n_streams:
             raise KLTError(
-                "(BatchedStreamingTracker.feed) expected a "
+                f"({self._name}.feed) expected a "
                 f"[{self.n_streams}, H, W] frame batch, got {batch.shape}")
         return batch
 
+    def _start(self, batch) -> None:
+        self._pyr, x, y, val, self._aff, ex = _select_batch(
+            batch, self.cfg, self.n_features, self.top_k)
+        self._state = (x, y, val)
+        self._chunks.append((x[:, None], y[:, None], val[:, None]))
+        self._exhausted = jnp.any(ex)
+
     def _advance(self, batches: list) -> None:
+        if len(batches) != self.chain and len(batches) > 1:
+            # partial chains advance per-tick so each tail length does
+            # not compile its own chained program
+            for b in batches:
+                self._advance([b])
+            return
         x, y, val = self._state
         self._pyr, hist, (x, y, val), self._aff, ex = _step_batch(
             self._pyr, tuple(batches), x, y, val, self.cfg,
@@ -366,70 +415,18 @@ class BatchedStreamingTracker:
             n_steps=len(batches))
         self._chunks.append(hist)
         self._state = (x, y, val)
-        ex = jnp.any(ex)
-        self._exhausted = (ex if self._exhausted is None
-                           else self._exhausted | ex)
+        self._note_exhausted(jnp.any(ex))
 
-    def feed(self, batch) -> None:
-        """Process one [B, H, W] tick (one new frame per stream)."""
-        batch = self._coerce(batch)
-        if self._state is None:
-            self._pyr, x, y, val, self._aff, ex = _select_batch(
-                batch, self.cfg, self.n_features, self.top_k)
-            self._state = (x, y, val)
-            self._chunks.append((x[:, None], y[:, None], val[:, None]))
-            self._exhausted = jnp.any(ex)
-        else:
-            self._pending.append(batch)
-            if len(self._pending) >= self.chain:
-                self._advance(self._pending)
-                self._pending = []
-        self.n_frames += 1
+    def _host_rows(self, c) -> tuple:
+        # [B, k, N] device -> [k, B, N] host rows
+        return tuple(np.moveaxis(np.asarray(c[j]), 0, 1)
+                     for j in range(3))
 
-    def flush(self) -> None:
-        if self._pending:
-            # partial chains advance per-tick (one program per tick) so
-            # each tail length does not compile its own chained program
-            for b in self._pending:
-                self._advance([b])
-            self._pending = []
-
-    def block(self) -> None:
-        self.flush()
-        if self._state is not None:
-            jax.block_until_ready(self._state[2])
-
-    def _migrate_history(self) -> None:
-        if self._exhausted is not None and bool(self._exhausted):
-            warn_selection_exhausted("BatchedStreamingTracker", self.top_k)
-            self._exhausted = jnp.asarray(False)
-        for c in self._chunks:
-            # [B, k, N] device -> [k, B, N] host rows
-            self._host_chunks.append(tuple(
-                np.moveaxis(np.asarray(c[j]), 0, 1) for j in range(3)))
-        self._chunks = []
-
-    def table(self) -> tuple:
-        """(x, y, val) numpy [n_frames, B, n_features]."""
-        self.flush()
-        self._migrate_history()
-        if not self._host_chunks:
-            raise KLTError("(BatchedStreamingTracker.table) no frames fed")
-        cols = [[c[j] for c in self._host_chunks] for j in range(3)]
-        return tuple(np.concatenate(col, axis=0) for col in cols)
-
-    def drain(self) -> tuple:
-        """Rows since the last drain, released (bounded memory)."""
-        self.flush()
-        self._migrate_history()
-        if not self._host_chunks:
-            b, n = self.n_streams, self.n_features
-            return (np.empty((0, b, n), np.float32),
-                    np.empty((0, b, n), np.float32),
-                    np.empty((0, b, n), np.int32))
-        cols = [[c[j] for c in self._host_chunks] for j in range(3)]
-        self._host_chunks = []
-        return tuple(np.concatenate(col, axis=0) for col in cols)
+    def _empty_rows(self) -> tuple:
+        b, n = self.n_streams, self.n_features
+        return (np.empty((0, b, n), np.float32),
+                np.empty((0, b, n), np.float32),
+                np.empty((0, b, n), np.int32))
 
 
 def serve_stream(frames: Iterable, cfg: Optional[TrackerConfig] = None,

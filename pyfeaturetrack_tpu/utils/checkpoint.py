@@ -75,12 +75,7 @@ def resume_sequence(tracker, state: dict) -> None:
     tracker.n_frames_seen = int(state.get("n_frames_seen", 0))
     cache = state.get("cache")
     if cache is not None:
-        from ..ops.track import TrackPyramids
-        if isinstance(cache, dict):
-            cache = TrackPyramids(img=tuple(cache["img"]),
-                                  gradx=tuple(cache["gradx"]),
-                                  grady=tuple(cache["grady"]))
-        tracker._cache = cache
+        tracker._cache = _pyramids_from(cache)
 
 
 def _pyramids_from(obj):
@@ -108,6 +103,11 @@ def streaming_state(tracker) -> dict:
         "pyr": tracker._pyr,
         "x": x, "y": y, "val": val,
         "n_frames": np.asarray(tracker.n_frames),
+        # selection-exhaustion flag survives the restart (the warning
+        # must still fire on the next pull after a resume)
+        "exhausted": np.asarray(
+            False if tracker._exhausted is None
+            else bool(tracker._exhausted)),
     }
     if tracker._aff is not None:
         state["aff"] = tracker._aff
@@ -131,4 +131,8 @@ def resume_streaming(tracker, state: dict) -> None:
     tracker.n_frames = int(state["n_frames"])
     tracker._pending = []
     tracker._chunks = []
-    tracker._exhausted = None
+    tracker._host_chunks = []   # rows from the abandoned timeline
+    tracker._exhausted = (jnp.asarray(True)
+                          if bool(np.asarray(state.get("exhausted",
+                                                       False)))
+                          else None)

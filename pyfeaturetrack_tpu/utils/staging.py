@@ -20,3 +20,16 @@ def stage_f32(a) -> jax.Array:
     if isinstance(a, jax.Array):
         return a
     return jnp.asarray(np.asarray(a, np.float32))
+
+
+def stage_raw(a) -> jax.Array:
+    """Stage a host array with a same-dtype put, PRESERVING uint8
+    (4x fewer link bytes than f32; the consuming jit casts uint8->f32
+    fused for free). Dtypes other than uint8/float32 convert to
+    float32 on host first. Device arrays pass through untouched."""
+    if isinstance(a, jax.Array):
+        return a
+    a = np.asarray(a)
+    if a.dtype not in (np.uint8, np.float32):
+        a = a.astype(np.float32)
+    return jnp.asarray(a)

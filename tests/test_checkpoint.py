@@ -119,3 +119,32 @@ def test_batched_streaming_resume(tmp_path):
         t2b.feed(t)
     _, _, v2 = t2b.drain()
     np.testing.assert_array_equal(v2[-1], v1[-1])
+
+
+def test_streaming_resume_preserves_exhaustion_flag(tmp_path):
+    """Selection exhaustion noted before a checkpoint still warns on
+    the first pull after resume (and rolled-back host history is
+    dropped)."""
+    import jax.numpy as jnp
+    import pytest
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.errors import KLTWarningCategory
+    from pyfeaturetrack_tpu.serving import StreamingTracker
+    from pyfeaturetrack_tpu.utils.checkpoint import (resume_streaming,
+                                                     streaming_state)
+
+    base = make_textured_image(96, 128, seed=54)
+    t = StreamingTracker(create_config(mindist=8), n_features=10)
+    t.feed(base)
+    t.feed(shift_image_bilinear(base, 0.5, 0.2))
+    t._exhausted = jnp.asarray(True)  # simulate a top-K exhaustion
+    state = streaming_state(t)
+
+    t2 = StreamingTracker(create_config(mindist=8), n_features=10)
+    t2.feed(base)            # a frame from an abandoned timeline
+    t2.table()               # ...migrated to host history
+    resume_streaming(t2, state)
+    assert t2._host_chunks == []   # abandoned rows dropped
+    t2.feed(shift_image_bilinear(base, 1.0, 0.4))
+    with pytest.warns(KLTWarningCategory):
+        t2.drain()

@@ -142,11 +142,11 @@ def test_streaming_tracker_table_before_feed_raises():
 def test_batched_streaming_matches_independent_streams(replace_lost,
                                                        affine, chain):
     """B lockstep streams == B independent StreamingTrackers, frame for
-    frame (incl. replace-lost, affine mode 2, and a partial-chain
-    flush: 6 tracked frames with chain=2 after the select tick)."""
+    frame (incl. replace-lost, affine mode 2, and a real partial-chain
+    flush: 7 tracked frames with chain=2 leave a 1-tick tail)."""
     B, n = 3, 25
     cfg = create_config(mindist=8, affineConsistencyCheck=affine)
-    streams = [_rolling_frames(n_frames=7, shift=3 + b, seed=20 + b)
+    streams = [_rolling_frames(n_frames=8, shift=3 + b, seed=20 + b)
                for b in range(B)]
     singles = []
     for b in range(B):
@@ -157,10 +157,10 @@ def test_batched_streaming_matches_independent_streams(replace_lost,
         singles.append(tr.table())
     bt = BatchedStreamingTracker(cfg, n_streams=B, n_features=n,
                                  replace_lost=replace_lost, chain=chain)
-    for i in range(7):
+    for i in range(8):
         bt.feed(np.stack([streams[b][i] for b in range(B)]))
     bx, by, bv = bt.table()
-    assert bx.shape == (7, B, n)
+    assert bx.shape == (8, B, n)
     for b in range(B):
         np.testing.assert_array_equal(bv[:, b], singles[b][2])
         np.testing.assert_allclose(bx[:, b], singles[b][0], atol=1e-4)
