@@ -2,22 +2,32 @@
 
 Must set env BEFORE jax is imported anywhere (SURVEY.md section 7.4:
 distributed tests use XLA's multi-device CPU simulation).
+
+Set ``PFT_TEST_PLATFORM=tpu`` to instead run on the real chip (no
+platform override): used to validate oracle parity on actual TPU
+hardware, not just on XLA-CPU executions of the same programs. Tests
+needing >=8 devices skip there; compiles go through the remote
+compiler, so run selected files, not the whole suite.
 """
 
 import os
 
+_ON_TPU = os.environ.get("PFT_TEST_PLATFORM", "").lower() == "tpu"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _ON_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the image bakes axon (TPU)
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # the image bakes axon (TPU)
 
 # The axon sitecustomize calls jax.config.update("jax_platforms",
 # "axon,cpu") at interpreter start, overriding the env var — undo it
 # before any backend initializes so tests run on the virtual CPU mesh.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: XLA-CPU compiles of the conv-heavy jitted
 # pipelines dominate test wall-clock; cache them across runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
