@@ -155,10 +155,12 @@ def select_features_from_eig_device(eig: jax.Array, x: jax.Array,
 
     if ny == 0 or nx == 0:
         # no room for features: mirror the host path's empty-grid handling
+        # (exhausted only when there were slots left to fill — a refill
+        # with nothing lost found everything it needed, trivially)
         free = jnp.ones_like(val, bool) if not replacing else (val < 0)
         nf = jnp.where(free, KLT_NOT_FOUND, val)
         return (jnp.where(free, -1.0, x), jnp.where(free, -1.0, y), nf,
-                jnp.zeros_like(free), jnp.asarray(True))
+                jnp.zeros_like(free), jnp.any(free))
 
     cand = eig[bordery:nrows - bordery:step, borderx:ncols - borderx:step]
     cand = cand[:ny, :nx]

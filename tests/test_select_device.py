@@ -93,6 +93,21 @@ def test_exhausted_flag_when_candidates_run_out():
     np.testing.assert_array_equal(dev, host)
 
 
+def test_empty_grid_exhausted_only_with_free_slots():
+    """An image too small for any candidate lattice: fresh selection is
+    exhausted (slots left unfilled), but a replacement call with nothing
+    lost trivially found everything it needed and must NOT flag."""
+    cfg = create_config()  # default border exceeds a 12x12 interior
+    img = make_textured_image(12, 12, seed=21)
+    _, filled, exhausted = _device_select(img, 10, cfg)
+    assert exhausted and not filled.any()
+    kept = np.tile([(6.0, 6.0, 1.0)], (10, 1))  # all alive: free is empty
+    out, filled, exhausted = _device_select(img, 10, cfg,
+                                            existing=kept.copy())
+    assert not exhausted and not filled.any()
+    np.testing.assert_array_equal(out, kept)
+
+
 def test_mindist_zero_matches_host():
     """mindist=0 suppresses nothing in the host greedy (the decremented
     radius empties the stamp box); the device pre-mask must skip too."""
