@@ -58,5 +58,6 @@ from .serving import (  # noqa: F401
     prefetch_to_device,
     serve_stream,
 )
+from .utils.loader import FrameLoader, load_frames  # noqa: F401
 
 __version__ = "0.1.0"

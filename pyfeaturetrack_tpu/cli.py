@@ -76,9 +76,10 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
 
     # serving mode streams frames one at a time (a live deployment's
-    # decoder); the batch modes need them all resident anyway
-    frames = (None if args.stream
-              else [pgm_read(p) for p in args.frames])
+    # decoder); the batch modes need them all resident anyway and use
+    # the decode-ahead loader pool
+    from .utils.loader import load_frames
+    frames = None if args.stream else load_frames(args.frames)
     cfg = create_config(
         search_range=args.search_range,
         mindist=args.mindist,
@@ -105,8 +106,9 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
         from .features import FeatureTable
         from .serving import serve_stream
+        from .utils.loader import FrameLoader
         tx, ty, tv = serve_stream(
-            (pgm_read(p) for p in args.frames), cfg=cfg,
+            FrameLoader(args.frames), cfg=cfg,
             n_features=args.features,
             replace_lost=not args.no_replace,
             chain=max(args.chain, 1), stage_uint8=True)

@@ -68,6 +68,44 @@ def _pnm_int(f, path, what: str) -> int:
     return val
 
 
+def _pnm_read_native(path, who: str) -> np.ndarray | None:
+    """Native-codec fast path shared by pgm_read/ppm_read (None when the
+    native library is unavailable — callers fall back to the Python
+    parser). Same failure surface as the Python path: every malformed
+    input is a KLTError (tested equal in tests/test_native.py)."""
+    from . import native
+    if not native.available():
+        return None
+    data = Path(path).read_bytes()
+    rc, fmt, ncols, nrows, maxval, off = native.pnm_parse_header(data)
+    if rc == native.PNM_TRUNCATED:
+        raise KLTError(f"(pnm) {path}: unexpected end of file in header")
+    if rc == native.PNM_BAD_MAGIC or (who == "pgm_read" and fmt == 6) \
+            or (who == "ppm_read" and fmt != 6):
+        kind = "a PGM" if who == "pgm_read" else "a binary PPM"
+        raise KLTError(f"({who}) {path}: not {kind} file")
+    if rc != 0:
+        raise KLTError(f"(pnm) {path}: malformed header token")
+    if maxval > 255:
+        raise KLTError(f"({who}) {path}: maxval {maxval} > 255 unsupported")
+    npix = nrows * ncols * (3 if fmt == 6 else 1)
+    if fmt == 2:
+        n, pix = native.pnm_decode_ascii(data[off:], npix)
+        if n == native.PNM_BAD_TOKEN:
+            raise KLTError(f"({who}) {path}: bad pixel data (non-numeric "
+                           "or outside 0..255)")
+        if n != npix:
+            raise KLTError(f"({who}) {path}: truncated pixel data "
+                           f"({n} of {npix} values)")
+        img = pix
+    else:
+        if len(data) - off < npix:
+            raise KLTError(f"({who}) {path}: truncated pixel data")
+        img = np.frombuffer(data, np.uint8, count=npix, offset=off)
+    shape = (nrows, ncols, 3) if fmt == 6 else (nrows, ncols)
+    return img.reshape(shape)
+
+
 def pgm_read(path) -> np.ndarray:
     """Read a binary (P5) or ascii (P2) PGM file -> uint8 [H, W].
 
@@ -75,7 +113,15 @@ def pgm_read(path) -> np.ndarray:
     8-bit-only pnmio, maxval > 255 (16-bit PGM) is rejected outright —
     supporting it would silently change every downstream intensity
     threshold, so deep data must be converted before loading.
+
+    Parsing runs through the native codec (native/pnm_codec.cpp) when
+    available — at serving rates the Python byte-at-a-time header parse
+    is the ingest bottleneck; semantics are identical (see
+    _pnm_read_native). Set PFT_NO_NATIVE=1 to force the Python path.
     """
+    img = _pnm_read_native(path, "pgm_read")
+    if img is not None:
+        return img
     with open(path, "rb") as f:
         magic = _read_pnm_token(f)
         if magic not in (b"P5", b"P2"):
@@ -133,7 +179,11 @@ def ppm_write(path, rgb: np.ndarray) -> None:
 
 
 def ppm_read(path) -> np.ndarray:
-    """Read a binary (P6) PPM -> uint8 [H, W, 3]."""
+    """Read a binary (P6) PPM -> uint8 [H, W, 3]. Native codec when
+    available (see pgm_read)."""
+    img = _pnm_read_native(path, "ppm_read")
+    if img is not None:
+        return img.copy()  # writable, like the Python path below
     with open(path, "rb") as f:
         magic = _read_pnm_token(f)
         if magic != b"P6":

@@ -29,12 +29,16 @@ _tried = False
 def _compile() -> Path | None:
     _BUILD.mkdir(exist_ok=True)
     out = _BUILD / _LIB_NAME
-    src = _SRC / "min_distance.cpp"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    srcs = sorted(_SRC.glob("*.cpp"))
+    if not srcs:
+        return None
+    if out.exists() and out.stat().st_mtime >= max(s.stat().st_mtime
+                                                   for s in srcs):
         return out
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", str(out), str(src)],
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(out)]
+            + [str(s) for s in srcs],
             check=True, capture_output=True, timeout=120)
         return out
     except (OSError, subprocess.SubprocessError):
@@ -69,6 +73,17 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ]
+        # PNM codec entry points bind through raw CFUNCTYPE prototypes:
+        # ndpointer argtype validation costs ~10 us/call, which matters
+        # at serving decode rates (the header parse itself is ~0.1 us)
+        global _pnm_hdr, _pnm_asc
+        _pnm_hdr = ctypes.CFUNCTYPE(
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64))(("pft_pnm_parse_header", lib))
+        _pnm_asc = ctypes.CFUNCTYPE(
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64)(
+            ("pft_pnm_decode_ascii", lib))
         _lib = lib
         return _lib
 
@@ -102,3 +117,40 @@ def enforce_min_distance(xs: np.ndarray, ys: np.ndarray, vals: np.ndarray,
         1 if overwrite_all else 0,
         fmap)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PNM codec (native/pnm_codec.cpp) — see utils/io.py for the public API
+# ---------------------------------------------------------------------------
+
+PNM_TRUNCATED = -1
+PNM_BAD_MAGIC = -2
+PNM_BAD_TOKEN = -3
+
+_pnm_hdr = None
+_pnm_asc = None
+_Out5 = ctypes.c_int64 * 5
+
+
+def pnm_parse_header(data: bytes):
+    """Parse a PNM header from the file bytes.
+
+    Returns (rc, fmt, width, height, maxval, data_offset): rc == 0 on
+    success, else one of the PNM_* error codes (caller maps to KLTError
+    so the message can carry the path)."""
+    assert _load() is not None, "native library unavailable"
+    out = _Out5()
+    rc = _pnm_hdr(data, len(data), out)
+    return rc, out[0], out[1], out[2], out[3], out[4]
+
+
+def pnm_decode_ascii(payload: bytes, npix: int):
+    """Decode ascii (P2) grey values. Returns (rc, pixels): rc is the
+    number of values decoded (< npix means truncated) or PNM_BAD_TOKEN;
+    pixels is a uint8 array of the decoded prefix."""
+    assert _load() is not None, "native library unavailable"
+    pix = np.zeros(int(npix), np.uint8)
+    rc = _pnm_asc(payload, len(payload),
+                  pix.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                  int(npix))
+    return int(rc), pix

@@ -70,3 +70,83 @@ def test_select_uses_native_transparently():
         del os.environ["PFT_NO_NATIVE"]
         nat._tried, nat._lib = False, None
     np.testing.assert_array_equal(with_native, without)
+
+
+# ---------------------------------------------------------------------------
+# Native PNM codec == Python parser (valid files, malformed corpus)
+# ---------------------------------------------------------------------------
+
+from pyfeaturetrack_tpu.errors import KLTError
+from pyfeaturetrack_tpu.utils import io
+
+
+def _python_path(monkeypatch):
+    monkeypatch.setattr(native, "available", lambda: False)
+
+
+def _write(tmp_path, payload: bytes):
+    p = tmp_path / "f.pnm"
+    p.write_bytes(payload)
+    return p
+
+
+VALID_PGMS = [
+    b"P5\n4 3\n255\n" + bytes(range(12)),
+    b"P5 # binary\n# full-line comment\n 4\t3 255# abutting\n" + bytes(range(12)),
+    b"P2\n3 2\n255\n0 255 17\n128 7 9\n",
+    b"P2   3 2 255  0 255 17 128 7 9   ",
+    b"P5\n1 1\n255\n\x2a",
+]
+
+
+@pytest.mark.parametrize("payload", VALID_PGMS)
+def test_pnm_native_matches_python_valid(tmp_path, monkeypatch, payload):
+    p = _write(tmp_path, payload)
+    got_native = io.pgm_read(p)
+    _python_path(monkeypatch)
+    got_python = io.pgm_read(p)
+    np.testing.assert_array_equal(got_native, got_python)
+
+
+MALFORMED_PNMS = [
+    b"",                                   # empty
+    b"P5",                                 # header EOF
+    b"P5\n4\n",                            # missing dims
+    b"P7\n4 3\n255\n",                     # bad magic
+    b"Px\n4 3\n255\n",                     # bad magic
+    b"P5\n4 x3\n255\n" + bytes(12),        # malformed width
+    b"P5\n-4 3\n255\n" + bytes(12),        # negative dim
+    b"P5\n4 3\n70000\n" + bytes(12),       # maxval > 255
+    b"P5\n4 3\n255\n\x00\x01",             # truncated binary payload
+    b"P2\n4 3\n255\n1 2 3",                # truncated ascii payload
+    b"P2\n2 2\n255\n1 2 3 999",            # ascii value out of range
+    b"P2\n2 2\n255\n1 2 -3 4",             # ascii negative value
+    b"P2\n2 2\n255\n1 2 zz 4",             # ascii non-numeric
+    b"P6\n2 2\n255\n" + bytes(12),         # PPM fed to pgm_read
+]
+
+
+@pytest.mark.parametrize("payload", MALFORMED_PNMS)
+def test_pnm_native_matches_python_malformed(tmp_path, monkeypatch,
+                                             payload):
+    p = _write(tmp_path, payload)
+    with pytest.raises(KLTError):
+        io.pgm_read(p)
+    _python_path(monkeypatch)
+    with pytest.raises(KLTError):
+        io.pgm_read(p)
+
+
+def test_ppm_native_matches_python(tmp_path, monkeypatch):
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    p = tmp_path / "f.ppm"
+    io.ppm_write(p, rgb)
+    got_native = io.ppm_read(p)
+    got_native[0, 0, 0] = 99  # must be writable, like the Python path
+    _python_path(monkeypatch)
+    np.testing.assert_array_equal(io.ppm_read(p), rgb)
+    for payload in (b"P5\n2 2\n255\n" + bytes(4),  # PGM fed to ppm_read
+                    b"P6\n2 2\n255\n\x00"):        # truncated
+        q = _write(tmp_path, payload)
+        with pytest.raises(KLTError):
+            io.ppm_read(q)
