@@ -95,7 +95,7 @@ def main(argv=None) -> int:
         table, _, metrics_per_chunk = track_sequence_chunked(
             frames, cfg=cfg, n_features=args.features,
             n_chunks=args.chunks, replace_lost=not args.no_replace,
-            batched=args.batched)
+            batched=args.batched, chain=max(args.chain, 1))
         np.savez(os.path.join(args.out, "tracks.npz"), **table)
         live_last = int((table["val"][-1] >= 0).sum())
         summary = {"frames": len(frames),

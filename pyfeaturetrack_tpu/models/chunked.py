@@ -15,6 +15,7 @@ within ``stitch_tol`` pixels).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -23,24 +24,18 @@ from ..config import TrackerConfig, create_config
 from .sequence import track_sequence
 
 
-def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
-                         cfg: TrackerConfig, replace_lost: bool = False):
-    """Track C equal-length chunks in lockstep: one vmapped device call
-    advances EVERY chunk by one frame, so a long video tracks at the
-    batched-streams rate instead of the single-stream rate.
+@functools.lru_cache(maxsize=None)
+def _lockstep_programs(cfg: TrackerConfig, replace_lost: bool):
+    """Jitted lockstep programs, cached per (cfg, replace_lost) — the jit
+    objects must outlive one track_chunks_batched call or every call
+    recompiles (~seconds each on the remote compiler).
 
-    chunk_frames: [C, F, H, W] float frames (chunk c's local frames) — a
-    numpy array, or a LIST of F device arrays [C, H, W] pre-staged on
-    device (preferred for throughput: the compute path runs ~65 us per
-    batched step; host->device transfer of the frames dominates wall
-    clock on slow-interconnect rigs).
-    init_*: [C, N] initial feature state at each chunk's frame 0.
-    Returns (xs, ys, vals): [C, F, N] per-frame tracked state (frame 0 is
-    the initial selection). Pure device path: no host pulls between
-    frames. ``replace_lost=True`` refills lost slots each step with the
-    on-device selection (ops.select_device) — reference-complete
-    example3 semantics at the multi-stream rate.
-    """
+    State is carried on device between jitted calls; step_k advances k
+    frame steps in ONE program. Long in-program chains (scan or deep
+    unroll) degrade on the remote-execution backend, but SHORT unrolled
+    chains amortize the dispatch floor (DESIGN.md §3a) — the round-1
+    cliff came from host-side slicing of stacked outputs, which is why
+    step_k returns the final state UNSTACKED."""
     import jax
     import jax.numpy as jnp
 
@@ -48,22 +43,12 @@ def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
     from ..ops.track import build_track_pyramids, track_features_pyramids
     from .device_sequence import _selection_eig_from_pyr
 
-    if isinstance(chunk_frames, (list, tuple)):
-        f = len(chunk_frames)
-    else:
-        f = np.shape(chunk_frames)[1]
-
-    # One jitted program PER FRAME STEP, state carried on device between
-    # calls. Chaining many steps inside a single program (scan or unroll)
-    # degrades catastrophically on the remote-execution backend, while
-    # per-step dispatch pipelines asynchronously at full rate.
     @jax.jit
     def first(frame_batch):
         return jax.vmap(lambda im: build_track_pyramids(im, cfg))(
             frame_batch)
 
-    @jax.jit
-    def step(pyr_prev, frame_batch, x, y, v):
+    def step_body(pyr_prev, frame_batch, x, y, v):
         pyr_new = jax.vmap(lambda im: build_track_pyramids(im, cfg))(
             frame_batch)
         nx, ny, nv = jax.vmap(
@@ -83,6 +68,62 @@ def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
             ex = jnp.any(exs)
         return pyr_new, nx, ny, nv, ex
 
+    step = jax.jit(step_body)
+
+    @jax.jit
+    def step_k(pyr, frame_batches: tuple, x, y, v):
+        hx, hy, hv = [], [], []
+        ex = jnp.asarray(False)
+        for fb in frame_batches:
+            pyr, x, y, v, e = step_body(pyr, fb, x, y, v)
+            ex = ex | e
+            hx.append(x)
+            hy.append(y)
+            hv.append(v)
+        hist = (jnp.stack(hx, axis=1), jnp.stack(hy, axis=1),
+                jnp.stack(hv, axis=1))  # [C, k, N]
+        return pyr, hist, (x, y, v), ex
+
+    return first, step, step_k
+
+
+def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
+                         cfg: TrackerConfig, replace_lost: bool = False,
+                         chain: int = 1):
+    """Track C equal-length chunks in lockstep: one vmapped device call
+    advances EVERY chunk by one frame, so a long video tracks at the
+    batched-streams rate instead of the single-stream rate.
+
+    chunk_frames: [C, F, H, W] float frames (chunk c's local frames) — a
+    numpy array, or a LIST of F device arrays [C, H, W] pre-staged on
+    device (preferred for throughput: the compute path runs ~65 us per
+    batched step; host->device transfer of the frames dominates wall
+    clock on slow-interconnect rigs).
+    init_*: [C, N] initial feature state at each chunk's frame 0.
+    Returns (xs, ys, vals, exhausted): [C, F, N] per-frame tracked state
+    (frame 0 is the initial selection) plus a DEVICE bool scalar set when
+    a refill ran out of top-K candidates (callers should surface it with
+    warn_selection_exhausted when they pull the table — pulling it here
+    would be a device->host sync that poisons later dispatch on relay
+    rigs, DESIGN.md rule 3). Pure device path: no host pulls between
+    frames. ``replace_lost=True`` refills lost slots each step with the
+    on-device selection (ops.select_device) — reference-complete
+    example3 semantics at the multi-stream rate.
+
+    ``chain`` > 1 advances that many frame steps per dispatched program
+    (the lockstep analogue of device_sequence.sequence_chain_device),
+    amortizing the ~40 us per-dispatch floor across chain x C frames;
+    the sub-chain tail runs per-step. Math is identical for any chain.
+    """
+    import jax.numpy as jnp
+
+    if isinstance(chunk_frames, (list, tuple)):
+        f = len(chunk_frames)
+    else:
+        f = np.shape(chunk_frames)[1]
+
+    first, step, step_k = _lockstep_programs(cfg, bool(replace_lost))
+
     # Per-step frame batches must be separate contiguous device arrays:
     # slicing a packed [C, F, H, W] device array per step ([:, i]) runs a
     # strided-slice program that is pathologically slow on the remote
@@ -98,23 +139,36 @@ def track_chunks_batched(chunk_frames: np.ndarray, init_x, init_y, init_val,
     v = jnp.asarray(init_val, jnp.int32)
 
     pyr = first(frame_steps[0])
-    xs, ys, vs = [x], [y], [v]
-    exhausted = jnp.asarray(False)
-    for i in range(1, f):
-        pyr, x, y, v, ex = step(pyr, frame_steps[i], x, y, v)
-        exhausted = exhausted | ex
-        xs.append(x)
-        ys.append(y)
-        vs.append(v)
-    out = (jnp.stack(xs, axis=1), jnp.stack(ys, axis=1),
-           jnp.stack(vs, axis=1))
-    if replace_lost and bool(exhausted):
-        from ..errors import KLTWarning
-        KLTWarning(
-            "(track_chunks_batched) a refill ran out of top-K "
-            "candidates with free slots left — the host full-scan path "
-            "may fill more")
-    return out
+    if chain <= 1:
+        rows = [(x, y, v)]
+        exhausted = jnp.asarray(False)
+        for i in range(1, f):
+            pyr, x, y, v, ex = step(pyr, frame_steps[i], x, y, v)
+            exhausted = exhausted | ex
+            rows.append((x, y, v))
+        out = tuple(jnp.stack([r[j] for r in rows], axis=1)
+                    for j in range(3))
+    else:
+        # history accumulates as [C, 1, N] rows (single steps) and
+        # [C, k, N] blocks (chained calls), concatenated once at the end
+        parts = [tuple(a[:, None] for a in (x, y, v))]
+        exhausted = jnp.asarray(False)
+        i = 1
+        while i < f:
+            if f - i >= chain:
+                pyr, hist, (x, y, v), ex = step_k(
+                    pyr, tuple(frame_steps[i + j] for j in range(chain)),
+                    x, y, v)
+                parts.append(hist)
+                i += chain
+            else:
+                pyr, x, y, v, ex = step(pyr, frame_steps[i], x, y, v)
+                parts.append(tuple(a[:, None] for a in (x, y, v)))
+                i += 1
+            exhausted = exhausted | ex
+        out = tuple(jnp.concatenate([p[j] for p in parts], axis=1)
+                    for j in range(3))
+    return out + (exhausted,)
 
 
 def chunk_bounds(n_frames: int, n_chunks: int) -> list[tuple[int, int]]:
@@ -162,7 +216,7 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
                            n_features: int = 150, n_chunks: int = 2,
                            replace_lost: bool = True,
                            stitch_tol: float = 1.0,
-                           batched: bool = False):
+                           batched: bool = False, chain: int = 1):
     # stitch_tol: a continuing physical corner is re-detected by the next
     # chunk at an integer pixel while the left chunk tracked it to subpixel
     # drift — up to 0.5 px apart per axis; 1.0 px catches those without
@@ -180,6 +234,8 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
     device call per frame step (aggregate multi-stream throughput on one
     chip); ``replace_lost`` is honored there too via the on-device
     selection (ops.select_device) — no host pulls between frames.
+    ``chain`` > 1 (batched mode only) advances that many lockstep steps
+    per dispatched program (track_chunks_batched's chain knob).
     """
     frames = list(frames)
     n_frames = len(frames)
@@ -199,13 +255,17 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
             stack[k, :len(chunk)] = np.asarray(chunk, np.float32)
             stack[k, len(chunk):] = chunk[-1]  # pad: repeat last frame
             inits[k] = select_good_features_arrays(chunk[0], n_features, cfg)
-        xs, ys, vs = track_chunks_batched(
+        xs, ys, vs, exhausted = track_chunks_batched(
             stack, inits[..., 0], inits[..., 1],
             inits[..., 2].astype(np.int64), cfg,
-            replace_lost=replace_lost)
+            replace_lost=replace_lost, chain=chain)
         xs = np.asarray(xs, np.float64)
         ys = np.asarray(ys, np.float64)
         vs = np.asarray(vs, np.int64)
+        if replace_lost and bool(exhausted):  # table already pulled above
+            from .device_sequence import warn_selection_exhausted
+            from ..ops.select_device import DEFAULT_TOP_K
+            warn_selection_exhausted("track_chunks_batched", DEFAULT_TOP_K)
         for k, (s, e) in enumerate(bounds):
             ln = e - s
             chunk_tables.append((s, e, xs[k, :ln], ys[k, :ln], vs[k, :ln]))

@@ -123,3 +123,21 @@ def test_single_chunk_equals_sequential():
         d = np.abs(table["x"] - sx[:, j:j + 1])
         dmask = (table["val"] >= 0) == (sv[:, j:j + 1] >= 0)
         assert (d.min(axis=1) < 1e-6).any() or dmask.all(axis=0).any()
+
+def test_batched_chain_matches_per_step():
+    """chain>1 (k lockstep steps per dispatched program) is bit-identical
+    to the per-step batched driver, including a sub-chain tail and the
+    on-device refill."""
+    base = make_textured_image(96, 128, seed=53)
+    frames = [np.roll(base, 3 * i, axis=1) for i in range(10)]
+    t1, _, _ = track_sequence_chunked(frames, n_features=20, n_chunks=2,
+                                      batched=True, replace_lost=True)
+    # chunk length is 6 incl. boundary -> 5 steps: chain=3 leaves a
+    # 2-step tail on the per-step fallback
+    t3, _, _ = track_sequence_chunked(frames, n_features=20, n_chunks=2,
+                                      batched=True, replace_lost=True,
+                                      chain=3)
+    np.testing.assert_array_equal(t1["val"], t3["val"])
+    live = t1["val"] >= 0
+    np.testing.assert_allclose(t1["x"][live], t3["x"][live], atol=1e-5)
+    np.testing.assert_allclose(t1["y"][live], t3["y"][live], atol=1e-5)
