@@ -18,3 +18,7 @@ from .posegraph import PoseGraph, optimize_pose_graph  # noqa: F401
 from .pipeline import (ate_rmse, ate_rmse_aligned,  # noqa: F401
                        observations_from_feature_table, run_sfm,
                        run_sfm_windowed, umeyama_align)
+from .epipolar import (essential_from_matches, ransac_essential,  # noqa: F401
+                       recover_pose, two_view_bootstrap)
+from .pnp import pnp_ransac, refine_pose  # noqa: F401
+from .vo import VisualOdometry  # noqa: F401

@@ -1,0 +1,338 @@
+"""Monocular keyframe visual odometry: live frames in, poses out, no
+external initialization.
+
+This closes BASELINE.md config 5's loop as a *driver*: the tracker
+(sequential-mode pyramidal LK + replace-lost), the two-view bootstrap
+(sfm/epipolar), motion-only localization (sfm/pnp), DLT triangulation
+and windowed bundle adjustment (sfm/ba) compose into an incremental
+pipeline — where run_sfm* post-process a finished FeatureTable given
+initial poses, VisualOdometry builds poses as frames arrive.
+
+Structure per keyframe (every ``kf_every`` frames):
+
+1. BOOTSTRAP (until initialized): match the base keyframe to the newest
+   one over surviving tracks; once median parallax clears
+   ``min_parallax_px``, run two_view_bootstrap; landmarks seed at unit
+   baseline (monocular gauge). A failed base (tracks died first) slides
+   forward to the newest keyframe.
+2. LOCALIZE: the new keyframe pose starts at the previous keyframe's
+   and refines motion-only against the current landmark map
+   (pnp.refine_pose, Huber). PnP-RANSAC (pnp_ransac) is the no-prior
+   fallback when too few mapped landmarks survive.
+3. MAP: tracks alive across >= 2 of the last ``window`` keyframes
+   without a landmark triangulate (batched DLT) once their keyframe
+   parallax clears ``min_tri_parallax_px``.
+4. REFINE: windowed BA (dense Schur solver, Huber IRLS) over the last
+   ``window`` keyframes with the oldest pose fixed; the monocular scale
+   gauge is re-anchored after each BA to the window's first baseline
+   (BA with one camera fixed at the origin leaves global scale free).
+
+Track identity: a per-slot GENERATION counter increments whenever the
+tracker reports the slot lost (any status < 0, at any frame — including
+between keyframes), so a slot refilled by replace-lost never aliases the
+landmark of the feature that died (the dense run_sfm path had exactly
+that bug before run-splitting; see pipeline.observations_from_feature_table).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import TrackerConfig
+from ..features import feature_state_to_numpy
+from ..models.sequence import SequenceTracker
+from ..ops.select import replace_lost_features
+from .ba import BAProblem, bundle_adjust
+from .epipolar import two_view_bootstrap
+from .pnp import pnp_ransac, refine_pose
+from .triangulate import triangulate_dlt
+
+
+class VisualOdometry:
+    """Incremental monocular VO over a PGM-style frame stream.
+
+    ``feed`` each frame; read ``trajectory()`` (keyframe poses,
+    world = first-keyframe camera, scale = first baseline) and
+    ``map_points()`` any time. Host-driven control loop (keyframe
+    decisions are data-dependent); the heavy math — LK tracking,
+    RANSAC hypothesis batches, GN/BA iterations, batched DLT — runs in
+    jitted device programs.
+    """
+
+    def __init__(self, K, cfg: Optional[TrackerConfig] = None,
+                 n_features: int = 200, kf_every: int = 3,
+                 window: int = 8, ba_iters: int = 8,
+                 thresh_px: float = 2.0, min_parallax_px: float = 12.0,
+                 min_tri_parallax_px: float = 4.0,
+                 min_bootstrap_good: int = 20, huber_px: float = 2.0,
+                 seed: int = 0):
+        self.K = np.asarray(K, np.float64)
+        self._tr = SequenceTracker(cfg, n_features, replace_lost=False)
+        self.n_features = int(n_features)
+        self.kf_every = int(kf_every)
+        self.window = int(window)
+        self.ba_iters = int(ba_iters)
+        self.thresh_px = float(thresh_px)
+        self.min_parallax_px = float(min_parallax_px)
+        self.min_tri_parallax_px = float(min_tri_parallax_px)
+        self.min_bootstrap_good = int(min_bootstrap_good)
+        self.huber_px = float(huber_px)
+        self.seed = int(seed)
+
+        self.gen = np.zeros(self.n_features, np.int64)
+        self.kf: list[dict] = []      # {frame, x, y, gen, live}
+        self.poses: list = []         # (R, t) per keyframe once init
+        self.landmarks: dict = {}     # (slot, gen) -> X [3]
+        self.initialized = False
+        self.n_frames = 0
+        self.events: list[str] = []   # bootstrap/localize notes
+
+    # ------------------------------------------------------------- feed
+
+    def feed(self, frame) -> None:
+        """Track one frame; run keyframe logic on keyframe cadence."""
+        fl = self._tr.step(frame)
+        arr = feature_state_to_numpy(fl)
+        dead = arr[:, 2] < 0
+        if dead.any():
+            self.gen[dead] += 1
+            fl = replace_lost_features(np.asarray(frame), fl,
+                                       self._tr.cfg)
+            self._tr.fl = fl           # refilled slots keep tracking
+            arr = feature_state_to_numpy(fl)
+        is_kf = (self.n_frames == 0
+                 or self.n_frames - self.kf[-1]["frame"] >= self.kf_every)
+        self.n_frames += 1
+        if not is_kf:
+            return
+        self.kf.append({"frame": self.n_frames - 1,
+                        "x": arr[:, 0].copy(), "y": arr[:, 1].copy(),
+                        "gen": self.gen.copy(),
+                        "live": arr[:, 2] >= 0})
+        if not self.initialized:
+            self._try_bootstrap()
+        else:
+            self._localize_new_keyframe()
+            self._triangulate_new()
+            self._window_ba()
+
+    # -------------------------------------------------------- bootstrap
+
+    def _matches(self, a: dict, b: dict) -> np.ndarray:
+        return a["live"] & b["live"] & (a["gen"] == b["gen"])
+
+    def _try_bootstrap(self) -> None:
+        if len(self.kf) < 2:
+            return
+        base, cur = self.kf[0], self.kf[-1]
+        m = self._matches(base, cur)
+        if m.sum() < 8:
+            # base keyframe's tracks died before parallax accrued:
+            # slide the base forward and wait
+            self.events.append(f"bootstrap base slid to kf {len(self.kf) - 1}")
+            del self.kf[:-1]
+            return
+        uv1 = np.stack([base["x"][m], base["y"][m]], -1)
+        uv2 = np.stack([cur["x"][m], cur["y"][m]], -1)
+        parallax = float(np.median(
+            np.linalg.norm(uv2 - uv1, axis=-1)))
+        if parallax < self.min_parallax_px:
+            del self.kf[1:-1]          # keep [base, newest] only
+            return
+        out = two_view_bootstrap(self.K, uv1, uv2,
+                                 thresh_px=self.thresh_px,
+                                 n_hypotheses=512, seed=self.seed)
+        if out["good"].sum() < self.min_bootstrap_good:
+            self.events.append(
+                f"bootstrap rejected ({int(out['good'].sum())} good)")
+            del self.kf[1:-1]
+            return
+        del self.kf[1:-1]
+        self.poses = [(np.eye(3), np.zeros(3)),
+                      (out["R"], out["t"])]
+        slots = np.nonzero(m)[0]
+        for i, s in enumerate(slots):
+            if out["good"][i]:
+                self.landmarks[(int(s), int(base["gen"][s]))] = \
+                    out["X"][i].copy()
+        self.initialized = True
+        self.events.append(
+            f"bootstrap at kf pair (frames {base['frame']},"
+            f" {cur['frame']}): {int(out['good'].sum())} landmarks,"
+            f" parallax {parallax:.1f}px")
+
+    # --------------------------------------------------------- localize
+
+    def _visible_landmarks(self, kf: dict):
+        slots, Xs, uvs = [], [], []
+        for s in np.nonzero(kf["live"])[0]:
+            key = (int(s), int(kf["gen"][s]))
+            X = self.landmarks.get(key)
+            if X is not None:
+                slots.append(s)
+                Xs.append(X)
+                uvs.append((kf["x"][s], kf["y"][s]))
+        return (np.asarray(slots, np.int64),
+                np.asarray(Xs, np.float64).reshape(-1, 3),
+                np.asarray(uvs, np.float64).reshape(-1, 2))
+
+    def _localize_new_keyframe(self) -> None:
+        kf = self.kf[-1]
+        slots, X, uv = self._visible_landmarks(kf)
+        R_prev, t_prev = self.poses[-1]
+        if len(slots) < 6:
+            self.events.append(
+                f"kf {len(self.kf) - 1}: too few mapped landmarks"
+                f" ({len(slots)}) — pose held")
+            self.poses.append((R_prev.copy(), t_prev.copy()))
+            self._pose_held = True
+            return
+        if getattr(self, "_pose_held", False):
+            # relocalize: the previous pose was held, so the motion
+            # prior is stale — no-prior PnP-RANSAC instead of GN
+            Rr, tr, _ = pnp_ransac(self.K, X, uv, seed=self.seed,
+                                   thresh_px=2 * self.thresh_px)
+            self.poses.append((Rr, tr))
+            self._pose_held = False
+            self.events.append(f"kf {len(self.kf) - 1}: relocalized by "
+                               f"PnP-RANSAC over {len(slots)} landmarks")
+            return
+        R, t, _ = refine_pose(
+            jnp.asarray(self.K, jnp.float32),
+            jnp.asarray(R_prev, jnp.float32),
+            jnp.asarray(t_prev, jnp.float32),
+            jnp.asarray(X, jnp.float32), jnp.asarray(uv, jnp.float32),
+            jnp.ones(len(slots), jnp.float32), n_iters=12,
+            huber_delta=self.huber_px)
+        self.poses.append((np.asarray(R, np.float64),
+                           np.asarray(t, np.float64)))
+
+    # -------------------------------------------------------------- map
+
+    def _triangulate_new(self) -> None:
+        win = self.kf[-self.window:]
+        pose_w = self.poses[-len(win):]
+        cur = win[-1]
+        cand = []
+        for s in np.nonzero(cur["live"])[0]:
+            key = (int(s), int(cur["gen"][s]))
+            if key in self.landmarks:
+                continue
+            obs = [(k, float(w["x"][s]), float(w["y"][s]))
+                   for k, w in enumerate(win)
+                   if w["live"][s] and w["gen"][s] == cur["gen"][s]]
+            if len(obs) < 2:
+                continue
+            uvs = np.asarray([(u, v) for (_, u, v) in obs])
+            spread = np.linalg.norm(uvs.max(0) - uvs.min(0))
+            if spread < self.min_tri_parallax_px:
+                continue
+            cand.append((key, obs))
+        if not cand:
+            return
+        L, C = len(cand), len(win)
+        uvs = np.zeros((L, C, 2), np.float32)
+        mask = np.zeros((L, C), bool)
+        for li, (_, obs) in enumerate(cand):
+            for (k, u, v) in obs:
+                uvs[li, k] = (u, v)
+                mask[li, k] = True
+        Rs = np.stack([p[0] for p in pose_w]).astype(np.float32)
+        ts = np.stack([p[1] for p in pose_w]).astype(np.float32)
+        X = np.asarray(triangulate_dlt(
+            jnp.asarray(self.K, jnp.float32), jnp.asarray(Rs),
+            jnp.asarray(ts), jnp.asarray(uvs), jnp.asarray(mask)))
+        # keep only cheirality-consistent points (in front of every
+        # observing camera)
+        for li, (key, obs) in enumerate(cand):
+            ok = True
+            for (k, _, _) in obs:
+                d = Rs[k] @ X[li] + ts[k]
+                if d[2] < 1e-3:
+                    ok = False
+                    break
+            if ok:
+                self.landmarks[key] = X[li].astype(np.float64)
+
+    # ------------------------------------------------------------- BA
+
+    def _window_ba(self) -> None:
+        win = self.kf[-self.window:]
+        pose_w = self.poses[-len(win):]
+        # observations of mapped landmarks inside the window
+        keys, cam_idx, pt_idx, uv = [], [], [], []
+        key_id = {}
+        for k, w in enumerate(win):
+            for s in np.nonzero(w["live"])[0]:
+                key = (int(s), int(w["gen"][s]))
+                if key not in self.landmarks:
+                    continue
+                if key not in key_id:
+                    key_id[key] = len(keys)
+                    keys.append(key)
+                cam_idx.append(k)
+                pt_idx.append(key_id[key])
+                uv.append((w["x"][s], w["y"][s]))
+        counts = np.bincount(np.asarray(pt_idx, np.int64),
+                             minlength=len(keys))
+        if len(keys) < 8 or len(win) < 2:
+            return
+        w_obs = (counts[np.asarray(pt_idx)] >= 2).astype(np.float32)
+        problem = BAProblem(
+            K=jnp.asarray(self.K, jnp.float32),
+            cam_idx=jnp.asarray(cam_idx, jnp.int32),
+            pt_idx=jnp.asarray(pt_idx, jnp.int32),
+            uv=jnp.asarray(np.asarray(uv, np.float32)),
+            w=jnp.asarray(w_obs))
+        R0 = np.stack([p[0] for p in pose_w]).astype(np.float32)
+        t0 = np.stack([p[1] for p in pose_w]).astype(np.float32)
+        X0 = np.stack([self.landmarks[k] for k in keys]).astype(np.float32)
+        R, t, X, _ = bundle_adjust(problem, R0, t0, X0,
+                                   n_iters=self.ba_iters,
+                                   fix_first=True,
+                                   huber_delta=self.huber_px)
+        R, t, X = (np.asarray(R, np.float64), np.asarray(t, np.float64),
+                   np.asarray(X, np.float64))
+        # re-anchor the monocular scale gauge: BA with one camera fixed
+        # leaves global scale free; pin the window's first baseline
+        c = np.einsum("kij,kj->ki", -np.transpose(R, (0, 2, 1)), t)
+        c0_pre = np.einsum(
+            "kij,kj->ki", -np.transpose(np.asarray(R0, np.float64),
+                                        (0, 2, 1)),
+            np.asarray(t0, np.float64))
+        base_pre = np.linalg.norm(c0_pre[1] - c0_pre[0])
+        base_post = np.linalg.norm(c[1] - c[0])
+        if base_post > 1e-9 and base_pre > 1e-9:
+            s = base_pre / base_post
+            c = c[0] + s * (c - c[0])
+            X = c[0] + s * (X - c[0])
+            t = np.einsum("kij,kj->ki", -R, c)
+        for k in range(len(win)):
+            self.poses[len(self.poses) - len(win) + k] = (R[k], t[k])
+        for i, key in enumerate(keys):
+            self.landmarks[key] = X[i]
+
+    # ----------------------------------------------------------- output
+
+    def trajectory(self):
+        """Keyframe trajectory: (frame_indices [M], R [M,3,3] world->cam,
+        t [M,3], centers [M,3] camera centers in the world =
+        first-keyframe frame, unit-first-baseline scale)."""
+        if not self.initialized:
+            raise RuntimeError("(VisualOdometry) not initialized yet — "
+                               "feed more frames (needs parallax)")
+        frames = np.asarray([k["frame"] for k in self.kf], np.int64)
+        R = np.stack([p[0] for p in self.poses])
+        t = np.stack([p[1] for p in self.poses])
+        c = np.einsum("kij,kj->ki", -np.transpose(R, (0, 2, 1)), t)
+        return frames, R, t, c
+
+    def map_points(self) -> np.ndarray:
+        """[L, 3] current landmark positions (world frame)."""
+        if not self.landmarks:
+            return np.zeros((0, 3))
+        return np.stack(list(self.landmarks.values()))
