@@ -69,9 +69,22 @@ class VisualOdometry:
                  thresh_px: float = 2.0, min_parallax_px: float = 12.0,
                  min_tri_parallax_px: float = 4.0,
                  min_bootstrap_good: int = 20, huber_px: float = 2.0,
-                 seed: int = 0):
+                 seed: int = 0, device_loop: bool = False):
         self.K = np.asarray(K, np.float64)
-        self._tr = SequenceTracker(cfg, n_features, replace_lost=False)
+        self.device_loop = bool(device_loop)
+        if device_loop:
+            # device-resident tracking: frames advance in ONE chained
+            # program per keyframe interval (models.device_sequence);
+            # the only device->host traffic is the [k, N] history pull
+            # at each keyframe
+            from ..config import create_config
+            self.cfg = (cfg if cfg is not None else
+                        create_config()).replace(
+                sequentialMode=True).validated_window()
+            self._dev_state = None     # (pyr, x, y, val, aff)
+            self._dev_buf: list = []
+        else:
+            self._tr = SequenceTracker(cfg, n_features, replace_lost=False)
         self.n_features = int(n_features)
         self.kf_every = int(kf_every)
         self.window = int(window)
@@ -95,6 +108,9 @@ class VisualOdometry:
 
     def feed(self, frame) -> None:
         """Track one frame; run keyframe logic on keyframe cadence."""
+        if self.device_loop:
+            self._feed_device(frame)
+            return
         fl = self._tr.step(frame)
         arr = feature_state_to_numpy(fl)
         dead = arr[:, 2] < 0
@@ -109,10 +125,56 @@ class VisualOdometry:
         self.n_frames += 1
         if not is_kf:
             return
+        self._push_keyframe(arr[:, 0], arr[:, 1], arr[:, 2] >= 0)
+
+    def _feed_device(self, frame) -> None:
+        """Device-resident variant: buffer ``kf_every`` frames, advance
+        them in one chained program, pull the [k, N] history once, and
+        recover per-frame deaths from it (a refilled slot's history val
+        is its fresh positive eigenvalue; tracked slots report
+        KLT_TRACKED == 0 — same convention as sequence.metrics_from_table)."""
+        from ..models.device_sequence import (select_step_device,
+                                              sequence_chain_device,
+                                              sequence_step_device)
+        from ..utils.staging import stage_f32
+        img = stage_f32(np.asarray(frame))
+        if self._dev_state is None:
+            pyr, x, y, val, aff, _ = select_step_device(
+                img, self.cfg, self.n_features)
+            self._dev_state = (pyr, x, y, val, aff)
+            self.n_frames += 1
+            arr_v = np.asarray(val)
+            self._push_keyframe(np.asarray(x), np.asarray(y), arr_v >= 0)
+            return
+        self._dev_buf.append(img)
+        self.n_frames += 1
+        if len(self._dev_buf) < self.kf_every:
+            return
+        pyr, x, y, val, aff = self._dev_state
+        if len(self._dev_buf) == 1:
+            pyr, x, y, val, aff, _ = sequence_step_device(
+                pyr, self._dev_buf[0], x, y, val, self.cfg, True,
+                aff=aff)
+            hist_v = np.asarray(val)[None]
+        else:
+            pyr, hist, (x, y, val), aff, _ = sequence_chain_device(
+                pyr, tuple(self._dev_buf), x, y, val, self.cfg, True,
+                aff=aff)
+            hist_v = np.asarray(hist[2])
+        self._dev_state = (pyr, x, y, val, aff)
+        self._dev_buf = []
+        # deaths: any positive history val marks a refill at that frame
+        for row in hist_v:
+            self.gen[row > 0] += 1
+        self._push_keyframe(np.asarray(x), np.asarray(y),
+                            np.asarray(val) >= 0)
+
+    def _push_keyframe(self, x, y, live) -> None:
         self.kf.append({"frame": self.n_frames - 1,
-                        "x": arr[:, 0].copy(), "y": arr[:, 1].copy(),
+                        "x": np.asarray(x, np.float64).copy(),
+                        "y": np.asarray(y, np.float64).copy(),
                         "gen": self.gen.copy(),
-                        "live": arr[:, 2] >= 0})
+                        "live": np.asarray(live).copy()})
         if not self.initialized:
             self._try_bootstrap()
         else:

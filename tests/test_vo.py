@@ -129,3 +129,28 @@ def test_vo_trajectory_before_init_raises():
     vo = VisualOdometry(K)
     with pytest.raises(RuntimeError):
         vo.trajectory()
+
+
+def test_vo_device_loop_matches_host(scene):
+    """device_loop=True (chained device tracking, one history pull per
+    keyframe) reproduces the host-driven VO: same keyframes, same
+    bootstrap, trajectory within tight tolerance (device selection is
+    bit-equal to the host greedy whenever slots fill; LK math is the
+    same program)."""
+    _, _, cs, _, frames = scene
+    kw = dict(n_features=120, kf_every=2, window=6, min_parallax_px=10.0)
+    host = VisualOdometry(K, **kw)
+    dev = VisualOdometry(K, device_loop=True, **kw)
+    for f in frames:
+        host.feed(f)
+        dev.feed(f)
+    assert dev.initialized
+    fi_h, _, _, c_h = host.trajectory()
+    fi_d, _, _, c_d = dev.trajectory()
+    np.testing.assert_array_equal(fi_h, fi_d)
+    gt = cs[fi_h]
+    ate_h = ate_rmse_aligned(c_h, gt)
+    ate_d = ate_rmse_aligned(c_d, gt)
+    assert ate_d < 0.03 * np.linalg.norm(gt[-1] - gt[0])
+    # both drivers land in the same accuracy regime
+    assert abs(ate_d - ate_h) < 0.02
