@@ -8,6 +8,17 @@ BENCH_DETAILS.json.
 Per-frame work is the honest sequential-mode cost: build the NEW frame's
 pyramid + gradients, then batched pyramidal LK for all features (previous
 frame's pyramids are the cached carry).
+
+FENCE SEMANTICS (ROOFLINE.md §0, measured 2026-08-17): on the axon relay
+rig, `jax.block_until_ready` returns without awaiting execution, so the
+fps figures below are DISPATCH-PIPELINE rates. They are kept because (a)
+they are reproducible round-over-round and (b) they approximate what a
+directly-attached TPU would achieve (the compiled module's on-chip time
+is tens of microseconds — the relay's per-op execution tax is a harness
+artifact). `--all` additionally records `device_trace` (profiler-
+measured per-frame device time, the honest clock on this rig) and
+`e2e_result_fps` (time-to-first-result rate, what a caller who needs the
+answers actually gets here).
 """
 
 import argparse
@@ -72,6 +83,96 @@ def _repeat(fn, n=5):
     return {"median": round(float(np.median(vals)), 2),
             "min": round(float(np.min(vals)), 2),
             "max": round(float(np.max(vals)), 2), "n": n}
+
+
+def bench_device_trace(h=480, w=640, n_features=1000, n_calls=8):
+    """Profiler-trace device time for the headline frame step — the
+    honest per-frame clock on this relay (ROOFLINE.md §0): the device
+    lane records every executed op with real durations, independent of
+    the lying dispatch fence."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.track import (build_track_pyramids,
+                                              track_features_pyramids)
+    from pyfeaturetrack_tpu.utils.traceview import capture_device_trace
+
+    cfg = create_config()
+
+    @jax.jit
+    def frame_step(pyr_prev, img_new, x, y, val):
+        pyr_new = build_track_pyramids(img_new, cfg)
+        return pyr_new, track_features_pyramids(pyr_prev, pyr_new, x, y,
+                                                val, cfg)
+
+    base = _textured(h, w)
+    frames = [jnp.asarray(base[i:i + h, i:i + w], jnp.float32)
+              for i in range(4)]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(cfg.borderx + 1, w - cfg.borderx - 2,
+                                n_features), jnp.float32)
+    y = jnp.asarray(rng.uniform(cfg.bordery + 1, h - cfg.bordery - 2,
+                                n_features), jnp.float32)
+    val = jnp.ones((n_features,), jnp.int32)
+    pyr = jax.jit(build_track_pyramids, static_argnames=("cfg",))(
+        frames[0], cfg)
+    p2, out = frame_step(pyr, frames[1], x, y, val)
+    jax.block_until_ready(out)
+
+    state = {"cur": pyr, "i": 0}
+
+    def one():
+        state["i"] += 1
+        state["cur"], o = frame_step(state["cur"],
+                                     frames[state["i"] % 4], x, y, val)
+        return o
+
+    r = capture_device_trace(one, n_calls=n_calls)
+    return {"per_frame_device_ms": r["per_call_ms"],
+            "ops_per_frame": r["ops_per_call"],
+            "device_fps": (round(1e3 / r["per_call_ms"], 2)
+                           if r["per_call_ms"] else None),
+            "note": "profiler device lane; relay executes modules "
+                    "op-by-op (ROOFLINE.md §0)"}
+
+
+def bench_e2e_result(h=480, w=640, n_features=1000, n_frames=12):
+    """Time-to-first-result rate: dependent frame-step chain, ONE scalar
+    pull at the end. This is what a caller who needs the answers gets on
+    this rig. MUST run last in --all: the pull makes every subsequent
+    call in the process synchronously observed."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.track import (build_track_pyramids,
+                                              track_features_pyramids)
+
+    cfg = create_config()
+
+    @jax.jit
+    def frame_step(pyr_prev, img_new, x, y, val):
+        pyr_new = build_track_pyramids(img_new, cfg)
+        return pyr_new, track_features_pyramids(pyr_prev, pyr_new, x, y,
+                                                val, cfg)
+
+    base = _textured(h, w)
+    frames = [jnp.asarray(base[i:i + h, i:i + w], jnp.float32)
+              for i in range(4)]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(cfg.borderx + 1, w - cfg.borderx - 2,
+                                n_features), jnp.float32)
+    y = jnp.asarray(rng.uniform(cfg.bordery + 1, h - cfg.bordery - 2,
+                                n_features), jnp.float32)
+    val = jnp.ones((n_features,), jnp.int32)
+    pyr = jax.jit(build_track_pyramids, static_argnames=("cfg",))(
+        frames[0], cfg)
+    cur, out = frame_step(pyr, frames[1], x, y, val)
+    _ = float(jnp.sum(out[2]))  # warm + force compile through a result
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        cur, out = frame_step(cur, frames[(i + 1) % 4], x, y, val)
+    _ = float(jnp.sum(out[2]))
+    return n_frames / (time.perf_counter() - t0)
 
 
 def bench_sequence_replace(h=480, w=640, n_features=1000, n_frames=48,
@@ -512,6 +613,21 @@ def main():
             float(np.median([float(r) for r in ratios])), 6)
         details["config1_two_frame_demo_s"] = round(bench_two_frame_demo(), 4)
         log(f"config1 done: {details['config1_two_frame_demo_s']} s")
+        # honest clocks LAST (ROOFLINE.md §0): the trace measures real
+        # device time; the e2e pull observes synchronous completion
+        details["fence_semantics"] = (
+            "fps values above are dispatch-pipeline rates; "
+            "block_until_ready does not await execution on this relay "
+            "(ROOFLINE.md §0). device_trace and e2e_result_fps are the "
+            "honest clocks for this rig.")
+        try:
+            details["device_trace"] = bench_device_trace()
+            log(f"device trace done: {details['device_trace']}")
+        except Exception as e:  # profiler may be unavailable headless
+            details["device_trace"] = {"error": str(e)}
+            log(f"device trace failed: {e}")
+        details["e2e_result_fps"] = round(bench_e2e_result(), 3)
+        log(f"e2e-to-result done: {details['e2e_result_fps']} fps")
         if args.scaling:
             from pyfeaturetrack_tpu.parallel.scaling import measure_scaling
             sc = measure_scaling()
