@@ -25,11 +25,18 @@ bin loop sequentially, ~1000 iterations of tiny aligned loads + one-hot
 shift matmuls (Mosaic requires sublane offsets provably %8 and lane
 offsets %128 — arbitrary positions go through rowsel/colsel matmuls).
 
-MEASURED 2026-08-17 (480x640, 1000 features, v5e): single dispatch
-33.6 us vs XLA 33.0 us (dead heat — both on the ~40 us relay dispatch
-floor); 8x chained in-program 691 us/op vs XLA 943 us/op (Pallas ~1.27x
-faster kernel-side). Verdict: kept as an opt-in prototype; production
-stays on XLA gathers (see DESIGN.md §3, ROOFLINE.md §2).
+MEASURED 2026-08-17 (480x640, 1000 features, v5e): with the dispatch
+fence, single dispatch 33.6 us vs XLA 33.0 us and 8x chained 691 vs
+943 us/op — but the dispatch fence does not await execution on this
+backend (ROOFLINE.md §0). HONEST CLOCK (profiler device trace,
+utils/traceview.py, late round 2): **Pallas 0.62 ms/call vs XLA
+1.98 ms/call real device time — 3.2x faster** (the relay charges
+per-op overhead that the single fused kernel avoids). Verdict: still
+opt-in. The win is real on THIS rig, but the serialized per-feature bin
+loop is the wrong shape for direct-attached silicon, where XLA's fused
+gathers run near the memory roofline and this kernel's ~1000 sequential
+Mosaic iterations would dominate. Revisit with a lane-parallel gather
+design if production targets move to this backend class.
 """
 
 from __future__ import annotations
