@@ -205,9 +205,49 @@ def measure_stage_times(h=480, w=640, n_features=1000, iters=200):
     return {"pyramid_s": pyr_s, "lk_s": lk_s, "affine_s": aff_s}
 
 
+def measure_stage_device_times(h=480, w=640, n_features=1000,
+                               n_calls=8) -> dict:
+    """Stage times from the profiler DEVICE LANE (utils/traceview) — the
+    honest clock on relay backends where the dispatch fence does not
+    await execution (ROOFLINE.md §0). Returns seconds per call per
+    stage, plus op counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import create_config
+    from ..ops.track import build_track_pyramids, track_features_pyramids
+    from .traceview import capture_device_trace
+
+    cfg = create_config()
+    rng = np.random.default_rng(0)
+    img2 = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    x = jnp.asarray(rng.uniform(30, w - 30, n_features), jnp.float32)
+    y = jnp.asarray(rng.uniform(30, h - 30, n_features), jnp.float32)
+    val = jnp.ones((n_features,), jnp.int32)
+    build = jax.jit(build_track_pyramids, static_argnames=("cfg",))
+    p1 = build(img2, cfg)
+    p2 = build(img2, cfg)
+    out = track_features_pyramids(p1, p2, x, y, val, cfg)
+    jax.block_until_ready(out)
+    r_pyr = capture_device_trace(lambda: build(img2, cfg),
+                                 n_calls=n_calls)
+    r_lk = capture_device_trace(
+        lambda: track_features_pyramids(p1, p2, x, y, val, cfg),
+        n_calls=n_calls)
+    return {"pyramid_device_s": r_pyr["per_call_ms"] / 1e3,
+            "pyramid_ops": r_pyr["ops_per_call"],
+            "lk_device_s": r_lk["per_call_ms"] / 1e3,
+            "lk_ops": r_lk["ops_per_call"]}
+
+
 def roofline_report(h=480, w=640, n_features=1000, stage_times=None,
-                    ba_iter_s=None, ba_shape=(60, 6000, 12)) -> dict:
-    """Assemble the full roofline dict (BENCH_DETAILS.json 'roofline')."""
+                    ba_iter_s=None, ba_shape=(60, 6000, 12),
+                    with_device_trace: bool = True) -> dict:
+    """Assemble the full roofline dict (BENCH_DETAILS.json 'roofline').
+
+    The summarize() rows use the dispatch-fenced times for
+    round-over-round continuity; ``device_trace_stage_times`` carries
+    the honest per-stage device clock next to them (ROOFLINE.md §0)."""
     from ..config import create_config
     cfg = create_config()
     if stage_times is None:
@@ -230,6 +270,16 @@ def roofline_report(h=480, w=640, n_features=1000, stage_times=None,
     if ba_iter_s is not None:
         C, L, kw = ba_shape
         rep["ba_iteration"] = summarize(ba_iter_counts(C, L, kw), ba_iter_s)
+    if with_device_trace:
+        try:
+            rep["device_trace_stage_times"] = measure_stage_device_times(
+                h, w, n_features)
+            rep["device_trace_note"] = (
+                "per-stage profiler device-lane seconds (honest clock); "
+                "the summarize() rows above use dispatch-fenced times — "
+                "see ROOFLINE.md §0")
+        except Exception as e:  # profiler may be unavailable
+            rep["device_trace_stage_times"] = {"error": str(e)}
     return rep
 
 
