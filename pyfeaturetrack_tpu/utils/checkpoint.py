@@ -136,3 +136,92 @@ def resume_streaming(tracker, state: dict) -> None:
                           if bool(np.asarray(state.get("exhausted",
                                                        False)))
                           else None)
+
+
+def vo_state(vo) -> dict:
+    """Snapshot a sfm.vo.VisualOdometry for resume (long-stream
+    failure recovery — SURVEY.md section 5.4 applied to the VO driver).
+
+    Everything the next keyframe needs is captured: per-slot generation
+    counters, keyframe snapshots, poses, the landmark map, and the
+    tracker's own state (sequence_state for the host loop; the device
+    pyramids + feature arrays for device_loop — pending sub-interval
+    frames are NOT checkpointed, matching the keyframe-grained output).
+    The events log is observability-only and excluded."""
+    st = {
+        "gen": vo.gen.copy(),
+        "n_frames": np.asarray(vo.n_frames),
+        "initialized": np.asarray(vo.initialized),
+        "kf_frames": np.asarray([k["frame"] for k in vo.kf], np.int64),
+        "kf_x": np.stack([k["x"] for k in vo.kf]) if vo.kf else
+        np.zeros((0, vo.n_features)),
+        "kf_y": np.stack([k["y"] for k in vo.kf]) if vo.kf else
+        np.zeros((0, vo.n_features)),
+        "kf_gen": np.stack([k["gen"] for k in vo.kf]) if vo.kf else
+        np.zeros((0, vo.n_features), np.int64),
+        "kf_live": np.stack([k["live"] for k in vo.kf]) if vo.kf else
+        np.zeros((0, vo.n_features), bool),
+        "pose_R": np.stack([p[0] for p in vo.poses]) if vo.poses else
+        np.zeros((0, 3, 3)),
+        "pose_t": np.stack([p[1] for p in vo.poses]) if vo.poses else
+        np.zeros((0, 3)),
+        "lm_keys": np.asarray(sorted(vo.landmarks), np.int64).reshape(
+            -1, 2),
+        "pose_held": np.asarray(getattr(vo, "_pose_held", False)),
+    }
+    st["lm_X"] = (np.stack([vo.landmarks[tuple(k)] for k in
+                            st["lm_keys"]])
+                  if len(st["lm_keys"]) else np.zeros((0, 3)))
+    if vo.device_loop:
+        if vo._dev_state is not None:
+            pyr, x, y, val, aff = vo._dev_state
+            st["dev"] = {"pyr": pyr, "x": x, "y": y, "val": val}
+            if aff is not None:
+                st["dev"]["aff"] = aff
+        st["n_pending"] = np.asarray(len(vo._dev_buf))
+    elif vo._tr.fl is not None:
+        st["tracker"] = sequence_state(vo._tr)
+    return st
+
+
+def resume_vo(vo, state: dict) -> None:
+    """Restore a VisualOdometry from vo_state output (vo must be
+    constructed with the same K/config/feature-count arguments and the
+    same device_loop mode)."""
+    import jax.numpy as jnp
+
+    from ..features import AffineState
+    vo.gen = np.asarray(state["gen"], np.int64).copy()
+    vo.n_frames = int(state["n_frames"])
+    # device-loop sub-interval frames are not checkpointed: rewind the
+    # frame counter to the last interval boundary so cadence lines up
+    vo.n_frames -= int(np.asarray(state.get("n_pending", 0)))
+    vo.initialized = bool(np.asarray(state["initialized"]))
+    vo._pose_held = bool(np.asarray(state.get("pose_held", False)))
+    frames = np.asarray(state["kf_frames"], np.int64)
+    vo.kf = [{"frame": int(frames[i]),
+              "x": np.asarray(state["kf_x"][i], np.float64),
+              "y": np.asarray(state["kf_y"][i], np.float64),
+              "gen": np.asarray(state["kf_gen"][i], np.int64),
+              "live": np.asarray(state["kf_live"][i], bool)}
+             for i in range(len(frames))]
+    vo.poses = [(np.asarray(state["pose_R"][i], np.float64),
+                 np.asarray(state["pose_t"][i], np.float64))
+                for i in range(len(np.asarray(state["pose_R"])))]
+    keys = np.asarray(state["lm_keys"], np.int64).reshape(-1, 2)
+    X = np.asarray(state["lm_X"], np.float64).reshape(-1, 3)
+    vo.landmarks = {(int(k[0]), int(k[1])): X[i].copy()
+                    for i, k in enumerate(keys)}
+    if vo.device_loop:
+        dev = state.get("dev")
+        if dev is not None:
+            aff = dev.get("aff")
+            if isinstance(aff, dict):
+                aff = AffineState(**aff)
+            vo._dev_state = (_pyramids_from(dev["pyr"]),
+                             jnp.asarray(dev["x"]),
+                             jnp.asarray(dev["y"]),
+                             jnp.asarray(dev["val"]), aff)
+        vo._dev_buf = []
+    elif "tracker" in state:
+        resume_sequence(vo._tr, state["tracker"])

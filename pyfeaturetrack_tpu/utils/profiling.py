@@ -27,8 +27,12 @@ def trace(log_dir: str):
 
 
 def time_jitted(fn, *args, iters: int = 50, warmup: int = 3) -> float:
-    """Median-free simple wall-clock of a jitted callable (seconds/call),
-    with compile excluded and device sync included."""
+    """Simple wall-clock of a jitted callable (seconds/call), compile
+    excluded, fenced with block_until_ready.
+
+    CAVEAT (ROOFLINE.md §0): on relay backends the fence does not await
+    execution, so this measures the dispatch pipeline. For real device
+    time use :func:`device_time_per_call`."""
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -37,3 +41,14 @@ def time_jitted(fn, *args, iters: int = 50, warmup: int = 3) -> float:
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def device_time_per_call(fn, *args, iters: int = 8) -> float:
+    """Profiler-device-lane seconds per call of a jitted callable — the
+    honest clock on backends where the dispatch fence lies (see
+    utils/traceview and ROOFLINE.md §0)."""
+    from .traceview import capture_device_trace
+    out = fn(*args)
+    jax.block_until_ready(out)
+    r = capture_device_trace(lambda: fn(*args), n_calls=iters)
+    return r["per_call_ms"] / 1e3

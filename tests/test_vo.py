@@ -154,3 +154,37 @@ def test_vo_device_loop_matches_host(scene):
     assert ate_d < 0.03 * np.linalg.norm(gt[-1] - gt[0])
     # both drivers land in the same accuracy regime
     assert abs(ate_d - ate_h) < 0.02
+
+
+def test_vo_checkpoint_resume_matches_uninterrupted(scene, tmp_path):
+    """Checkpoint mid-stream (orbax round-trip), resume into a fresh VO,
+    finish the stream: trajectory identical to the uninterrupted run."""
+    from pyfeaturetrack_tpu.utils.checkpoint import (restore_checkpoint,
+                                                     resume_vo,
+                                                     save_checkpoint,
+                                                     vo_state)
+    _, _, _, _, frames = scene
+    kw = dict(n_features=120, kf_every=2, window=6, min_parallax_px=10.0)
+    full = VisualOdometry(K, **kw)
+    for f in frames:
+        full.feed(f)
+
+    first = VisualOdometry(K, **kw)
+    cut = 9
+    for f in frames[:cut]:
+        first.feed(f)
+    save_checkpoint(tmp_path / "vo_ckpt", vo_state(first))
+    state = restore_checkpoint(tmp_path / "vo_ckpt")
+
+    resumed = VisualOdometry(K, **kw)
+    resume_vo(resumed, state)
+    assert resumed.n_frames == cut
+    for f in frames[cut:]:
+        resumed.feed(f)
+
+    fi_a, R_a, t_a, c_a = full.trajectory()
+    fi_b, R_b, t_b, c_b = resumed.trajectory()
+    np.testing.assert_array_equal(fi_a, fi_b)
+    np.testing.assert_allclose(c_a, c_b, atol=1e-5)
+    np.testing.assert_allclose(R_a, R_b, atol=1e-5)
+    assert set(full.landmarks) == set(resumed.landmarks)
