@@ -583,12 +583,6 @@ def main():
             bench_batched_chain, n=3)
         log("batched8 chain8 done: "
             f"{details['batched8_chain8_replace_aggregate_fps']}")
-        from pyfeaturetrack_tpu.utils.roofline import roofline_report
-        details["roofline"] = roofline_report()
-        log(f"roofline done: " + ", ".join(
-            f"{k}={v['achieved_fraction']:.0%}"
-            for k, v in details["roofline"].items()
-            if isinstance(v, dict) and "achieved_fraction" in v))
         ratios = []
 
         def _sfm_rate():
@@ -613,8 +607,17 @@ def main():
             float(np.median([float(r) for r in ratios])), 6)
         details["config1_two_frame_demo_s"] = round(bench_two_frame_demo(), 4)
         log(f"config1 done: {details['config1_two_frame_demo_s']} s")
-        # honest clocks LAST (ROOFLINE.md §0): the trace measures real
-        # device time; the e2e pull observes synchronous completion
+        # roofline + honest clocks LAST (ROOFLINE.md §0): the profiler
+        # capture inside roofline_report flips this process into
+        # synchronously-observed execution (measured: config5 after a
+        # trace reads its real 70 it/s instead of the 3.3k dispatch
+        # rate), so every dispatch-fenced config must already be done
+        from pyfeaturetrack_tpu.utils.roofline import roofline_report
+        details["roofline"] = roofline_report()
+        log(f"roofline done: " + ", ".join(
+            f"{k}={v['achieved_fraction']:.0%}"
+            for k, v in details["roofline"].items()
+            if isinstance(v, dict) and "achieved_fraction" in v))
         details["fence_semantics"] = (
             "fps values above are dispatch-pipeline rates; "
             "block_until_ready does not await execution on this relay "

@@ -24,10 +24,13 @@ def bilinear(img: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
     ay = ys - yt
     x0 = jnp.clip(xt, 0, w - 2)
     y0 = jnp.clip(yt, 0, h - 2)
-    p00 = img[y0, x0]
-    p01 = img[y0, x0 + 1]
-    p10 = img[y0 + 1, x0]
-    p11 = img[y0 + 1, x0 + 1]
+    # taps upcast to the coordinate dtype (f32): images may be stored
+    # bfloat16 (cfg.image_dtype) — only the HBM read is low-precision,
+    # the blend math is not
+    p00 = img[y0, x0].astype(xs.dtype)
+    p01 = img[y0, x0 + 1].astype(xs.dtype)
+    p10 = img[y0 + 1, x0].astype(xs.dtype)
+    p11 = img[y0 + 1, x0 + 1].astype(xs.dtype)
     return ((1.0 - ax) * (1.0 - ay) * p00 + ax * (1.0 - ay) * p01 +
             (1.0 - ax) * ay * p10 + ax * ay * p11)
 
@@ -97,6 +100,7 @@ def window_from_patch(patch: jax.Array, ax: jax.Array, ay: jax.Array
     the shared per-feature bilinear weights. Equals gather_window."""
     a = ax[:, None, None]
     b = ay[:, None, None]
+    patch = patch.astype(ax.dtype)  # bf16-stored images blend in f32
     p00 = patch[:, :-1, :-1]
     p01 = patch[:, :-1, 1:]
     p10 = patch[:, 1:, :-1]

@@ -84,7 +84,11 @@ def quantized_min_eig_map(gradx: jax.Array, grady: jax.Array,
     shared by the host selection path and the on-device selection in
     select_device.py.
     """
-    eig = compute_min_eig_map(gradx, grady, window_width, window_height)
+    # upcast: gradients may be stored bfloat16 (cfg.image_dtype); the
+    # structure-tensor sums always accumulate in float32
+    eig = compute_min_eig_map(jnp.asarray(gradx, jnp.float32),
+                              jnp.asarray(grady, jnp.float32),
+                              window_width, window_height)
     return jnp.clip(eig, max=_EIG_LIMIT).astype(jnp.int32)
 
 

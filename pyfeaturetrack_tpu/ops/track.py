@@ -71,6 +71,13 @@ def build_track_pyramids(img: jax.Array, cfg) -> TrackPyramids:
         pyr = compute_pyramid(fimg, cfg.subsampling, cfg.nPyramidLevels,
                               cfg.pyramid_sigma_fact)
         gx, gy = compute_gradient_pyramids(pyr, cfg.grad_sigma)
+    if getattr(cfg, "image_dtype", "float32") != "float32":
+        # storage-only cast: construction math above stays float32;
+        # window blends/reductions upcast at the gather (ops/interp)
+        dt = jnp.dtype(cfg.image_dtype)
+        cast = lambda lv: tuple(a.astype(dt) for a in lv)  # noqa: E731
+        return TrackPyramids(img=cast(pyr.levels), gradx=cast(gx.levels),
+                             grady=cast(gy.levels))
     return TrackPyramids(img=pyr.levels, gradx=gx.levels, grady=gy.levels)
 
 

@@ -245,9 +245,13 @@ def roofline_report(h=480, w=640, n_features=1000, stage_times=None,
                     with_device_trace: bool = True) -> dict:
     """Assemble the full roofline dict (BENCH_DETAILS.json 'roofline').
 
-    The summarize() rows use the dispatch-fenced times for
-    round-over-round continuity; ``device_trace_stage_times`` carries
-    the honest per-stage device clock next to them (ROOFLINE.md §0)."""
+    The summarize() rows time with the dispatch fence, whose meaning
+    depends on process state (ROOFLINE.md §0: before any host pull it
+    measures dispatch; after one it observes real completion — bench
+    --all runs this report after its first pull, so there the rows are
+    real times and the achieved fractions are honest-but-small).
+    ``device_trace_stage_times`` is the state-independent clock: the
+    profiler device lane."""
     from ..config import create_config
     cfg = create_config()
     if stage_times is None:

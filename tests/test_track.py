@@ -223,3 +223,50 @@ def test_track_all_dead_features_is_noop():
     out, _ = pft.KLTTrackFeatures(cfg, img, img, fl)
     np.testing.assert_array_equal(np.asarray(out.val), np.asarray(fl.val))
     np.testing.assert_array_equal(np.asarray(out.x), np.asarray(fl.x))
+
+
+def test_bfloat16_image_storage_mode():
+    """cfg.image_dtype='bfloat16' (TPU-only storage knob, beyond the
+    reference): cached pyramid levels are stored bf16 while blending and
+    reductions stay f32 — tracks must agree with the f32 path to the
+    rounding of 8-bit-mantissa intensities (sub-0.1 px)."""
+    import jax
+    import jax.numpy as jnp
+    from conftest import make_textured_image, shift_image_bilinear
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.track import (build_track_pyramids_jit,
+                                              track_features_pyramids)
+
+    img1 = make_textured_image(120, 160, seed=31)
+    img2 = shift_image_bilinear(img1, 1.3, -0.8)
+    rng = np.random.default_rng(0)
+    n = 64
+    cfg32 = create_config()
+    x = jnp.asarray(rng.uniform(cfg32.borderx + 2, 160 - cfg32.borderx - 3,
+                                n), jnp.float32)
+    y = jnp.asarray(rng.uniform(cfg32.bordery + 2, 120 - cfg32.bordery - 3,
+                                n), jnp.float32)
+    val = jnp.ones((n,), jnp.int32)
+
+    outs = {}
+    for name, cfg in (("f32", cfg32),
+                      ("bf16", cfg32.replace(image_dtype="bfloat16"))):
+        p1 = build_track_pyramids_jit(jnp.asarray(img1, jnp.float32), cfg)
+        p2 = build_track_pyramids_jit(jnp.asarray(img2, jnp.float32), cfg)
+        if name == "bf16":
+            assert p1.img[0].dtype == jnp.bfloat16
+            assert p1.gradx[1].dtype == jnp.bfloat16
+        nx, ny, nv = jax.jit(track_features_pyramids,
+                             static_argnames=("cfg",))(p1, p2, x, y, val,
+                                                       cfg)
+        outs[name] = (np.asarray(nx), np.asarray(ny), np.asarray(nv))
+
+    v32, vbf = outs["f32"][2], outs["bf16"][2]
+    agree = (v32 == vbf)
+    assert agree.mean() >= 0.95  # rounding may flip borderline statuses
+    both = (v32 == 0) & (vbf == 0)
+    assert both.sum() >= n // 2
+    np.testing.assert_allclose(outs["bf16"][0][both], outs["f32"][0][both],
+                               atol=0.1)
+    np.testing.assert_allclose(outs["bf16"][1][both], outs["f32"][1][both],
+                               atol=0.1)
