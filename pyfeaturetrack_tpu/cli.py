@@ -52,11 +52,27 @@ def main(argv=None) -> int:
                          "overhead)")
     ap.add_argument("--overlays", action="store_true",
                     help="write per-frame PPM overlays")
+    ap.add_argument("--vo", action="store_true",
+                    help="monocular visual odometry: output keyframe "
+                         "poses + landmark map (requires --fx)")
+    ap.add_argument("--fx", type=float, default=None,
+                    help="focal length in px (VO); --fy defaults to it")
+    ap.add_argument("--fy", type=float, default=None)
+    ap.add_argument("--cx", type=float, default=None,
+                    help="principal point (VO); defaults to image center")
+    ap.add_argument("--cy", type=float, default=None)
+    ap.add_argument("--kf-every", type=int, default=3,
+                    help="VO keyframe cadence (frames)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.batched and args.chunks <= 1:
         ap.error("--batched requires --chunks > 1 "
                  "(lockstep mode advances chunk streams together)")
+    if args.vo and args.fx is None:
+        ap.error("--vo requires --fx (focal length in pixels)")
+    if args.vo and (args.chunks > 1 or args.device_loop or args.stream):
+        ap.error("--vo is mutually exclusive with --chunks/"
+                 "--device-loop/--stream")
     if args.device_loop and args.chunks > 1:
         ap.error("--device-loop and --chunks are mutually exclusive")
     if args.stream and (args.chunks > 1 or args.device_loop):
@@ -90,7 +106,35 @@ def main(argv=None) -> int:
         sequentialMode=True,
     )
 
-    if args.chunks > 1:
+    if args.vo:
+        from .sfm.vo import VisualOdometry
+        h, w = frames[0].shape
+        fx = args.fx
+        fy = args.fy if args.fy is not None else fx
+        cx = args.cx if args.cx is not None else w / 2.0
+        cy = args.cy if args.cy is not None else h / 2.0
+        K = np.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
+        vo = VisualOdometry(K, cfg=cfg, n_features=args.features,
+                            kf_every=max(args.kf_every, 1))
+        for f in frames:
+            vo.feed(f)
+        for e in vo.events:
+            print(e, file=sys.stderr)
+        if not vo.initialized:
+            print(json.dumps({"frames": len(frames), "vo": True,
+                              "initialized": False,
+                              "hint": "needs more parallax/frames"}))
+            return 1
+        fi, R, t, c = vo.trajectory()
+        np.savez(os.path.join(args.out, "trajectory.npz"),
+                 keyframe_frames=fi, R=R, t=t, centers=c,
+                 landmarks=vo.map_points(), K=K)
+        summary = {"frames": len(frames), "vo": True,
+                   "keyframes": int(len(fi)),
+                   "landmarks": int(len(vo.map_points())),
+                   "travel_units": round(
+                       float(np.linalg.norm(c[-1] - c[0])), 4)}
+    elif args.chunks > 1:
         from .models.chunked import track_sequence_chunked
         table, _, metrics_per_chunk = track_sequence_chunked(
             frames, cfg=cfg, n_features=args.features,

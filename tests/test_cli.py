@@ -137,3 +137,33 @@ def test_cli_flag_conflicts(pgm_frames, tmp_path):
     with pytest.raises(SystemExit):
         main(pgm_frames + ["--device-loop", "--chunks", "2",
                            "--out", str(tmp_path)])
+
+
+def test_cli_vo_mode(tmp_path):
+    """--vo: trajectory.npz + summary from a rendered 3D scene (the
+    bundled flat synthetic sequence is degenerate for monocular VO)."""
+    from test_vo import K as K_vo
+    from test_vo import _gt_scene, _render
+    Rs, ts, cs, pts = _gt_scene()
+    paths = []
+    for i, f in enumerate(_render(Rs, ts, pts)):
+        p = tmp_path / f"f{i:02d}.pgm"
+        pgm_write(p, f)
+        paths.append(str(p))
+    out = tmp_path / "out"
+    rc = main(paths + ["--vo", "--fx", str(K_vo[0, 0]),
+                       "--kf-every", "2", "--features", "120",
+                       "--out", str(out)])
+    assert rc == 0
+    z = np.load(out / "trajectory.npz")
+    assert z["R"].shape[0] == z["centers"].shape[0] >= 5
+    assert z["landmarks"].shape[0] >= 50
+    # trajectory matches ground truth after similarity alignment
+    from pyfeaturetrack_tpu.sfm.pipeline import ate_rmse_aligned
+    gt = cs[z["keyframe_frames"]]
+    assert ate_rmse_aligned(z["centers"], gt) < 0.05
+
+
+def test_cli_vo_requires_fx():
+    with pytest.raises(SystemExit):
+        main(["x.pgm", "--vo"])
