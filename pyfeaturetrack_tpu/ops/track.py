@@ -261,6 +261,13 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
     # (the reference breaks out of the level loop for those two codes only).
     broken = jnp.zeros_like(live)
 
+    # Opt-in fused Pallas level kernel (whole iteration loop as ONE op —
+    # ops/pallas_lk_fused.py): the big lever on op-count-taxed backends
+    # (ROOFLINE.md §0). Resolved at trace time, like PFT_PALLAS above.
+    import os
+    use_fused = os.environ.get("PFT_PALLAS_LK", "").lower() in (
+        "1", "on", "fused", "true")
+
     for r in range(n_levels - 1, -1, -1):
         xloc, yloc = xloc * s, yloc * s
         # Lanes broken at a coarser level keep their break-level coords:
@@ -269,11 +276,26 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
         xout = jnp.where(broken, xout, xout * s)
         yout = jnp.where(broken, yout, yout * s)
         active = live & ~broken
+        fused_ok = False
+        if use_fused:
+            from .pallas_lk_fused import (fused_level_available,
+                                          fused_track_level)
+            fused_ok = (fused_level_available(pyr1.img[r].shape, cfg)
+                        and getattr(cfg, "image_dtype",
+                                    "float32") == "float32")
         with jax.named_scope(f"pft.lk_level_{r}"):
-            nx, ny, lvl_status, _ = track_feature_level(
-                xloc, yloc, xout, yout,
-                pyr1.img[r], pyr1.gradx[r], pyr1.grady[r],
-                pyr2.img[r], pyr2.gradx[r], pyr2.grady[r], cfg, active)
+            if fused_ok:
+                nx, ny, lvl_status, _ = fused_track_level(
+                    xloc, yloc, xout, yout,
+                    pyr1.img[r], pyr1.gradx[r], pyr1.grady[r],
+                    pyr2.img[r], pyr2.gradx[r], pyr2.grady[r], cfg,
+                    active, interpret=jax.default_backend() == "cpu")
+            else:
+                nx, ny, lvl_status, _ = track_feature_level(
+                    xloc, yloc, xout, yout,
+                    pyr1.img[r], pyr1.gradx[r], pyr1.grady[r],
+                    pyr2.img[r], pyr2.gradx[r], pyr2.grady[r], cfg,
+                    active)
         xout = jnp.where(active, nx, xout)
         yout = jnp.where(active, ny, yout)
         status = jnp.where(active, lvl_status, status)
