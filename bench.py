@@ -136,6 +136,25 @@ def bench_device_trace(h=480, w=640, n_features=1000, n_calls=8):
                     "op-by-op (ROOFLINE.md §0)"}
 
 
+def bench_device_trace_fused(timeout_s=560):
+    """bench_device_trace with the fused Pallas LK level kernel +
+    Pallas pyramid enabled (PFT_PALLAS_LK=1 PFT_PALLAS=1) — run in a
+    subprocess because the env knobs are read at trace time and this
+    process's jit caches already hold the XLA paths. The honest-clock
+    headline for op-count-taxed backends (ops/pallas_lk_fused.py)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, PFT_PALLAS_LK="1", PFT_PALLAS="1")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--device-trace-only"],
+        env=env, capture_output=True, text=True, timeout=timeout_s)
+    if out.returncode != 0:
+        return {"error": (out.stderr or out.stdout).strip()[-400:]}
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def bench_e2e_result(h=480, w=640, n_features=1000, n_frames=12):
     """Time-to-first-result rate: dependent frame-step chain, ONE scalar
     pull at the end. This is what a caller who needs the answers gets on
@@ -513,8 +532,14 @@ def main():
                     help="run every BASELINE config, write BENCH_DETAILS.json")
     ap.add_argument("--scaling", action="store_true",
                     help="also run the multi-device weak-scaling sweep")
+    ap.add_argument("--device-trace-only", action="store_true",
+                    help=argparse.SUPPRESS)  # bench_device_trace_fused
     args = ap.parse_args()
     h, w = map(int, args.size.split("x"))
+
+    if args.device_trace_only:
+        print(json.dumps(bench_device_trace()))
+        return 0
 
     from pyfeaturetrack_tpu.config import create_config
     cfg = create_config()
@@ -631,6 +656,13 @@ def main():
             log(f"device trace failed: {e}")
         details["e2e_result_fps"] = round(bench_e2e_result(), 3)
         log(f"e2e-to-result done: {details['e2e_result_fps']} fps")
+        try:
+            details["device_trace_fused_lk"] = bench_device_trace_fused()
+            log("fused-LK device trace done: "
+                f"{details['device_trace_fused_lk']}")
+        except Exception as e:
+            details["device_trace_fused_lk"] = {"error": str(e)}
+            log(f"fused-LK device trace failed: {e}")
         if args.scaling:
             from pyfeaturetrack_tpu.parallel.scaling import measure_scaling
             sc = measure_scaling()
