@@ -344,6 +344,41 @@ def bench_serving_batched(h=480, w=640, n_features=1000, n_streams=8,
     return n_ticks * n_streams / (time.perf_counter() - t0)
 
 
+def bench_dense_flow(h=480, w=640, n_frames=20, warmup=3):
+    """Dense per-pixel KLT flow throughput (frames/s and Mpixels
+    tracked/s) for the sequential per-frame step: build the new frame's
+    pyramid, dense flow vs the cached previous pyramid."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.flow import dense_flow_pyramids
+    from pyfeaturetrack_tpu.ops.track import build_track_pyramids
+
+    cfg = create_config()
+
+    @jax.jit
+    def frame_step(pyr_prev, img_new):
+        pyr_new = build_track_pyramids(img_new, cfg)
+        return pyr_new, dense_flow_pyramids(pyr_prev, pyr_new, cfg)
+
+    base = _textured(h, w)
+    frames = [jnp.asarray(base[i % 4:i % 4 + h, i % 4:i % 4 + w],
+                          jnp.float32) for i in range(4)]
+    pyr = jax.jit(build_track_pyramids, static_argnames=("cfg",))(
+        frames[0], cfg)
+    for i in range(warmup):
+        pyr2, fl = frame_step(pyr, frames[(i + 1) % 4])
+    jax.block_until_ready(fl)
+
+    t0 = time.perf_counter()
+    cur = pyr
+    for i in range(n_frames):
+        cur, fl = frame_step(cur, frames[(i + 1) % 4])
+    jax.block_until_ready(fl)
+    fps = n_frames / (time.perf_counter() - t0)
+    return fps
+
+
 def bench_two_frame_demo():
     """Config 1: the stock example1 flow (select 100 + track), end to end
     host-to-host, seconds per run."""
@@ -587,6 +622,8 @@ def main():
                 create_config().replace(nPyramidLevels=4, subsampling=2),
                 n_frames=20), n=3)
         log(f"config4 done: {details['config4_1080p_4096feat_4lvl_fps']}")
+        details["dense_flow_480x640_fps"] = _repeat(bench_dense_flow, n=3)
+        log(f"dense flow done: {details['dense_flow_480x640_fps']}")
         details["batched8_streams_aggregate_fps"] = _repeat(
             bench_batched_streams, n=3)
         log(f"batched8 done: {details['batched8_streams_aggregate_fps']}")

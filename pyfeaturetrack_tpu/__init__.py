@@ -52,6 +52,13 @@ from .models import (  # noqa: F401
     track_sequence_chunked,
 )
 from .models.device_sequence import track_sequence_device  # noqa: F401
+from .ops.flow import (  # noqa: F401
+    DenseFlow,
+    compute_dense_flow,
+    dense_flow_pyramids,
+    flow_to_rgb,
+    warp_image,
+)
 from .serving import (  # noqa: F401
     BatchedStreamingTracker,
     StreamingTracker,

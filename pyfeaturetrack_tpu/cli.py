@@ -52,6 +52,10 @@ def main(argv=None) -> int:
                          "overhead)")
     ap.add_argument("--overlays", action="store_true",
                     help="write per-frame PPM overlays")
+    ap.add_argument("--flow", action="store_true",
+                    help="dense optical flow: per-pixel KLT for every "
+                         "consecutive frame pair (flow{i}.ppm wheel "
+                         "images + flow.npz with u/v/status)")
     ap.add_argument("--vo", action="store_true",
                     help="monocular visual odometry: output keyframe "
                          "poses + landmark map (requires --fx)")
@@ -70,6 +74,10 @@ def main(argv=None) -> int:
                  "(lockstep mode advances chunk streams together)")
     if args.vo and args.fx is None:
         ap.error("--vo requires --fx (focal length in pixels)")
+    if args.flow and (args.chunks > 1 or args.device_loop or args.stream
+                      or args.vo):
+        ap.error("--flow is mutually exclusive with --chunks/"
+                 "--device-loop/--stream/--vo")
     if args.vo and (args.chunks > 1 or args.device_loop or args.stream):
         ap.error("--vo is mutually exclusive with --chunks/"
                  "--device-loop/--stream")
@@ -106,7 +114,32 @@ def main(argv=None) -> int:
         sequentialMode=True,
     )
 
-    if args.vo:
+    if args.flow:
+        from .ops.flow import dense_flow_pyramids, flow_to_rgb
+        from .ops.track import build_track_pyramids_jit
+        from .utils.io import ppm_write
+        from .utils.staging import stage_f32
+        us, vs, sts = [], [], []
+        pyr_prev = build_track_pyramids_jit(stage_f32(frames[0]), cfg)
+        for i in range(1, len(frames)):
+            pyr_cur = build_track_pyramids_jit(stage_f32(frames[i]), cfg)
+            fl = dense_flow_pyramids(pyr_prev, pyr_cur, cfg)
+            pyr_prev = pyr_cur
+            u, v, st = (np.asarray(fl.u), np.asarray(fl.v),
+                        np.asarray(fl.status))
+            us.append(u)
+            vs.append(v)
+            sts.append(st)
+            if args.overlays:
+                ppm_write(os.path.join(args.out, f"flow{i}.ppm"),
+                          flow_to_rgb(u, v))
+        np.savez(os.path.join(args.out, "flow.npz"),
+                 u=np.stack(us), v=np.stack(vs), status=np.stack(sts))
+        tracked = float(np.mean([(s == 0).mean() for s in sts]))
+        summary = {"frames": len(frames), "flow": True,
+                   "pairs": len(us),
+                   "mean_tracked_fraction": round(tracked, 4)}
+    elif args.vo:
         from .sfm.vo import VisualOdometry
         h, w = frames[0].shape
         fx = args.fx

@@ -128,7 +128,26 @@ def test_cli_stream_matches_device_loop(pgm_frames, tmp_path, capsys):
                                atol=1e-4)
 
 
+def test_cli_flow_mode(pgm_frames, tmp_path, capsys):
+    rc = main(pgm_frames[:3] + ["--flow", "--overlays",
+                                "--out", str(tmp_path)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["flow"] is True and summary["pairs"] == 2
+    assert summary["mean_tracked_fraction"] > 0.3
+    with np.load(tmp_path / "flow.npz") as z:
+        u, v, st = z["u"], z["v"], z["status"]
+    assert u.shape == (2, 96, 128) and st.dtype == np.int32
+    # content drifts by (+0.8, -0.4) per frame -> flow ~(+.8, -.4)
+    m = st[0] == 0
+    assert abs(np.median(u[0][m]) - 0.8) < 0.1
+    assert abs(np.median(v[0][m]) + 0.4) < 0.1
+    assert (tmp_path / "flow1.ppm").exists()
+
+
 def test_cli_flag_conflicts(pgm_frames, tmp_path):
+    with pytest.raises(SystemExit):
+        main(pgm_frames + ["--flow", "--vo", "--out", str(tmp_path)])
     with pytest.raises(SystemExit):
         main(pgm_frames + ["--stream", "--device-loop",
                            "--out", str(tmp_path)])
