@@ -115,6 +115,40 @@ def _full_pair_batch(imgs1, imgs2, x, y, val, cfg):
     return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(imgs1, imgs2, x, y, val)
 
 
+PIXROW_AXIS = "pixrow"
+
+
+def dense_flow_sharded(img1, img2, cfg, mesh: Mesh | None = None):
+    """Dense per-pixel flow for ONE frame pair with the pixel-row axis
+    sharded over the mesh (pixels are features — the feature-axis design
+    applies unchanged: images replicate, per-pixel state shards, the
+    gathers partition with no collectives). Output (u, v, status) maps
+    are row-sharded; image heights at every pyramid level must divide
+    the device count.
+    """
+    from ..ops.flow import DenseFlow, dense_flow_pyramids
+    from ..ops.track import build_track_pyramids
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), (PIXROW_AXIS,))
+    flat = Mesh(mesh.devices.reshape(-1), (PIXROW_AXIS,))
+    row_sh = NamedSharding(flat, P(PIXROW_AXIS, None))
+
+    @functools.partial(
+        jax.jit, static_argnames=("cfg",),
+        out_shardings=DenseFlow(u=row_sh, v=row_sh, status=row_sh))
+    def _flow(i1, i2, cfg):
+        p1 = build_track_pyramids(i1, cfg)
+        p2 = build_track_pyramids(i2, cfg)
+        return dense_flow_pyramids.__wrapped__(p1, p2, cfg)
+
+    rep = NamedSharding(flat, P())
+    with flat:
+        return _flow(jax.device_put(jnp.asarray(img1, jnp.float32), rep),
+                     jax.device_put(jnp.asarray(img2, jnp.float32), rep),
+                     cfg)
+
+
 def multichip_track_step(n_devices: int, cfg=None,
                          image_shape=(64, 96), n_features: int = 64):
     """Compile + run ONE sharded tracking step on tiny shapes.

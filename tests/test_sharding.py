@@ -106,6 +106,34 @@ def test_full_pipeline_sharded_equals_unsharded(mesh_shape):
     np.testing.assert_allclose(np.asarray(sy), uy, atol=1e-4)
 
 
+def test_dense_flow_sharded_equals_unsharded():
+    """Pixels are features: one frame pair's flow with the pixel-row
+    axis sharded over 8 devices == the single-device result exactly."""
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.flow import dense_flow_pyramids
+    from pyfeaturetrack_tpu.parallel.sharding import dense_flow_sharded
+
+    cfg = create_config()
+    base = make_textured_image(64, 128, seed=11)
+    img1 = base
+    img2 = shift_image_bilinear(base, 1.0, -0.5)
+
+    got = dense_flow_sharded(img1, img2, cfg)
+
+    p1 = build_track_pyramids(jnp.asarray(img1, jnp.float32), cfg)
+    p2 = build_track_pyramids(jnp.asarray(img2, jnp.float32), cfg)
+    want = dense_flow_pyramids(p1, p2, cfg)
+
+    np.testing.assert_array_equal(np.asarray(got.status),
+                                  np.asarray(want.status))
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.v), np.asarray(want.v),
+                               atol=1e-5)
+    # the result really is distributed
+    assert len(got.u.sharding.device_set) == 8
+
+
 def test_multichip_track_step_runs():
     nx, ny, nval = multichip_track_step(8)
     assert np.asarray(nval).shape == (4, 64)
