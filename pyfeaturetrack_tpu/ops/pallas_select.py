@@ -1,0 +1,194 @@
+"""Pallas greedy min-distance suppression: the host scan as ONE kernel.
+
+Reference parity: selectGoodFeatures.py -> _enforceMinimumDistance (the
+greedy best-first acceptance with a mindist occupancy map). The XLA
+device path (ops/select_device.suppress_and_fill) recomputes that greedy
+as a lexicographic-MIS fixpoint over a [K, K] conflict matrix — ~10
+rounds of 16 MB boolean relaxations. This kernel instead runs the
+REFERENCE'S OWN algorithm directly: a serial scan over the
+priority-ordered candidates against a VMEM-resident occupancy grid
+(check the candidate's cell, accept, stamp the (2·(mindist-1)+1)-square
+box), producing the identical acceptance sequence in one op with O(K)
+work instead of O(K² · rounds).
+
+Why it exists (ROOFLINE.md §0): after the fused LK kernel, the refill
+branch became the dominant per-op-taxed stage of the device-resident
+config-2 step (~11 of ~25 ms honest clock).
+
+MEASURED VERDICT (2026-08-18, v5e via relay, honest profiler clock):
+standalone the kernel is exactly what was predicted — bit-equal to the
+host greedy and the MIS fixpoint, ONE op, 0.53 ms vs the fixpoint's
+0.29 ms / 89 ops at K=2048 (and 1.05 ms inside a lax.cond). But
+INTEGRATED into the device-resident sequence step it is a net loss on
+this rig: swapping the fixpoint for the custom call changes how XLA
+fuses the surrounding eig-map convolutions (six ~12 ms materialized
+conv/fusion ops appear where the fixpoint arm had three ~2.8 ms ones)
+and the step goes 25.5 -> 148 ms. Same A/B, identical live-feature
+dynamics, only the suppression impl differs. So: OPT-IN
+(PFT_PALLAS_SELECT=1), default stays the fixpoint — the kernel is kept
+as the measured one-op form of the reference's greedy (exactness
+tested in tests/test_pallas_select.py) and as the right shape for
+backends where custom calls don't perturb fusion.
+
+Mosaic shape notes: the occupancy grid lives in VMEM with a (64-row,
+384-lane) guard margin so box stamps never need clamping (cell (y, x)
+maps to grid[y + 64, x + 128]); cell reads and box read-modify-writes go
+through 8/128-aligned blocks with one-hot / iota-range masks (dynamic
+slices must be provably aligned — see ops/pallas_lk.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_GUARD = 64    # top margin (rows); also bottom via padding
+_COL_GUARD = 128   # left margin (lanes); right margin via padding
+_COLS = 256        # lane width of the aligned stamp block
+_VMEM_GRID_BUDGET = 12 * 1024 * 1024
+_MAX_RADIUS = 48   # box stamps stay inside the guard margins
+
+
+def pallas_suppress_available(shape, mindist: int) -> bool:
+    nrows, ncols = shape
+    d = mindist - 1
+    if d > _MAX_RADIUS or d >= _COL_GUARD or 2 * d + 1 > _COLS - 128:
+        return False
+    hp, wp = _grid_dims(nrows, ncols, d)
+    return hp * wp * 4 <= _VMEM_GRID_BUDGET
+
+
+def _rows_blk(d: int) -> int:
+    return 8 * ((2 * d + 1 + 7) // 8) + 8
+
+
+def _grid_dims(nrows: int, ncols: int, d: int) -> tuple[int, int]:
+    hp = 8 * (-(-(nrows + _ROW_GUARD) // 8)) + _rows_blk(d) + 8
+    wp = 128 * (-(-(ncols + _COL_GUARD) // 128)) + _COLS + 128
+    return hp, wp
+
+
+def _suppress_kernel(xs_ref, ys_ref, valid_ref, out_ref, grid_ref, *,
+                     d: int):
+    k = xs_ref.shape[0]
+    rb = _rows_blk(d)
+    grid_ref[...] = jnp.zeros(grid_ref.shape, grid_ref.dtype)
+
+    def one(j, carry):
+        x = xs_ref[j] + _COL_GUARD
+        y = ys_ref[j] + _ROW_GUARD
+
+        # cell read: aligned (8, 128) block + one-hot row/col dots
+        row_al = pl.multiple_of(8 * (y // 8), 8)
+        col_al = pl.multiple_of(128 * (x // 128), 128)
+        block = grid_ref[pl.ds(row_al, 8), pl.ds(col_al, 128)]
+        rsel = (lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+                == y - row_al).astype(jnp.float32)
+        csel = (lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                == x - col_al).astype(jnp.float32)
+        cell = jnp.dot(jnp.dot(rsel, block,
+                               preferred_element_type=jnp.float32),
+                       csel, preferred_element_type=jnp.float32)[0, 0]
+
+        ok = (valid_ref[j] > 0) & (cell == 0.0)
+        out_ref[j] = jnp.where(ok, 1, 0)  # SMEM: scalar stores allowed
+
+        @pl.when(ok & (d >= 0))
+        def _():
+            # stamp the (2d+1)-square box via an aligned RMW block
+            r0 = y - d
+            c0 = x - d
+            row_s = pl.multiple_of(8 * (r0 // 8), 8)
+            col_s = pl.multiple_of(128 * (c0 // 128), 128)
+            blk = grid_ref[pl.ds(row_s, rb), pl.ds(col_s, _COLS)]
+            ri = lax.broadcasted_iota(jnp.int32, (rb, _COLS), 0) + row_s
+            ci = lax.broadcasted_iota(jnp.int32, (rb, _COLS), 1) + col_s
+            mask = ((ri >= r0) & (ri <= r0 + 2 * d) &
+                    (ci >= c0) & (ci <= c0 + 2 * d))
+            grid_ref[pl.ds(row_s, rb), pl.ds(col_s, _COLS)] = (
+                jnp.maximum(blk, mask.astype(jnp.float32)))
+
+        return carry
+
+    lax.fori_loop(0, k, one, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "mindist",
+                                             "interpret"))
+def greedy_suppress_pallas(cand_x: jax.Array, cand_y: jax.Array,
+                           valid: jax.Array, *, shape: tuple[int, int],
+                           mindist: int, interpret: bool = False
+                           ) -> jax.Array:
+    """Greedy mindist acceptance flags for priority-ordered candidates.
+
+    Equivalent to the accepted-set of select_device.suppress_and_fill
+    (tested bit-equal). ``shape`` is the image (nrows, ncols); invalid
+    lanes are rejected and never stamp.
+    """
+    nrows, ncols = shape
+    d = mindist - 1
+    hp, wp = _grid_dims(nrows, ncols, max(d, 0))
+    kernel = functools.partial(_suppress_kernel, d=d)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((cand_x.shape[0],), jnp.int32),
+        in_specs=[smem, smem, smem],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((hp, wp), jnp.float32)],
+        interpret=interpret,
+    )(cand_x.astype(jnp.int32), cand_y.astype(jnp.int32),
+      valid.astype(jnp.int32))
+    return out > 0
+
+
+def bench_pallas_select(h=480, w=640, k=2048, iters=20):
+    """Race the Pallas greedy against the MIS fixpoint on the current
+    backend (dispatch clock; use utils.traceview for the honest one)."""
+    import time
+
+    from .select_device import suppress_and_fill
+
+    rng = np.random.default_rng(0)
+    cx = jnp.asarray(rng.integers(8, w - 8, k), jnp.int32)
+    cy = jnp.asarray(rng.integers(8, h - 8, k), jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=k) > 0.05)
+    n = 1000
+    x = jnp.full((n,), -1.0, jnp.float32)
+    y = jnp.full((n,), -1.0, jnp.float32)
+    val = jnp.full((n,), -1, jnp.int32)
+    free = jnp.ones((n,), bool)
+    cval = jnp.asarray(np.sort(rng.integers(1, 1 << 20, k))[::-1].copy(),
+                       jnp.int32)
+
+    pall = jax.jit(functools.partial(greedy_suppress_pallas,
+                                     shape=(h, w), mindist=10))
+    mis = jax.jit(functools.partial(suppress_and_fill, mindist=10))
+
+    out = {}
+    r = pall(cx, cy, valid)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = pall(cx, cy, valid)
+    jax.block_until_ready(r)
+    out["pallas_s"] = (time.perf_counter() - t0) / iters
+
+    r2 = mis(cx, cy, cval, valid, free, x, y, val)
+    jax.block_until_ready(r2)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r2 = mis(cx, cy, cval, valid, free, x, y, val)
+    jax.block_until_ready(r2)
+    out["mis_s"] = (time.perf_counter() - t0) / iters
+    return out
+
+
+if __name__ == "__main__":
+    print(bench_pallas_select())

@@ -99,8 +99,17 @@ def suppress_and_fill(cand_x: jax.Array, cand_y: jax.Array,
 
     init = (jnp.zeros((k,), bool), ~valid, jnp.asarray(True))
     accepted, _, _ = lax.while_loop(lambda s: s[2], body, init)
+    return fill_slots(accepted, cand_x, cand_y, cand_val, free, x, y,
+                      val)
 
-    # Slot fill: r-th accepted candidate -> r-th free slot, in order.
+
+def fill_slots(accepted: jax.Array, cand_x: jax.Array, cand_y: jax.Array,
+               cand_val: jax.Array, free: jax.Array, x: jax.Array,
+               y: jax.Array, val: jax.Array):
+    """Assign the r-th accepted candidate to the r-th free slot, in
+    order (shared by the MIS fixpoint and the Pallas greedy kernel)."""
+    k = cand_x.shape[0]
+    ii = jnp.arange(k)
     acc_rank = jnp.cumsum(accepted) - 1
     n_acc = jnp.sum(accepted)
     cand_for_rank = jnp.zeros((k,), jnp.int32).at[
@@ -194,6 +203,22 @@ def select_features_from_eig_device(eig: jax.Array, x: jax.Array,
     cand_y = (bordery + (top_idx // nx) * step).astype(jnp.int32)
     cand_x = (borderx + (top_idx % nx) * step).astype(jnp.int32)
     valid = top_val >= min_eig
+
+    # Opt-in Pallas greedy (ONE op instead of the [K, K] fixpoint —
+    # the op-count lever, ROOFLINE.md §0); trace-time env read like
+    # the other PFT_PALLAS_* knobs.
+    import os
+    if os.environ.get("PFT_PALLAS_SELECT", "").lower() in (
+            "1", "on", "true"):
+        from .pallas_select import (greedy_suppress_pallas,
+                                    pallas_suppress_available)
+        if pallas_suppress_available(eig.shape, int(cfg.mindist)):
+            accepted = greedy_suppress_pallas(
+                cand_x, cand_y, valid, shape=eig.shape,
+                mindist=int(cfg.mindist),
+                interpret=jax.default_backend() == "cpu")
+            return fill_slots(accepted, cand_x, cand_y, top_val, free,
+                              x, y, val)
 
     nxx, nyy, nval, filled, exhausted = suppress_and_fill(
         cand_x, cand_y, top_val, valid, free, x, y, val,
