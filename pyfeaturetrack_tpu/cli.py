@@ -54,8 +54,9 @@ def main(argv=None) -> int:
                     help="write per-frame PPM overlays")
     ap.add_argument("--flow", action="store_true",
                     help="dense optical flow: per-pixel KLT for every "
-                         "consecutive frame pair (flow{i}.ppm wheel "
-                         "images + flow.npz with u/v/status)")
+                         "consecutive frame pair -> flow.npz with "
+                         "u/v/status (+ flow{i}.ppm wheel images with "
+                         "--overlays)")
     ap.add_argument("--vo", action="store_true",
                     help="monocular visual odometry: output keyframe "
                          "poses + landmark map (requires --fx)")
@@ -78,6 +79,8 @@ def main(argv=None) -> int:
                       or args.vo):
         ap.error("--flow is mutually exclusive with --chunks/"
                  "--device-loop/--stream/--vo")
+    if args.flow and len(args.frames) < 2:
+        ap.error("--flow needs at least two frames")
     if args.vo and (args.chunks > 1 or args.device_loop or args.stream):
         ap.error("--vo is mutually exclusive with --chunks/"
                  "--device-loop/--stream")
@@ -119,11 +122,13 @@ def main(argv=None) -> int:
         from .ops.track import build_track_pyramids_jit
         from .utils.io import ppm_write
         from .utils.staging import stage_f32
+        fcfg = cfg.validated_window()  # odd-window clamp, like track
         us, vs, sts = [], [], []
-        pyr_prev = build_track_pyramids_jit(stage_f32(frames[0]), cfg)
+        pyr_prev = build_track_pyramids_jit(stage_f32(frames[0]), fcfg)
         for i in range(1, len(frames)):
-            pyr_cur = build_track_pyramids_jit(stage_f32(frames[i]), cfg)
-            fl = dense_flow_pyramids(pyr_prev, pyr_cur, cfg)
+            pyr_cur = build_track_pyramids_jit(stage_f32(frames[i]),
+                                               fcfg)
+            fl = dense_flow_pyramids(pyr_prev, pyr_cur, fcfg)
             pyr_prev = pyr_cur
             u, v, st = (np.asarray(fl.u), np.asarray(fl.v),
                         np.asarray(fl.status))

@@ -112,10 +112,12 @@ def _fused_level_kernel(x1_ref, y1_ref, x2_ref, y2_ref, act_ref,
         yt = jnp.floor(yf).astype(jnp.int32) - hh
         ax = xf - hw - xt.astype(jnp.float32)
         ay = yf - hh - yt.astype(jnp.float32)
-        # clamp for lanes whose fetch is masked out later (active lanes
-        # are bounds-checked; clamping never changes their values)
-        xt = jnp.clip(xt, 0, ncols - ww - 2)
-        yt = jnp.clip(yt, 0, nrows - wh - 2)
+        # clamp for lanes whose fetch is masked out later — SAME bound
+        # as ops/interp.patch_indices (origin + patch of ww+1 cols must
+        # fit: xt <= ncols - ww - 1); a tighter clamp would shift an
+        # in-bounds edge-band window by one texel
+        xt = jnp.clip(xt, 0, ncols - ww - 1)
+        yt = jnp.clip(yt, 0, nrows - wh - 1)
         row_al = pl.multiple_of(8 * (yt // 8), 8)
         dr = yt - row_al
         col_al = pl.multiple_of(128 * (xt // 128), 128)

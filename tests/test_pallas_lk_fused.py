@@ -83,6 +83,37 @@ def test_fused_matches_xla_near_border_oob():
     assert (rs[act] == -4).any()  # KLT_OOB exercised
 
 
+def test_fused_matches_xla_right_bottom_edge_band():
+    """Features in the LAST in-bounds window position (x close to
+    ncols-hw-1): the patch-origin clamp must match interp.patch_indices
+    or the fetched window shifts by one texel (regression: the kernel
+    clamped one pixel too tight and mis-tracked the right/bottom band).
+    """
+    cfg = create_config()
+    h, w = 120, 160
+    img1, img2 = _level_inputs(h, w, shift=(1, 1), seed=12)
+    lvl = _prep(cfg, img1, img2)
+    hw = cfg.window_width // 2
+    rng = np.random.default_rng(13)
+    n = 40
+    # hug the high-side bounds_ok limit on x, y, and both
+    x = np.concatenate([rng.uniform(w - hw - 2.0, w - hw - 1.01, n // 2),
+                        rng.uniform(10, 20, n - n // 2)])
+    y = np.concatenate([rng.uniform(10, 20, n // 2),
+                        rng.uniform(h - hw - 2.0, h - hw - 1.01,
+                                    n - n // 2)])
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    act = jnp.ones((n,), bool)
+    fx, fy, fs, fi = fused_track_level(x, y, x, y, *lvl, cfg, act,
+                                       interpret=True)
+    rx, ry, rs, ri = track_feature_level(x, y, x, y, *lvl, cfg, act)
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(rs))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(rx), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fy), np.asarray(ry), atol=1e-3)
+
+
 def test_fused_matches_xla_small_det():
     # flat image -> zero gradients -> SMALL_DET everywhere
     cfg = create_config()
