@@ -22,6 +22,7 @@ from .config import (  # noqa: F401
 )
 from .errors import KLTError, KLTSetVerbosity, KLTWarning  # noqa: F401
 from .features import (  # noqa: F401
+    KLT_FB_INCONSISTENT,
     KLT_LARGE_RESIDUE,
     KLT_MAX_ITERATIONS,
     KLT_NOT_FOUND,
@@ -55,10 +56,13 @@ from .models.device_sequence import track_sequence_device  # noqa: F401
 from .ops.flow import (  # noqa: F401
     DenseFlow,
     compute_dense_flow,
+    dense_flow_fb,
     dense_flow_pyramids,
+    flow_consistency,
     flow_to_rgb,
     warp_image,
 )
+from .ops.track import track_features_pyramids_fb  # noqa: F401
 from .serving import (  # noqa: F401
     BatchedStreamingTracker,
     StreamingTracker,

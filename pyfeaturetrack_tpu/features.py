@@ -25,6 +25,9 @@ KLT_SMALL_DET = -2
 KLT_MAX_ITERATIONS = -3
 KLT_OOB = -4
 KLT_LARGE_RESIDUE = -5
+# Beyond-reference extension (the reference stops at -5): forward-
+# backward consistency rejection (ops/track.track_features_pyramids_fb).
+KLT_FB_INCONSISTENT = -6
 
 STATUS_NAMES = {
     KLT_TRACKED: "tracked",
@@ -33,6 +36,7 @@ STATUS_NAMES = {
     KLT_MAX_ITERATIONS: "max_iterations",
     KLT_OOB: "oob",
     KLT_LARGE_RESIDUE: "large_residue",
+    KLT_FB_INCONSISTENT: "fb_inconsistent",
 }
 
 

@@ -129,6 +129,45 @@ def dense_flow_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
     return DenseFlow(u=u, v=v, status=status)
 
 
+def flow_consistency(fwd: DenseFlow, bwd: DenseFlow,
+                     max_err: float = 0.5
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Forward-backward flow consistency (occlusion detection).
+
+    Round-trip error per pixel: e(p) = |flow_fwd(p) + flow_bwd(p +
+    flow_fwd(p))| — near zero where both directions see the same
+    surface, large where the pixel is occluded or mistracked. Returns
+    (err [H, W], valid [H, W] bool); valid requires the forward status
+    TRACKED, a TRACKED backward status at the landing pixel (nearest
+    neighbor), and err <= max_err.
+    """
+    ub = warp_image(bwd.u, fwd.u, fwd.v)
+    vb = warp_image(bwd.v, fwd.u, fwd.v)
+    err = jnp.hypot(fwd.u + ub, fwd.v + vb)
+    h, w = fwd.u.shape
+    lx = jnp.clip(jnp.round(
+        jnp.arange(w, dtype=fwd.u.dtype)[None, :] + fwd.u), 0,
+        w - 1).astype(jnp.int32)
+    ly = jnp.clip(jnp.round(
+        jnp.arange(h, dtype=fwd.v.dtype)[:, None] + fwd.v), 0,
+        h - 1).astype(jnp.int32)
+    bwd_ok = bwd.status[ly, lx] == 0
+    valid = (fwd.status == 0) & bwd_ok & (err <= max_err)
+    return err, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_err"))
+def dense_flow_fb(pyr1: TrackPyramids, pyr2: TrackPyramids, cfg,
+                  max_err: float = 0.5
+                  ) -> tuple[DenseFlow, jax.Array, jax.Array]:
+    """Dense flow with the forward-backward occlusion gate: returns
+    (forward DenseFlow, round-trip err map, valid mask)."""
+    fwd = dense_flow_pyramids.__wrapped__(pyr1, pyr2, cfg)
+    bwd = dense_flow_pyramids.__wrapped__(pyr2, pyr1, cfg)
+    err, valid = flow_consistency(fwd, bwd, max_err=max_err)
+    return fwd, err, valid
+
+
 def compute_dense_flow(img1, img2, cfg=None) -> DenseFlow:
     """High-level entry: dense flow from frame 1 to frame 2 (images in
     any array form; uint8 staged host-side per the staging rule)."""

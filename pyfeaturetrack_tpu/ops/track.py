@@ -316,6 +316,39 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
     return new_x, new_y, new_val
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",
+                                              "fb_max_displacement"))
+def track_features_pyramids_fb(pyr1: TrackPyramids, pyr2: TrackPyramids,
+                               x: jax.Array, y: jax.Array,
+                               val: jax.Array, cfg,
+                               fb_max_displacement: float = 0.5
+                               ) -> tuple[jax.Array, jax.Array,
+                                          jax.Array, jax.Array]:
+    """Forward-backward consistency tracking (beyond-reference quality
+    gate): track 1->2, re-track the results 2->1, and reject lanes whose
+    round trip misses the start by more than ``fb_max_displacement`` px
+    (or whose backward track fails). Rejected lanes get
+    KLT_FB_INCONSISTENT and (-1, -1), like any other lost status.
+
+    Returns (x, y, val, fb_err) — fb_err is the round-trip distance per
+    lane (inf where the forward or backward track failed), useful as a
+    per-track quality score.
+    """
+    from ..features import KLT_FB_INCONSISTENT
+    nx, ny, nval = track_features_pyramids(pyr1, pyr2, x, y, val, cfg)
+    # backward pass: lanes lost forward carry nval < 0 -> inactive
+    bx, by, bval = track_features_pyramids(pyr2, pyr1, nx, ny, nval, cfg)
+    fwd_ok = nval == KLT_TRACKED
+    bwd_ok = bval == KLT_TRACKED
+    err = jnp.hypot(bx - x, by - y)
+    err = jnp.where(fwd_ok & bwd_ok, err, jnp.inf)
+    bad = fwd_ok & (err > fb_max_displacement)
+    out_val = jnp.where(bad, KLT_FB_INCONSISTENT, nval)
+    out_x = jnp.where(bad, -1.0, nx)
+    out_y = jnp.where(bad, -1.0, ny)
+    return out_x, out_y, out_val, err
+
+
 def track_features(img1, img2, fl, cfg, pyr1: TrackPyramids | None = None):
     """High-level tracking entry: images in, updated FeatureState out.
 
