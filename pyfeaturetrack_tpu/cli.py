@@ -30,6 +30,11 @@ def main(argv=None) -> int:
                     help="affineConsistencyCheck mode")
     ap.add_argument("--lighting-insensitive", action="store_true",
                     help="gain/bias-normalized residuals in LK")
+    ap.add_argument("--fb-check", type=float, default=None,
+                    metavar="PX",
+                    help="forward-backward consistency gate: reject "
+                         "tracks whose round trip misses the start by "
+                         "more than PX pixels (default host loop only)")
     ap.add_argument("--mindist", type=int, default=10)
     ap.add_argument("--window", type=int, default=7)
     ap.add_argument("--search-range", type=int, default=15)
@@ -81,6 +86,10 @@ def main(argv=None) -> int:
                  "--device-loop/--stream/--vo")
     if args.flow and len(args.frames) < 2:
         ap.error("--flow needs at least two frames")
+    if args.fb_check is not None and (
+            args.flow or args.vo or args.stream or args.device_loop
+            or args.chunks > 1):
+        ap.error("--fb-check applies to the default host loop only")
     if args.vo and (args.chunks > 1 or args.device_loop or args.stream):
         ap.error("--vo is mutually exclusive with --chunks/"
                  "--device-loop/--stream")
@@ -246,7 +255,8 @@ def main(argv=None) -> int:
 
         ft, metrics = track_sequence(
             frames, cfg=cfg, n_features=args.features,
-            replace_lost=not args.no_replace, on_frame=on_frame)
+            replace_lost=not args.no_replace, on_frame=on_frame,
+            fb_max_displacement=args.fb_check)
         write_feature_table(ft, os.path.join(args.out, "features.txt"),
                             fmt="%5.1f")
         write_feature_table(ft, os.path.join(args.out, "features.ft"))

@@ -67,11 +67,15 @@ class SequenceTracker:
     """Streaming sequence tracker with explicit functional state."""
 
     def __init__(self, cfg: Optional[TrackerConfig] = None,
-                 n_features: int = 150, replace_lost: bool = True):
+                 n_features: int = 150, replace_lost: bool = True,
+                 fb_max_displacement: Optional[float] = None):
         self.cfg = (cfg if cfg is not None
                     else create_config()).replace(sequentialMode=True)
         self.n_features = n_features
         self.replace_lost = replace_lost
+        # beyond-reference: forward-backward gate (ops/track.fb_reject)
+        # applied after each tracked frame when set
+        self.fb_max_displacement = fb_max_displacement
         self.fl: Optional[FeatureState] = None
         self._cache = None
         self.metrics: list[dict] = []
@@ -97,9 +101,18 @@ class SequenceTracker:
         # Route through the full KLTTrackFeatures so the affine
         # consistency stage runs when cfg.affineConsistencyCheck >= 0.
         from .tracker import KLTTrackFeatures
+        fl_before, cache_before = self.fl, self._cache
         self.fl, self._cache = KLTTrackFeatures(
             self.cfg, self._prev, frame, self.fl,
             pyramid_last=self._cache)
+        if self.fb_max_displacement is not None:
+            from ..ops.track import fb_reject
+            nx, ny, nval, _ = fb_reject(
+                cache_before, self._cache, fl_before.x, fl_before.y,
+                self.fl.x, self.fl.y, self.fl.val,
+                self.cfg.validated_window(),
+                fb_max_displacement=float(self.fb_max_displacement))
+            self.fl = self.fl._replace(x=nx, y=ny, val=nval)
         if self.replace_lost:
             self.fl = replace_lost_features(frame, self.fl, self.cfg)
         elapsed = time.perf_counter() - t0
@@ -176,7 +189,8 @@ def track_sequence(frames: Iterable[np.ndarray],
                    cfg: Optional[TrackerConfig] = None,
                    n_features: int = 150,
                    replace_lost: bool = True,
-                   on_frame: Optional[Callable[[int, FeatureState], None]] = None
+                   on_frame: Optional[Callable[[int, FeatureState], None]] = None,
+                   fb_max_displacement: Optional[float] = None
                    ) -> tuple[FeatureTable, list[dict]]:
     """Track through a whole sequence, returning the feature table.
 
@@ -185,7 +199,8 @@ def track_sequence(frames: Iterable[np.ndarray],
     """
     frames = list(frames)
     st = SequenceTracker(cfg, n_features=n_features,
-                         replace_lost=replace_lost)
+                         replace_lost=replace_lost,
+                         fb_max_displacement=fb_max_displacement)
     ft = create_feature_table(len(frames), n_features)
     for i, frame in enumerate(frames):
         fl = st.step(frame)

@@ -318,6 +318,34 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
 
 @functools.partial(jax.jit, static_argnames=("cfg",
                                               "fb_max_displacement"))
+def fb_reject(pyr1: TrackPyramids, pyr2: TrackPyramids,
+              x0: jax.Array, y0: jax.Array, nx: jax.Array,
+              ny: jax.Array, nval: jax.Array, cfg,
+              fb_max_displacement: float = 0.5
+              ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Backward half of the forward-backward gate: given a completed
+    forward track (x0, y0) -> (nx, ny, nval), re-track 2->1 and reject
+    lanes whose round trip misses (x0, y0) by more than
+    ``fb_max_displacement`` px (or whose backward track fails). Lets
+    drivers that already ran the forward pass (e.g. through the affine
+    stage) add the gate without re-tracking.
+    """
+    from ..features import KLT_FB_INCONSISTENT
+    # backward pass: lanes lost forward carry nval < 0 -> inactive
+    bx, by, bval = track_features_pyramids(pyr2, pyr1, nx, ny, nval, cfg)
+    fwd_ok = nval == KLT_TRACKED
+    bwd_ok = bval == KLT_TRACKED
+    err = jnp.hypot(bx - x0, by - y0)
+    err = jnp.where(fwd_ok & bwd_ok, err, jnp.inf)
+    bad = fwd_ok & (err > fb_max_displacement)
+    out_val = jnp.where(bad, KLT_FB_INCONSISTENT, nval)
+    out_x = jnp.where(bad, -1.0, nx)
+    out_y = jnp.where(bad, -1.0, ny)
+    return out_x, out_y, out_val, err
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",
+                                              "fb_max_displacement"))
 def track_features_pyramids_fb(pyr1: TrackPyramids, pyr2: TrackPyramids,
                                x: jax.Array, y: jax.Array,
                                val: jax.Array, cfg,
@@ -334,19 +362,9 @@ def track_features_pyramids_fb(pyr1: TrackPyramids, pyr2: TrackPyramids,
     lane (inf where the forward or backward track failed), useful as a
     per-track quality score.
     """
-    from ..features import KLT_FB_INCONSISTENT
     nx, ny, nval = track_features_pyramids(pyr1, pyr2, x, y, val, cfg)
-    # backward pass: lanes lost forward carry nval < 0 -> inactive
-    bx, by, bval = track_features_pyramids(pyr2, pyr1, nx, ny, nval, cfg)
-    fwd_ok = nval == KLT_TRACKED
-    bwd_ok = bval == KLT_TRACKED
-    err = jnp.hypot(bx - x, by - y)
-    err = jnp.where(fwd_ok & bwd_ok, err, jnp.inf)
-    bad = fwd_ok & (err > fb_max_displacement)
-    out_val = jnp.where(bad, KLT_FB_INCONSISTENT, nval)
-    out_x = jnp.where(bad, -1.0, nx)
-    out_y = jnp.where(bad, -1.0, ny)
-    return out_x, out_y, out_val, err
+    return fb_reject(pyr1, pyr2, x, y, nx, ny, nval, cfg,
+                     fb_max_displacement=fb_max_displacement)
 
 
 def track_features(img1, img2, fl, cfg, pyr1: TrackPyramids | None = None):

@@ -79,6 +79,36 @@ def test_fb_occlusion_flags_covered_features():
     assert (v[outside] == 0).mean() > 0.6
 
 
+def test_sequence_tracker_fb_gate():
+    """track_sequence(fb_max_displacement=...) keeps clean sequences
+    intact and flags occluded tracks (which refill next frame)."""
+    from pyfeaturetrack_tpu.models.sequence import track_sequence
+
+    cfg = create_config()
+    h, w = 96, 128
+    base = make_textured_image(h, w, seed=30)
+    frames = [shift_image_bilinear(base, 0.8 * i, -0.4 * i)
+              for i in range(4)]
+    ft, metrics = track_sequence(frames, cfg=cfg, n_features=30,
+                                 replace_lost=True,
+                                 fb_max_displacement=0.5)
+    v = np.asarray(ft.val)
+    assert (v[-1] >= 0).sum() >= 25  # clean sequence keeps its tracks
+
+    occluded = list(frames)
+    occluded[2] = occluded[2].copy()
+    occluded[2][20:76, 30:100] = make_textured_image(56, 70, seed=31)
+    ft2, m2 = track_sequence(occluded, cfg=cfg, n_features=30,
+                             replace_lost=False,
+                             fb_max_displacement=0.5)
+    v2 = np.asarray(ft2.val)
+    assert (v2[2] == KLT_FB_INCONSISTENT).any()  # gate fired
+    # gate makes the survivor set no larger than the ungated run's
+    ft3, _ = track_sequence(occluded, cfg=cfg, n_features=30,
+                            replace_lost=False)
+    assert (v2[2] >= 0).sum() <= (np.asarray(ft3.val)[2] >= 0).sum()
+
+
 def test_dense_flow_fb_occlusion_mask():
     cfg = create_config()
     h, w = 96, 128

@@ -60,6 +60,43 @@ def test_flow_matches_oracle():
                                atol=2e-2)
 
 
+import pytest
+
+
+@pytest.mark.parametrize("cfg_kw", [
+    dict(nPyramidLevels=3, subsampling=2),
+    dict(window_width=9, window_height=9),
+    dict(max_iterations=4, min_displacement=0.05),
+])
+def test_flow_matches_oracle_config_matrix(cfg_kw):
+    cfg = create_config().replace(**cfg_kw)
+    img1, img2 = _pair(seed=14)
+    p1, p2 = _pyramids(img1, img2, cfg)
+    got = dense_flow_pyramids(p1, p2, cfg)
+    lvl = lambda t: [np.asarray(a, np.float64) for a in t]  # noqa: E731
+    ou, ov, ost = flow_oracle.dense_flow(
+        lvl(p1.img), lvl(p1.gradx), lvl(p1.grady),
+        lvl(p2.img), lvl(p2.gradx), lvl(p2.grady), cfg)
+    st = np.asarray(got.status)
+    # At 12k pixels x harder configs, a handful of lanes straddle a
+    # float32-vs-float64 decision threshold (residue/convergence). Allow
+    # <=0.1% classification straddles, but require the GEOMETRY to agree
+    # there — a real algorithmic divergence would move the flow, a
+    # threshold straddle does not. (Default config: test above is exact.)
+    mism = st != ost
+    assert mism.mean() <= 1e-3, f"{mism.sum()} status mismatches"
+    if mism.any():
+        du = np.abs(np.asarray(got.u)[mism] - ou[mism])
+        dv = np.abs(np.asarray(got.v)[mism] - ov[mism])
+        assert max(du.max(), dv.max()) < 0.2
+    both = (st == 0) & (ost == 0)
+    assert both.mean() > 0.25
+    np.testing.assert_allclose(np.asarray(got.u)[both], ou[both],
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(got.v)[both], ov[both],
+                               atol=3e-2)
+
+
 def test_flow_recovers_uniform_translation():
     cfg = create_config()
     # content shifts by (-1, -2): true flow u = -2, v = -1

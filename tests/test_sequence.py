@@ -57,7 +57,7 @@ def test_metrics_shape():
         assert m["n_features"] == 20
         assert set(m["status_counts"]) == {
             "tracked", "not_found", "small_det", "max_iterations",
-            "oob", "large_residue"}
+            "oob", "large_residue", "fb_inconsistent"}
 
 
 def test_sequence_runs_affine_check():
