@@ -345,9 +345,9 @@ def bench_serving_batched(h=480, w=640, n_features=1000, n_streams=8,
 
 
 def bench_dense_flow(h=480, w=640, n_frames=20, warmup=3):
-    """Dense per-pixel KLT flow throughput (frames/s and Mpixels
-    tracked/s) for the sequential per-frame step: build the new frame's
-    pyramid, dense flow vs the cached previous pyramid."""
+    """Dense per-pixel KLT flow frames/s for the sequential per-frame
+    step: build the new frame's pyramid, dense flow vs the cached
+    previous pyramid (each frame tracks all h*w pixels)."""
     import jax
     import jax.numpy as jnp
     from pyfeaturetrack_tpu.config import create_config

@@ -267,6 +267,9 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
     import os
     use_fused = os.environ.get("PFT_PALLAS_LK", "").lower() in (
         "1", "on", "fused", "true")
+    if use_fused:
+        from .pallas_lk_fused import (fused_level_available,
+                                      fused_track_level)
 
     for r in range(n_levels - 1, -1, -1):
         xloc, yloc = xloc * s, yloc * s
@@ -276,13 +279,10 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
         xout = jnp.where(broken, xout, xout * s)
         yout = jnp.where(broken, yout, yout * s)
         active = live & ~broken
-        fused_ok = False
-        if use_fused:
-            from .pallas_lk_fused import (fused_level_available,
-                                          fused_track_level)
-            fused_ok = (fused_level_available(pyr1.img[r].shape, cfg)
-                        and getattr(cfg, "image_dtype",
-                                    "float32") == "float32")
+        fused_ok = (use_fused
+                    and fused_level_available(pyr1.img[r].shape, cfg)
+                    and getattr(cfg, "image_dtype",
+                                "float32") == "float32")
         with jax.named_scope(f"pft.lk_level_{r}"):
             if fused_ok:
                 nx, ny, lvl_status, _ = fused_track_level(
