@@ -73,6 +73,10 @@ def main(argv=None) -> int:
     ap.add_argument("--cy", type=float, default=None)
     ap.add_argument("--kf-every", type=int, default=3,
                     help="VO keyframe cadence (frames)")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="with --vo: detect revisits of mapped regions "
+                         "and correct drift (guided re-tracking + PnP "
+                         "loop edge + pose graph)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.batched and args.chunks <= 1:
@@ -162,7 +166,8 @@ def main(argv=None) -> int:
         cy = args.cy if args.cy is not None else h / 2.0
         K = np.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
         vo = VisualOdometry(K, cfg=cfg, n_features=args.features,
-                            kf_every=max(args.kf_every, 1))
+                            kf_every=max(args.kf_every, 1),
+                            loop_closure=args.loop_closure)
         for f in frames:
             vo.feed(f)
         for e in vo.events:
@@ -179,6 +184,7 @@ def main(argv=None) -> int:
         summary = {"frames": len(frames), "vo": True,
                    "keyframes": int(len(fi)),
                    "landmarks": int(len(vo.map_points())),
+                   "loops_closed": len(vo.loops_closed),
                    "travel_units": round(
                        float(np.linalg.norm(c[-1] - c[0])), 4)}
     elif args.chunks > 1:

@@ -237,12 +237,20 @@ def track_feature_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
                             x: jax.Array, y: jax.Array, val: jax.Array,
-                            cfg) -> tuple[jax.Array, jax.Array, jax.Array]:
+                            cfg, *, x_init=None, y_init=None
+                            ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Pyramidal LK over a feature batch given prebuilt pyramids.
 
     Reference parity: trackFeatures.py -> KLTTrackFeatures feature loop +
     coarse-to-fine level loop. Returns (x, y, val) arrays; lost features
     get (-1, -1, status).
+
+    ``x_init``/``y_init`` (beyond-reference): guided tracking — start the
+    frame-2 search at these positions instead of at (x, y). Lets callers
+    with an external motion prior (e.g. a landmark projected through an
+    estimated pose — sfm/loop.py) converge across displacements far
+    beyond the pyramid search range. Default (None) is exactly the
+    reference behavior.
     """
     nrows, ncols = pyr1.img[0].shape
     s = float(cfg.subsampling)
@@ -254,7 +262,11 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
     scale = s ** n_levels
     xloc = x / scale
     yloc = y / scale
-    xout, yout = xloc, yloc
+    if x_init is None:
+        xout, yout = xloc, yloc
+    else:
+        xout = x_init / scale
+        yout = y_init / scale
 
     status = jnp.full_like(val, KLT_TRACKED)
     # 'broken' freezes lanes that hit SMALL_DET / OOB at a coarser level

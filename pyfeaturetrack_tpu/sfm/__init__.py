@@ -21,4 +21,5 @@ from .pipeline import (ate_rmse, ate_rmse_aligned,  # noqa: F401
 from .epipolar import (essential_from_matches, ransac_essential,  # noqa: F401
                        recover_pose, two_view_bootstrap)
 from .pnp import pnp_ransac, refine_pose  # noqa: F401
+from .loop import close_loop_poses, guided_retrack  # noqa: F401
 from .vo import VisualOdometry  # noqa: F401

@@ -69,7 +69,9 @@ class VisualOdometry:
                  thresh_px: float = 2.0, min_parallax_px: float = 12.0,
                  min_tri_parallax_px: float = 4.0,
                  min_bootstrap_good: int = 20, huber_px: float = 2.0,
-                 seed: int = 0, device_loop: bool = False):
+                 seed: int = 0, device_loop: bool = False,
+                 loop_closure: bool = False, loop_min_gap: int = 6,
+                 loop_radius: float = 1.0, loop_min_inliers: int = 12):
         self.K = np.asarray(K, np.float64)
         self.device_loop = bool(device_loop)
         if device_loop:
@@ -96,8 +98,16 @@ class VisualOdometry:
         self.huber_px = float(huber_px)
         self.seed = int(seed)
 
+        # loop closure (sfm/loop.py): keyframe images are retained so a
+        # revisited region can be re-observed by guided re-tracking
+        self.loop_closure = bool(loop_closure)
+        self.loop_min_gap = int(loop_min_gap)
+        self.loop_radius = float(loop_radius)
+        self.loop_min_inliers = int(loop_min_inliers)
+        self.loops_closed: list[tuple[int, int]] = []
+
         self.gen = np.zeros(self.n_features, np.int64)
-        self.kf: list[dict] = []      # {frame, x, y, gen, live}
+        self.kf: list[dict] = []      # {frame, x, y, gen, live[, img]}
         self.poses: list = []         # (R, t) per keyframe once init
         self.landmarks: dict = {}     # (slot, gen) -> X [3]
         self.initialized = False
@@ -125,7 +135,8 @@ class VisualOdometry:
         self.n_frames += 1
         if not is_kf:
             return
-        self._push_keyframe(arr[:, 0], arr[:, 1], arr[:, 2] >= 0)
+        self._push_keyframe(arr[:, 0], arr[:, 1], arr[:, 2] >= 0,
+                            img=frame)
 
     def _feed_device(self, frame) -> None:
         """Device-resident variant: buffer ``kf_every`` frames, advance
@@ -144,13 +155,15 @@ class VisualOdometry:
             self._dev_state = (pyr, x, y, val, aff)
             self.n_frames += 1
             arr_v = np.asarray(val)
-            self._push_keyframe(np.asarray(x), np.asarray(y), arr_v >= 0)
+            self._push_keyframe(np.asarray(x), np.asarray(y), arr_v >= 0,
+                                img=frame)
             return
         self._dev_buf.append(img)
         self.n_frames += 1
         if len(self._dev_buf) < self.kf_every:
             return
         pyr, x, y, val, aff = self._dev_state
+        kf_img = self._dev_buf[-1]  # the keyframe's own frame
         if len(self._dev_buf) == 1:
             pyr, x, y, val, aff, _ = sequence_step_device(
                 pyr, self._dev_buf[0], x, y, val, self.cfg, True,
@@ -167,20 +180,27 @@ class VisualOdometry:
         for row in hist_v:
             self.gen[row > 0] += 1
         self._push_keyframe(np.asarray(x), np.asarray(y),
-                            np.asarray(val) >= 0)
+                            np.asarray(val) >= 0, img=kf_img)
 
-    def _push_keyframe(self, x, y, live) -> None:
+    def _push_keyframe(self, x, y, live, img=None) -> None:
         self.kf.append({"frame": self.n_frames - 1,
                         "x": np.asarray(x, np.float64).copy(),
                         "y": np.asarray(y, np.float64).copy(),
                         "gen": self.gen.copy(),
-                        "live": np.asarray(live).copy()})
+                        "live": np.asarray(live).copy(),
+                        # retained only for loop closure (re-observation
+                        # needs the old keyframe's pixels)
+                        "img": (np.asarray(img, np.float32).copy()
+                                if self.loop_closure and img is not None
+                                else None)})
         if not self.initialized:
             self._try_bootstrap()
         else:
             self._localize_new_keyframe()
             self._triangulate_new()
             self._window_ba()
+            if self.loop_closure:
+                self._try_close_loop()
 
     # -------------------------------------------------------- bootstrap
 
@@ -322,8 +342,8 @@ class VisualOdometry:
 
     # ------------------------------------------------------------- BA
 
-    def _window_ba(self) -> None:
-        win = self.kf[-self.window:]
+    def _window_ba(self, n_kf: Optional[int] = None) -> None:
+        win = self.kf[-(n_kf if n_kf is not None else self.window):]
         pose_w = self.poses[-len(win):]
         # observations of mapped landmarks inside the window
         keys, cam_idx, pt_idx, uv = [], [], [], []
@@ -377,6 +397,87 @@ class VisualOdometry:
             self.poses[len(self.poses) - len(win) + k] = (R[k], t[k])
         for i, key in enumerate(keys):
             self.landmarks[key] = X[i]
+
+    # ------------------------------------------------------ loop closure
+
+    def _centers(self) -> np.ndarray:
+        R = np.stack([p[0] for p in self.poses])
+        t = np.stack([p[1] for p in self.poses])
+        return np.einsum("kij,kj->ki", -np.transpose(R, (0, 2, 1)), t)
+
+    def _try_close_loop(self) -> None:
+        """Detect a revisit of a mapped region and correct the drift:
+        guided re-observation -> PnP loop edge -> pose-graph -> global
+        BA (sfm/loop.py). Proximity gating uses the current (drifty)
+        estimate, so ``loop_radius`` must exceed the expected drift."""
+        from ..ops.track import build_track_pyramids_jit
+        from ..utils.staging import stage_f32
+        from .geometry import project
+        from .loop import close_loop_poses, guided_retrack
+        from .pnp import pnp_ransac
+
+        j = len(self.kf) - 1
+        if j < self.loop_min_gap:
+            return
+        if (self.loops_closed
+                and j - self.loops_closed[-1][1] < self.loop_min_gap):
+            return  # drift was just redistributed; let new drift accrue
+        c = self._centers()
+        cand = np.arange(0, j - self.loop_min_gap + 1)
+        cand = [i for i in cand if self.kf[i].get("img") is not None]
+        if not cand or self.kf[j].get("img") is None:
+            return
+        d = np.linalg.norm(c[cand] - c[j], axis=-1)
+        i = int(cand[int(np.argmin(d))])
+        if float(d.min()) > self.loop_radius:
+            return
+        kf_a, kf_b = self.kf[i], self.kf[j]
+        slots, X, uv_a = self._visible_landmarks(kf_a)
+        if len(slots) < self.loop_min_inliers:
+            return
+        R_j, t_j = self.poses[j]
+        uv_init, depth = project(
+            jnp.asarray(self.K, jnp.float32),
+            jnp.asarray(R_j, jnp.float32), jnp.asarray(t_j, jnp.float32),
+            jnp.asarray(X, jnp.float32))
+        uv_init = np.asarray(uv_init, np.float64)
+        h, w = kf_b["img"].shape
+        vis = ((np.asarray(depth) > 0.1) &
+               (uv_init[:, 0] > 8) & (uv_init[:, 0] < w - 9) &
+               (uv_init[:, 1] > 8) & (uv_init[:, 1] < h - 9))
+        if vis.sum() < self.loop_min_inliers:
+            return
+        cfg = (self.cfg if self.device_loop
+               else self._tr.cfg).validated_window()
+        pyr_a = build_track_pyramids_jit(stage_f32(kf_a["img"]), cfg)
+        pyr_b = build_track_pyramids_jit(stage_f32(kf_b["img"]), cfg)
+        xb, yb, ok = guided_retrack(
+            pyr_a, pyr_b, uv_a[vis, 0], uv_a[vis, 1],
+            uv_init[vis, 0], uv_init[vis, 1], cfg,
+            fb_max_displacement=1.0)
+        if ok.sum() < self.loop_min_inliers:
+            return
+        uv_b = np.stack([xb[ok], yb[ok]], -1)
+        try:
+            Rm, tm, inl = pnp_ransac(self.K, X[vis][ok], uv_b,
+                                     thresh_px=2 * self.thresh_px,
+                                     seed=self.seed)
+        except ValueError:
+            return
+        if int(inl.sum()) < self.loop_min_inliers:
+            return
+        R_all = np.stack([p[0] for p in self.poses])
+        t_all = np.stack([p[1] for p in self.poses])
+        drift = float(np.linalg.norm(
+            (-Rm.T @ tm) - c[j]))
+        Rn, tn = close_loop_poses(R_all, t_all, i, j, Rm, tm)
+        self.poses = [(Rn[k], tn[k]) for k in range(len(self.poses))]
+        # re-converge landmarks against the corrected chain
+        self._window_ba(n_kf=len(self.kf))
+        self.loops_closed.append((i, j))
+        self.events.append(
+            f"loop closed kf {i} -> kf {j}: {int(inl.sum())} inliers, "
+            f"drift {drift:.4f} units redistributed")
 
     # ----------------------------------------------------------- output
 

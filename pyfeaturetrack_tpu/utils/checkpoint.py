@@ -161,6 +161,8 @@ def vo_state(vo) -> dict:
         np.zeros((0, vo.n_features), np.int64),
         "kf_live": np.stack([k["live"] for k in vo.kf]) if vo.kf else
         np.zeros((0, vo.n_features), bool),
+        "loops_closed": np.asarray(getattr(vo, "loops_closed", []),
+                                   np.int64).reshape(-1, 2),
         "pose_R": np.stack([p[0] for p in vo.poses]) if vo.poses else
         np.zeros((0, 3, 3)),
         "pose_t": np.stack([p[1] for p in vo.poses]) if vo.poses else
@@ -172,6 +174,12 @@ def vo_state(vo) -> dict:
     st["lm_X"] = (np.stack([vo.landmarks[tuple(k)] for k in
                             st["lm_keys"]])
                   if len(st["lm_keys"]) else np.zeros((0, 3)))
+    if vo.kf and all(k.get("img") is not None for k in vo.kf):
+        # loop-closure mode retains keyframe images (re-observation
+        # needs the old pixels); carry them so closure still works
+        # against pre-resume keyframes
+        st["kf_img"] = np.stack([k["img"] for k in vo.kf]).astype(
+            np.float32)
     if vo.device_loop:
         if vo._dev_state is not None:
             pyr, x, y, val, aff = vo._dev_state
@@ -199,12 +207,19 @@ def resume_vo(vo, state: dict) -> None:
     vo.initialized = bool(np.asarray(state["initialized"]))
     vo._pose_held = bool(np.asarray(state.get("pose_held", False)))
     frames = np.asarray(state["kf_frames"], np.int64)
+    imgs = state.get("kf_img")
     vo.kf = [{"frame": int(frames[i]),
               "x": np.asarray(state["kf_x"][i], np.float64),
               "y": np.asarray(state["kf_y"][i], np.float64),
               "gen": np.asarray(state["kf_gen"][i], np.int64),
-              "live": np.asarray(state["kf_live"][i], bool)}
+              "live": np.asarray(state["kf_live"][i], bool),
+              "img": (np.asarray(imgs[i], np.float32)
+                      if imgs is not None else None)}
              for i in range(len(frames))]
+    vo.loops_closed = [tuple(int(v) for v in row) for row in
+                       np.asarray(state.get("loops_closed",
+                                            np.zeros((0, 2)))).reshape(
+                                                -1, 2)]
     vo.poses = [(np.asarray(state["pose_R"][i], np.float64),
                  np.asarray(state["pose_t"][i], np.float64))
                 for i in range(len(np.asarray(state["pose_R"])))]
