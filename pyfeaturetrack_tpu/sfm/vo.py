@@ -267,10 +267,19 @@ class VisualOdometry:
         slots, X, uv = self._visible_landmarks(kf)
         R_prev, t_prev = self.poses[-1]
         if len(slots) < 6:
+            self.poses.append((R_prev.copy(), t_prev.copy()))
+            if self.loop_closure and getattr(self, "_pose_held", False):
+                # second consecutive hold: the map association is gone
+                # (e.g. total occlusion bumped every generation) — try
+                # kidnapped-camera recovery against retained keyframes
+                if self._try_relocalize():
+                    return
             self.events.append(
                 f"kf {len(self.kf) - 1}: too few mapped landmarks"
                 f" ({len(slots)}) — pose held")
-            self.poses.append((R_prev.copy(), t_prev.copy()))
+            # a held pose is fiction: exclude this keyframe's
+            # observations from triangulation / BA / loop candidates
+            self.kf[-1]["held"] = True
             self._pose_held = True
             return
         if getattr(self, "_pose_held", False):
@@ -306,7 +315,8 @@ class VisualOdometry:
                 continue
             obs = [(k, float(w["x"][s]), float(w["y"][s]))
                    for k, w in enumerate(win)
-                   if w["live"][s] and w["gen"][s] == cur["gen"][s]]
+                   if w["live"][s] and w["gen"][s] == cur["gen"][s]
+                   and not w.get("held")]
             if len(obs) < 2:
                 continue
             uvs = np.asarray([(u, v) for (_, u, v) in obs])
@@ -349,6 +359,8 @@ class VisualOdometry:
         keys, cam_idx, pt_idx, uv = [], [], [], []
         key_id = {}
         for k, w in enumerate(win):
+            if w.get("held"):
+                continue  # fictional pose: its observations poison BA
             for s in np.nonzero(w["live"])[0]:
                 key = (int(s), int(w["gen"][s]))
                 if key not in self.landmarks:
@@ -398,6 +410,83 @@ class VisualOdometry:
         for i, key in enumerate(keys):
             self.landmarks[key] = X[i]
 
+    # ----------------------------------------------------- relocalization
+
+    def _try_relocalize(self) -> bool:
+        """Kidnapped-camera recovery (loop_closure mode): hypothesize
+        the camera sits near one of the retained keyframes, re-observe
+        that keyframe's mapped features in the current image by guided
+        re-tracking with the identity prior, and accept the best
+        PnP-verified hypothesis. Recovered landmarks are re-associated
+        to the CURRENT tracker slots by position matching, so
+        localization, triangulation, and BA resume immediately.
+        """
+        from ..ops.track import build_track_pyramids_jit
+        from ..utils.staging import stage_f32
+        from .loop import guided_retrack
+        from .pnp import pnp_ransac
+
+        j = len(self.kf) - 1
+        kf_b = self.kf[j]
+        if kf_b.get("img") is None:
+            return False
+        cfg = (self.cfg if self.device_loop
+               else self._tr.cfg).validated_window()
+        pyr_b = build_track_pyramids_jit(stage_f32(kf_b["img"]), cfg)
+        cands = [i for i in range(j)
+                 if self.kf[i].get("img") is not None
+                 and not self.kf[i].get("held")]
+        cands = cands[::max(1, len(cands) // 8)][:8]
+        best = None
+        for i in cands:
+            slots, X, uv_a = self._visible_landmarks(self.kf[i])
+            if len(slots) < self.loop_min_inliers:
+                continue
+            pyr_a = build_track_pyramids_jit(
+                stage_f32(self.kf[i]["img"]), cfg)
+            xb, yb, ok = guided_retrack(
+                pyr_a, pyr_b, uv_a[:, 0], uv_a[:, 1],
+                uv_a[:, 0], uv_a[:, 1], cfg, fb_max_displacement=1.0)
+            if int(ok.sum()) < self.loop_min_inliers:
+                continue
+            uv_b = np.stack([xb[ok], yb[ok]], -1)
+            try:
+                Rm, tm, inl = pnp_ransac(self.K, X[ok], uv_b,
+                                         thresh_px=2 * self.thresh_px,
+                                         seed=self.seed)
+            except ValueError:
+                continue
+            n_inl = int(inl.sum())
+            if n_inl >= self.loop_min_inliers and (
+                    best is None or n_inl > best[0]):
+                best = (n_inl, i, Rm, tm, X[ok][inl], uv_b[inl])
+        if best is None:
+            return False
+        n_inl, i, Rm, tm, X_in, uv_in = best
+        self.poses[-1] = (np.asarray(Rm, np.float64),
+                          np.asarray(tm, np.float64))
+        self._pose_held = False
+        # re-associate recovered landmarks with current live slots by
+        # position (the re-tracked old feature and the tracker's fresh
+        # feature observe the same surface point when they coincide)
+        live = np.nonzero(kf_b["live"])[0]
+        n_assoc = 0
+        if len(live):
+            bx = kf_b["x"][live]
+            by = kf_b["y"][live]
+            for Xl, (u, v) in zip(X_in, uv_in):
+                d = np.hypot(bx - u, by - v)
+                s = int(np.argmin(d))
+                if d[s] < 1.5:
+                    key = (int(live[s]), int(kf_b["gen"][live[s]]))
+                    if key not in self.landmarks:
+                        self.landmarks[key] = Xl.copy()
+                        n_assoc += 1
+        self.events.append(
+            f"kf {j}: relocalized against kf {i} "
+            f"({n_inl} PnP inliers, {n_assoc} landmarks re-associated)")
+        return True
+
     # ------------------------------------------------------ loop closure
 
     def _centers(self) -> np.ndarray:
@@ -424,7 +513,8 @@ class VisualOdometry:
             return  # drift was just redistributed; let new drift accrue
         c = self._centers()
         cand = np.arange(0, j - self.loop_min_gap + 1)
-        cand = [i for i in cand if self.kf[i].get("img") is not None]
+        cand = [i for i in cand if self.kf[i].get("img") is not None
+                and not self.kf[i].get("held")]
         if not cand or self.kf[j].get("img") is None:
             return
         d = np.linalg.norm(c[cand] - c[j], axis=-1)

@@ -161,8 +161,6 @@ def vo_state(vo) -> dict:
         np.zeros((0, vo.n_features), np.int64),
         "kf_live": np.stack([k["live"] for k in vo.kf]) if vo.kf else
         np.zeros((0, vo.n_features), bool),
-        "loops_closed": np.asarray(getattr(vo, "loops_closed", []),
-                                   np.int64).reshape(-1, 2),
         "pose_R": np.stack([p[0] for p in vo.poses]) if vo.poses else
         np.zeros((0, 3, 3)),
         "pose_t": np.stack([p[1] for p in vo.poses]) if vo.poses else
@@ -174,6 +172,14 @@ def vo_state(vo) -> dict:
     st["lm_X"] = (np.stack([vo.landmarks[tuple(k)] for k in
                             st["lm_keys"]])
                   if len(st["lm_keys"]) else np.zeros((0, 3)))
+    if getattr(vo, "loops_closed", None):
+        # zero-size arrays are not checkpointable (Orbax restriction);
+        # empty logs simply stay absent and restore to their defaults
+        st["loops_closed"] = np.asarray(vo.loops_closed,
+                                        np.int64).reshape(-1, 2)
+    if vo.kf and any(k.get("held") for k in vo.kf):
+        st["kf_held"] = np.asarray(
+            [bool(k.get("held")) for k in vo.kf], bool)
     if vo.kf and all(k.get("img") is not None for k in vo.kf):
         # loop-closure mode retains keyframe images (re-observation
         # needs the old pixels); carry them so closure still works
@@ -208,11 +214,14 @@ def resume_vo(vo, state: dict) -> None:
     vo._pose_held = bool(np.asarray(state.get("pose_held", False)))
     frames = np.asarray(state["kf_frames"], np.int64)
     imgs = state.get("kf_img")
+    held = np.asarray(state.get("kf_held",
+                                np.zeros(len(frames), bool)), bool)
     vo.kf = [{"frame": int(frames[i]),
               "x": np.asarray(state["kf_x"][i], np.float64),
               "y": np.asarray(state["kf_y"][i], np.float64),
               "gen": np.asarray(state["kf_gen"][i], np.int64),
               "live": np.asarray(state["kf_live"][i], bool),
+              "held": bool(held[i]),
               "img": (np.asarray(imgs[i], np.float32)
                       if imgs is not None else None)}
              for i in range(len(frames))]

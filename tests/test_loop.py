@@ -158,6 +158,39 @@ def _loop_scene(seed=50):
     return Rs, ts, np.stack(cs), frames
 
 
+def test_vo_relocalizes_after_total_occlusion():
+    """Kidnapped-camera recovery: a few fully-occluded frames destroy
+    every track (and thus every landmark association); once the scene
+    reappears, the VO re-observes a retained keyframe's landmarks and
+    snaps back to a metric pose, re-associating the map."""
+    from pyfeaturetrack_tpu.sfm.vo import VisualOdometry
+
+    Rs, ts, cs, frames = _loop_scene()
+    rng = np.random.default_rng(60)
+    blank = rng.uniform(0, 60, frames[0].shape)  # texture-free noise
+    occluded = list(frames)
+    for k in (12, 13, 14):
+        occluded[k] = blank
+    vo = VisualOdometry(K, n_features=120, kf_every=2, window=6,
+                        min_parallax_px=10.0, loop_closure=True,
+                        loop_min_gap=6, loop_radius=0.6,
+                        loop_min_inliers=12)
+    for f in occluded:
+        vo.feed(f)
+    assert vo.initialized
+    held = [e for e in vo.events if "pose held" in e]
+    reloc = [e for e in vo.events if "relocalized against" in e]
+    assert held, vo.events       # the blackout really broke localization
+    assert reloc, vo.events      # ...and recovery fired
+    fi, R, t, c = vo.trajectory()
+    # after recovery the trajectory is metric again: the final keyframe
+    # center matches ground truth in the map gauge (first-keyframe-pair
+    # baseline) within a small tolerance
+    gauge = np.linalg.norm(cs[fi[1]] - cs[fi[0]])
+    err_end = np.linalg.norm(c[-1] - cs[fi[-1]] / gauge)
+    assert err_end < 0.25, (err_end, vo.events)
+
+
 def test_vo_loop_closure_survives_checkpoint_resume():
     """vo_state/resume_vo carry keyframe images and the closed-loop log,
     so closure still works against pre-resume keyframes."""
