@@ -22,4 +22,9 @@ from .epipolar import (essential_from_matches, ransac_essential,  # noqa: F401
                        recover_pose, two_view_bootstrap)
 from .pnp import pnp_ransac, refine_pose  # noqa: F401
 from .loop import close_loop_poses, guided_retrack  # noqa: F401
+from .stereo import (  # noqa: F401
+    stereo_depth,
+    stereo_match,
+    stereo_triangulate,
+)
 from .vo import VisualOdometry  # noqa: F401

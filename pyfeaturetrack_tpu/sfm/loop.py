@@ -47,7 +47,8 @@ def guided_retrack(pyr_a, pyr_b, x_a, y_a, x_init, y_init, cfg,
     re-search the full baseline unguided and reject everything a
     wide-baseline prior made possible.)
 
-    Returns (x_b, y_b, ok): positions in B and the acceptance mask.
+    Returns (x_b, y_b, ok, err): positions in B, the acceptance mask,
+    and the round-trip miss distance (inf where either track failed).
     """
     n = x_a.shape[0]
     val = jnp.zeros((n,), jnp.int32)
@@ -61,9 +62,10 @@ def guided_retrack(pyr_a, pyr_b, x_a, y_a, x_init, y_init, cfg,
         pyr_b, pyr_a, nx, ny, nv, cfg, x_init=x_a, y_init=y_a)
     err = np.hypot(np.asarray(bx) - np.asarray(x_a),
                    np.asarray(by) - np.asarray(y_a))
-    ok = ((np.asarray(nv) == 0) & (np.asarray(bv) == 0) &
-          (err <= fb_max_displacement))
-    return np.asarray(nx), np.asarray(ny), ok
+    err = np.where((np.asarray(nv) == 0) & (np.asarray(bv) == 0),
+                   err, np.inf)
+    ok = err <= fb_max_displacement
+    return np.asarray(nx), np.asarray(ny), ok, err
 
 
 def close_loop_poses(R, t, i: int, j: int, R_j_meas, t_j_meas,

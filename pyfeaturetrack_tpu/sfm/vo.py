@@ -444,7 +444,7 @@ class VisualOdometry:
                 continue
             pyr_a = build_track_pyramids_jit(
                 stage_f32(self.kf[i]["img"]), cfg)
-            xb, yb, ok = guided_retrack(
+            xb, yb, ok, _ = guided_retrack(
                 pyr_a, pyr_b, uv_a[:, 0], uv_a[:, 1],
                 uv_a[:, 0], uv_a[:, 1], cfg, fb_max_displacement=1.0)
             if int(ok.sum()) < self.loop_min_inliers:
@@ -541,7 +541,7 @@ class VisualOdometry:
                else self._tr.cfg).validated_window()
         pyr_a = build_track_pyramids_jit(stage_f32(kf_a["img"]), cfg)
         pyr_b = build_track_pyramids_jit(stage_f32(kf_b["img"]), cfg)
-        xb, yb, ok = guided_retrack(
+        xb, yb, ok, _ = guided_retrack(
             pyr_a, pyr_b, uv_a[vis, 0], uv_a[vis, 1],
             uv_init[vis, 0], uv_init[vis, 1], cfg,
             fb_max_displacement=1.0)

@@ -61,7 +61,7 @@ def test_guided_retrack_accepts_true_rejects_occluded():
     x = np.concatenate([rng.uniform(20, 60, n // 2),        # clean dest
                         rng.uniform(78, 105, n - n // 2)])  # dest occluded
     y = rng.uniform(36, 60, n)
-    xb, yb, ok = guided_retrack(
+    xb, yb, ok, _ = guided_retrack(
         p1, p2, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
         jnp.asarray(x + dx, jnp.float32), jnp.asarray(y, jnp.float32),
         cfg, fb_max_displacement=1.0)

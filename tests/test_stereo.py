@@ -1,0 +1,122 @@
+"""Rectified-stereo matching + metric depth (sfm/stereo.py) on a
+rendered true-3D scene with known geometry."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pyfeaturetrack_tpu.config import create_config
+from pyfeaturetrack_tpu.models.tracker import KLTSelectGoodFeatures
+from pyfeaturetrack_tpu.sfm.geometry import project
+from pyfeaturetrack_tpu.sfm.stereo import (stereo_depth, stereo_match,
+                                           stereo_triangulate)
+
+H, W = 240, 320
+K = np.array([[260.0, 0, W / 2], [0, 260.0, H / 2], [0, 0, 1]])
+BASELINE = 0.3
+
+
+def _render(R, t, pts, amp):
+    uv, depth = project(jnp.asarray(K, jnp.float32),
+                        jnp.asarray(R, jnp.float32),
+                        jnp.asarray(t, jnp.float32),
+                        jnp.asarray(pts, jnp.float32))
+    uv = np.asarray(uv)
+    depth = np.asarray(depth)
+    img = np.full((H, W), 20.0)
+    rad = 6
+    for j in range(pts.shape[0]):
+        if depth[j] <= 1.0:
+            continue
+        u, v = uv[j]
+        if not (rad < u < W - rad - 1 and rad < v < H - rad - 1):
+            continue
+        cu, cv = int(u), int(v)
+        yy, xx = np.mgrid[cv - rad:cv + rad + 1, cu - rad:cu + rad + 1]
+        img[cv - rad:cv + rad + 1, cu - rad:cu + rad + 1] += (
+            amp[j] * np.exp(-((xx - u) ** 2 + (yy - v) ** 2) / 6.48))
+    return np.clip(img, 0, 255)
+
+
+def _stereo_pair(seed=70, n_pts=260):
+    rng = np.random.default_rng(seed)
+    pts = np.stack([
+        rng.uniform(-7.0, 7.0, n_pts),
+        rng.uniform(-5.0, 5.0, n_pts),
+        rng.uniform(5.0, 18.0, n_pts),
+    ], -1).astype(np.float32)
+    amp = rng.uniform(120, 255, n_pts)
+    R = np.eye(3, dtype=np.float32)
+    t_l = np.zeros(3, np.float32)
+    # right camera at +BASELINE along x: X_r = X_w - [B, 0, 0]
+    t_r = np.array([-BASELINE, 0, 0], np.float32)
+    return (_render(R, t_l, pts, amp), _render(R, t_r, pts, amp), pts)
+
+
+def test_stereo_match_recovers_metric_depth():
+    img_l, img_r, pts = _stereo_pair()
+    cfg = create_config()
+    fl = KLTSelectGoodFeatures(cfg, img_l, 120)
+    x = np.asarray(fl.x)
+    y = np.asarray(fl.y)
+    live = np.asarray(fl.val) >= 0
+
+    disp, valid = stereo_match(img_l, img_r, x, y, cfg,
+                               max_disparity=40.0)
+    valid = valid & live
+    assert valid.sum() > 60  # most selected features match
+
+    z = stereo_depth(disp[valid], K[0, 0], BASELINE)
+    # ground-truth depth at each feature: nearest rendered blob center
+    uv_gt, depth_gt = project(jnp.asarray(K, jnp.float32),
+                              jnp.asarray(np.eye(3), jnp.float32),
+                              jnp.asarray(np.zeros(3), jnp.float32),
+                              jnp.asarray(pts))
+    uv_gt = np.asarray(uv_gt)
+    zs_gt = []
+    for xi, yi in zip(x[valid], y[valid]):
+        j = np.argmin(np.hypot(uv_gt[:, 0] - xi, uv_gt[:, 1] - yi))
+        zs_gt.append(float(np.asarray(depth_gt)[j]))
+    zs_gt = np.asarray(zs_gt)
+    rel = np.abs(z - zs_gt) / zs_gt
+    assert np.median(rel) < 0.02           # metric depth to 2%
+    assert np.percentile(rel, 90) < 0.08
+
+
+def test_stereo_triangulate_geometry():
+    img_l, img_r, pts = _stereo_pair(seed=71)
+    cfg = create_config()
+    fl = KLTSelectGoodFeatures(cfg, img_l, 100)
+    x = np.asarray(fl.x)
+    y = np.asarray(fl.y)
+    live = np.asarray(fl.val) >= 0
+    disp, valid = stereo_match(img_l, img_r, x, y, cfg,
+                               max_disparity=40.0)
+    valid = valid & live
+    X = stereo_triangulate(K, BASELINE, x[valid], y[valid], disp[valid])
+    # each triangulated point lies near SOME true scene point (metric!)
+    d = np.linalg.norm(X[:, None, :] - pts[None, :, :], axis=-1)
+    nearest = d.min(axis=1)
+    assert np.median(nearest) < 0.15
+    # and reprojection through the left camera returns the pixel
+    uv, _ = project(jnp.asarray(K, jnp.float32),
+                    jnp.asarray(np.eye(3), jnp.float32),
+                    jnp.asarray(np.zeros(3), jnp.float32),
+                    jnp.asarray(X, jnp.float32))
+    uv = np.asarray(uv)
+    assert np.abs(uv[:, 0] - x[valid]).max() < 1e-3
+    assert np.abs(uv[:, 1] - y[valid]).max() < 1e-3
+
+
+def test_stereo_match_rejects_unmatched():
+    """Features with no stereo counterpart (right image from a different
+    scene) are gated out."""
+    img_l, _, _ = _stereo_pair(seed=72)
+    img_r_wrong, _, _ = _stereo_pair(seed=99)
+    cfg = create_config()
+    fl = KLTSelectGoodFeatures(cfg, img_l, 80)
+    x = np.asarray(fl.x)
+    y = np.asarray(fl.y)
+    disp, valid = stereo_match(img_l, img_r_wrong, x, y, cfg,
+                               max_disparity=40.0)
+    assert valid.mean() < 0.25
