@@ -93,6 +93,27 @@ def lk_counts(h: int, w: int, n_features: int, cfg) -> dict:
     return {"bytes": float(bytes_total), "flops": float(flops)}
 
 
+def flow_counts(h: int, w: int, cfg) -> dict:
+    """Dense per-pixel LK flow for one frame pair (ops/flow.py): the
+    lk_counts model with the feature set = each level's own pixel grid
+    (dense flow re-grids per level; upsampling traffic is negligible
+    next to the window gathers and is folded into the +1)."""
+    ph = cfg.window_height // 2 * 2 + 2
+    pw = cfg.window_width // 2 * 2 + 2
+    patch = ph * pw
+    win = cfg.window_height * cfg.window_width
+    it = cfg.max_iterations
+    s = cfg.subsampling
+    bytes_total = 0.0
+    flops = 0.0
+    for lvl in range(cfg.nPyramidLevels):
+        n_px = (h // s**lvl) * (w // s**lvl)
+        gathers = 3 + 3 * it + 1
+        bytes_total += n_px * gathers * patch * _F32
+        flops += n_px * (gathers * patch * 8 + it * win * 10)
+    return {"bytes": float(bytes_total), "flops": float(flops)}
+
+
 def affine_counts(n_features: int, cfg, h: int = 480, w: int = 640
                   ) -> dict:
     """Affine-consistency GN for one frame step (mode 2: 6-param).
@@ -202,7 +223,18 @@ def measure_stage_times(h=480, w=640, n_features=1000, iters=200):
     jax.block_until_ready(aff)
     aff_s = (time.perf_counter() - t0) / max(iters // 4, 1)
 
-    return {"pyramid_s": pyr_s, "lk_s": lk_s, "affine_s": aff_s}
+    # dense per-pixel flow (ops/flow.py) over the same prebuilt pyramids
+    from ..ops.flow import dense_flow_pyramids
+    fl = dense_flow_pyramids(p1, p2, cfg)
+    jax.block_until_ready(fl)
+    t0 = time.perf_counter()
+    for _ in range(max(iters // 4, 1)):
+        fl = dense_flow_pyramids(p1, p2, cfg)
+    jax.block_until_ready(fl)
+    flow_s = (time.perf_counter() - t0) / max(iters // 4, 1)
+
+    return {"pyramid_s": pyr_s, "lk_s": lk_s, "affine_s": aff_s,
+            "flow_s": flow_s}
 
 
 def measure_stage_device_times(h=480, w=640, n_features=1000,
@@ -234,10 +266,17 @@ def measure_stage_device_times(h=480, w=640, n_features=1000,
     r_lk = capture_device_trace(
         lambda: track_features_pyramids(p1, p2, x, y, val, cfg),
         n_calls=n_calls)
+    from ..ops.flow import dense_flow_pyramids
+    fl = dense_flow_pyramids(p1, p2, cfg)
+    jax.block_until_ready(fl)
+    r_fl = capture_device_trace(lambda: dense_flow_pyramids(p1, p2, cfg),
+                                n_calls=max(n_calls // 2, 2))
     return {"pyramid_device_s": r_pyr["per_call_ms"] / 1e3,
             "pyramid_ops": r_pyr["ops_per_call"],
             "lk_device_s": r_lk["per_call_ms"] / 1e3,
-            "lk_ops": r_lk["ops_per_call"]}
+            "lk_ops": r_lk["ops_per_call"],
+            "flow_device_s": r_fl["per_call_ms"] / 1e3,
+            "flow_ops": r_fl["ops_per_call"]}
 
 
 def roofline_report(h=480, w=640, n_features=1000, stage_times=None,
@@ -271,6 +310,9 @@ def roofline_report(h=480, w=640, n_features=1000, stage_times=None,
                           h=h, w=w),
             stage_times["affine_s"]),
     }
+    if "flow_s" in stage_times:
+        rep["dense_flow"] = summarize(flow_counts(h, w, cfg),
+                                      stage_times["flow_s"])
     if ba_iter_s is not None:
         C, L, kw = ba_shape
         rep["ba_iteration"] = summarize(ba_iter_counts(C, L, kw), ba_iter_s)
