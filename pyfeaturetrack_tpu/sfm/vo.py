@@ -71,7 +71,9 @@ class VisualOdometry:
                  min_bootstrap_good: int = 20, huber_px: float = 2.0,
                  seed: int = 0, device_loop: bool = False,
                  loop_closure: bool = False, loop_min_gap: int = 6,
-                 loop_radius: float = 1.0, loop_min_inliers: int = 12):
+                 loop_radius: float = 1.0, loop_min_inliers: int = 12,
+                 stereo_baseline: float | None = None,
+                 max_disparity: float = 64.0):
         self.K = np.asarray(K, np.float64)
         self.device_loop = bool(device_loop)
         if device_loop:
@@ -98,6 +100,16 @@ class VisualOdometry:
         self.huber_px = float(huber_px)
         self.seed = int(seed)
 
+        # stereo mode (sfm/stereo.py): rectified right frames supply
+        # METRIC landmarks per keyframe — no bootstrap, no monocular
+        # gauge (world scale = the physical baseline), no BA re-anchor
+        self.stereo_baseline = (float(stereo_baseline)
+                                if stereo_baseline is not None else None)
+        self.max_disparity = float(max_disparity)
+        if self.stereo_baseline is not None and device_loop:
+            raise ValueError("(VisualOdometry) stereo_baseline is not "
+                             "supported with device_loop")
+
         # loop closure (sfm/loop.py): keyframe images are retained so a
         # revisited region can be re-observed by guided re-tracking
         self.loop_closure = bool(loop_closure)
@@ -116,8 +128,14 @@ class VisualOdometry:
 
     # ------------------------------------------------------------- feed
 
-    def feed(self, frame) -> None:
-        """Track one frame; run keyframe logic on keyframe cadence."""
+    def feed(self, frame, right=None) -> None:
+        """Track one frame; run keyframe logic on keyframe cadence.
+        In stereo mode pass the rectified RIGHT frame alongside every
+        left frame (only keyframes actually match against it)."""
+        if self.stereo_baseline is not None and right is None:
+            raise ValueError("(VisualOdometry) stereo mode needs the "
+                             "right frame: feed(left, right)")
+        self._right = right
         if self.device_loop:
             self._feed_device(frame)
             return
@@ -193,6 +211,17 @@ class VisualOdometry:
                         "img": (np.asarray(img, np.float32).copy()
                                 if self.loop_closure and img is not None
                                 else None)})
+        self._left = np.asarray(img) if img is not None else None
+        if self.stereo_baseline is not None:
+            if not self.initialized:
+                self._stereo_init()
+            else:
+                self._localize_new_keyframe()
+                self._stereo_landmarks()
+                self._window_ba()
+                if self.loop_closure:
+                    self._try_close_loop()
+            return
         if not self.initialized:
             self._try_bootstrap()
         else:
@@ -246,6 +275,53 @@ class VisualOdometry:
             f"bootstrap at kf pair (frames {base['frame']},"
             f" {cur['frame']}): {int(out['good'].sum())} landmarks,"
             f" parallax {parallax:.1f}px")
+
+    # ----------------------------------------------------------- stereo
+
+    def _stereo_init(self) -> None:
+        """Metric initialization from the first keyframe's stereo pair —
+        no parallax accrual, no monocular gauge: the world frame is the
+        first left camera, scale is the physical baseline."""
+        self.poses = [(np.eye(3), np.zeros(3))]
+        n = self._stereo_landmarks()
+        if n >= self.min_bootstrap_good:
+            self.initialized = True
+            self.events.append(f"stereo init: {n} metric landmarks")
+        else:
+            self.poses = []
+            self.kf.clear()
+            self.events.append(
+                f"stereo init deferred ({n} matches) — retrying on the "
+                "next keyframe")
+
+    def _stereo_landmarks(self) -> int:
+        """Stereo-triangulate the newest keyframe's unmapped live slots
+        (metric left-camera points -> world via the current pose).
+        Returns the number of landmarks added."""
+        from .stereo import stereo_match, stereo_triangulate
+        kf = self.kf[-1]
+        if self._left is None or self._right is None:
+            return 0
+        slots = np.asarray(
+            [s for s in np.nonzero(kf["live"])[0]
+             if (int(s), int(kf["gen"][s])) not in self.landmarks],
+            np.int64)
+        if slots.size == 0:
+            return 0
+        x = kf["x"][slots]
+        y = kf["y"][slots]
+        disp, valid = stereo_match(
+            self._left, self._right, x, y, self._tr.cfg,
+            max_disparity=self.max_disparity)
+        if not valid.any():
+            return 0
+        X_cam = stereo_triangulate(self.K, self.stereo_baseline,
+                                   x[valid], y[valid], disp[valid])
+        R, t = self.poses[-1]
+        X_w = (R.T @ (X_cam.T - t[:, None])).T
+        for s, X in zip(slots[valid], X_w):
+            self.landmarks[(int(s), int(kf["gen"][s]))] = X.copy()
+        return int(valid.sum())
 
     # --------------------------------------------------------- localize
 
@@ -400,7 +476,10 @@ class VisualOdometry:
             np.asarray(t0, np.float64))
         base_pre = np.linalg.norm(c0_pre[1] - c0_pre[0])
         base_post = np.linalg.norm(c[1] - c[0])
-        if base_post > 1e-9 and base_pre > 1e-9:
+        # stereo mode: scale is pinned by the physical baseline through
+        # the metric landmarks — never re-anchor it
+        if (self.stereo_baseline is None and base_post > 1e-9
+                and base_pre > 1e-9):
             s = base_pre / base_post
             c = c[0] + s * (c - c[0])
             X = c[0] + s * (X - c[0])
