@@ -468,19 +468,26 @@ class VisualOdometry:
         R, t, X = (np.asarray(R, np.float64), np.asarray(t, np.float64),
                    np.asarray(X, np.float64))
         # re-anchor the monocular scale gauge: BA with one camera fixed
-        # leaves global scale free; pin the window's first baseline
+        # leaves global scale free; preserve the window's pre-BA scale
+        # via the MEDIAN LANDMARK DISTANCE to the window-first camera.
+        # (The earlier anchor pinned the window's first camera-pair
+        # baseline — degenerate whenever the camera reverses or revisits
+        # through the window-first position, where that baseline tends
+        # to zero and its ratio amplifies noise into runaway scale; the
+        # out-and-back scene in tests/test_loop.py exposed exactly that.)
         c = np.einsum("kij,kj->ki", -np.transpose(R, (0, 2, 1)), t)
         c0_pre = np.einsum(
             "kij,kj->ki", -np.transpose(np.asarray(R0, np.float64),
                                         (0, 2, 1)),
             np.asarray(t0, np.float64))
-        base_pre = np.linalg.norm(c0_pre[1] - c0_pre[0])
-        base_post = np.linalg.norm(c[1] - c[0])
+        d_pre = np.median(np.linalg.norm(
+            np.asarray(X0, np.float64) - c0_pre[0], axis=-1))
+        d_post = np.median(np.linalg.norm(X - c[0], axis=-1))
         # stereo mode: scale is pinned by the physical baseline through
         # the metric landmarks — never re-anchor it
-        if (self.stereo_baseline is None and base_post > 1e-9
-                and base_pre > 1e-9):
-            s = base_pre / base_post
+        if (self.stereo_baseline is None and d_post > 1e-9
+                and d_pre > 1e-9):
+            s = d_pre / d_post
             c = c[0] + s * (c - c[0])
             X = c[0] + s * (X - c[0])
             t = np.einsum("kij,kj->ki", -R, c)

@@ -103,10 +103,11 @@ K = np.array([[260.0, 0, W / 2], [0, 260.0, H / 2], [0, 0, 1]])
 
 def _loop_scene(seed=50):
     """Rectangular loop (right, down, left, up back to the start): the
-    camera revisits the mapped start region with the same orientation
-    and never reverses its motion direction (a 180-degree out-and-back
-    reversal destabilizes the windowed monocular gauge — a known VO
-    limitation, unrelated to loop closure)."""
+    camera revisits the mapped start region with the same orientation.
+    (The 180-degree out-and-back reversal case is covered separately in
+    test_vo_out_and_back_reversal — it used to destabilize the windowed
+    monocular gauge until the re-anchor switched from the window-first
+    camera-pair baseline to the median landmark distance.)"""
     from pyfeaturetrack_tpu.sfm.geometry import project
 
     rng = np.random.default_rng(seed)
@@ -156,6 +157,62 @@ def _loop_scene(seed=50):
                 amp[j] * np.exp(-((xx - u) ** 2 + (yy - v) ** 2) / 6.48))
         frames.append(np.clip(img, 0, 255))
     return Rs, ts, np.stack(cs), frames
+
+
+def test_vo_out_and_back_reversal():
+    """Motion reversal regression: the camera sweeps out and returns
+    along the same path. The window-first-baseline gauge re-anchor
+    diverged here (the anchor pair's baseline tends to zero as the
+    camera re-passes it, amplifying noise into runaway scale: ATE was
+    0.33); the median-landmark-distance anchor holds the gauge."""
+    from pyfeaturetrack_tpu.sfm.geometry import project
+    from pyfeaturetrack_tpu.sfm.pipeline import ate_rmse_aligned
+    from pyfeaturetrack_tpu.sfm.vo import VisualOdometry
+
+    rng = np.random.default_rng(50)
+    n_pts = 300
+    pts = np.stack([rng.uniform(-9, 9, n_pts), rng.uniform(-5, 5, n_pts),
+                    rng.uniform(7, 22, n_pts)], -1).astype(np.float32)
+    n_out = 10
+    cs = ([np.array([0.22 * i, 0.02 * i, 0.0]) for i in range(n_out)] +
+          [np.array([0.22 * (n_out - 1 - i), 0.02 * (n_out - 1 - i), 0.0])
+           for i in range(1, n_out + 1)])
+    Rs = np.tile(np.eye(3, dtype=np.float32), (len(cs), 1, 1))
+    ts = np.stack([(-R @ c) for R, c in zip(Rs, cs)]).astype(np.float32)
+    amp = rng.uniform(120, 255, n_pts)
+    frames = []
+    for Rk, tk in zip(Rs, ts):
+        uv, depth = project(jnp.asarray(K, jnp.float32),
+                            jnp.asarray(Rk), jnp.asarray(tk),
+                            jnp.asarray(pts))
+        uv = np.asarray(uv)
+        depth = np.asarray(depth)
+        img = np.full((H, W), 20.0)
+        rad = 6
+        for j in range(n_pts):
+            if depth[j] <= 1.0:
+                continue
+            u, v = uv[j]
+            if not (rad < u < W - rad - 1 and rad < v < H - rad - 1):
+                continue
+            cu, cv = int(u), int(v)
+            yy, xx = np.mgrid[cv - rad:cv + rad + 1,
+                              cu - rad:cu + rad + 1]
+            img[cv - rad:cv + rad + 1, cu - rad:cu + rad + 1] += (
+                amp[j] * np.exp(-((xx - u) ** 2 + (yy - v) ** 2) / 6.48))
+        frames.append(np.clip(img, 0, 255))
+
+    vo = VisualOdometry(K, n_features=120, kf_every=2, window=6,
+                        min_parallax_px=10.0)
+    for f in frames:
+        vo.feed(f)
+    fi, R, t, c = vo.trajectory()
+    ate = ate_rmse_aligned(t, ts[fi])
+    travel = float(np.linalg.norm(np.diff(np.stack(cs), axis=0),
+                                  axis=-1).sum())
+    assert ate < 0.01 * travel, ate
+    # trajectory actually returns to the start
+    assert np.linalg.norm(c[-1] - c[0]) < 0.15
 
 
 def test_vo_relocalizes_after_total_occlusion():
