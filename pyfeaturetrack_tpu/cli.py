@@ -77,6 +77,11 @@ def main(argv=None) -> int:
                     help="with --vo: detect revisits of mapped regions "
                          "and correct drift (guided re-tracking + PnP "
                          "loop edge + pose graph)")
+    ap.add_argument("--right", nargs="+", default=None,
+                    help="with --vo: rectified RIGHT frames (one per "
+                         "left frame) for metric stereo VO")
+    ap.add_argument("--baseline", type=float, default=None,
+                    help="with --right: stereo baseline in world units")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.batched and args.chunks <= 1:
@@ -94,6 +99,12 @@ def main(argv=None) -> int:
             args.flow or args.vo or args.stream or args.device_loop
             or args.chunks > 1):
         ap.error("--fb-check applies to the default host loop only")
+    if (args.right is not None) != (args.baseline is not None):
+        ap.error("--right and --baseline must be given together")
+    if args.right is not None and not args.vo:
+        ap.error("--right/--baseline require --vo (stereo VO)")
+    if args.right is not None and len(args.right) != len(args.frames):
+        ap.error("--right needs exactly one frame per left frame")
     if args.vo and (args.chunks > 1 or args.device_loop or args.stream):
         ap.error("--vo is mutually exclusive with --chunks/"
                  "--device-loop/--stream")
@@ -167,9 +178,15 @@ def main(argv=None) -> int:
         K = np.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
         vo = VisualOdometry(K, cfg=cfg, n_features=args.features,
                             kf_every=max(args.kf_every, 1),
-                            loop_closure=args.loop_closure)
-        for f in frames:
-            vo.feed(f)
+                            loop_closure=args.loop_closure,
+                            stereo_baseline=args.baseline)
+        if args.right is not None:
+            rights = [pgm_read(p) for p in args.right]
+            for f, r in zip(frames, rights):
+                vo.feed(f, right=r)
+        else:
+            for f in frames:
+                vo.feed(f)
         for e in vo.events:
             print(e, file=sys.stderr)
         if not vo.initialized:
@@ -182,6 +199,7 @@ def main(argv=None) -> int:
                  keyframe_frames=fi, R=R, t=t, centers=c,
                  landmarks=vo.map_points(), K=K)
         summary = {"frames": len(frames), "vo": True,
+                   "stereo": args.baseline is not None,
                    "keyframes": int(len(fi)),
                    "landmarks": int(len(vo.map_points())),
                    "loops_closed": len(vo.loops_closed),

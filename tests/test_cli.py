@@ -148,6 +148,16 @@ def test_cli_flow_mode(pgm_frames, tmp_path, capsys):
 def test_cli_flag_conflicts(pgm_frames, tmp_path):
     with pytest.raises(SystemExit):
         main(pgm_frames + ["--flow", "--vo", "--out", str(tmp_path)])
+    with pytest.raises(SystemExit):  # --right without --baseline
+        main(pgm_frames + ["--vo", "--fx", "260", "--right"]
+             + pgm_frames + ["--out", str(tmp_path)])
+    with pytest.raises(SystemExit):  # stereo flags without --vo
+        main(pgm_frames + ["--right"] + pgm_frames
+             + ["--baseline", "0.3", "--out", str(tmp_path)])
+    with pytest.raises(SystemExit):  # count mismatch
+        main(pgm_frames + ["--vo", "--fx", "260", "--baseline", "0.3",
+                           "--right"] + pgm_frames[:2]
+             + ["--out", str(tmp_path)])
     with pytest.raises(SystemExit):
         main(pgm_frames + ["--stream", "--device-loop",
                            "--out", str(tmp_path)])
