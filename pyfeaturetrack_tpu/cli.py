@@ -82,6 +82,16 @@ def main(argv=None) -> int:
                          "left frame) for metric stereo VO")
     ap.add_argument("--baseline", type=float, default=None,
                     help="with --right: stereo baseline in world units")
+    ap.add_argument("--bootstrap-model", default="essential",
+                    choices=("essential", "auto"),
+                    help="with --vo: two-view bootstrap model — 'auto' "
+                         "adds H/E model selection (robust to planar "
+                         "scenes; rejects pure rotation)")
+    ap.add_argument("--traj-format", default=None,
+                    choices=("tum", "kitti"),
+                    help="with --vo: additionally write the keyframe "
+                         "trajectory as trajectory.tum / trajectory."
+                         "kitti (TUM RGB-D / KITTI odometry formats)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.batched and args.chunks <= 1:
@@ -103,6 +113,8 @@ def main(argv=None) -> int:
         ap.error("--right and --baseline must be given together")
     if args.right is not None and not args.vo:
         ap.error("--right/--baseline require --vo (stereo VO)")
+    if args.traj_format is not None and not args.vo:
+        ap.error("--traj-format requires --vo")
     if args.right is not None and len(args.right) != len(args.frames):
         ap.error("--right needs exactly one frame per left frame")
     if args.vo and (args.chunks > 1 or args.device_loop or args.stream):
@@ -179,7 +191,8 @@ def main(argv=None) -> int:
         vo = VisualOdometry(K, cfg=cfg, n_features=args.features,
                             kf_every=max(args.kf_every, 1),
                             loop_closure=args.loop_closure,
-                            stereo_baseline=args.baseline)
+                            stereo_baseline=args.baseline,
+                            bootstrap_model=args.bootstrap_model)
         if args.right is not None:
             rights = [pgm_read(p) for p in args.right]
             for f, r in zip(frames, rights):
@@ -198,6 +211,13 @@ def main(argv=None) -> int:
         np.savez(os.path.join(args.out, "trajectory.npz"),
                  keyframe_frames=fi, R=R, t=t, centers=c,
                  landmarks=vo.map_points(), K=K)
+        if args.traj_format:
+            from .utils.trajectory import write_kitti, write_tum
+            tp = os.path.join(args.out, f"trajectory.{args.traj_format}")
+            if args.traj_format == "tum":
+                write_tum(tp, R, t, timestamps=fi.astype(np.float64))
+            else:
+                write_kitti(tp, R, t)
         summary = {"frames": len(frames), "vo": True,
                    "stereo": args.baseline is not None,
                    "keyframes": int(len(fi)),

@@ -20,6 +20,11 @@ from .pipeline import (ate_rmse, ate_rmse_aligned,  # noqa: F401
                        run_sfm_windowed, umeyama_align)
 from .epipolar import (essential_from_matches, ransac_essential,  # noqa: F401
                        recover_pose, two_view_bootstrap)
+from .homography import (decompose_homography,  # noqa: F401
+                         homography_from_matches, ransac_homography,
+                         recover_pose_homography, two_view_bootstrap_auto)
+from .camera import (distort_pixels, project_distorted,  # noqa: F401
+                     undistort_pixels)
 from .pnp import pnp_ransac, refine_pose  # noqa: F401
 from .loop import close_loop_poses, guided_retrack  # noqa: F401
 from .stereo import (  # noqa: F401

@@ -73,7 +73,9 @@ class VisualOdometry:
                  loop_closure: bool = False, loop_min_gap: int = 6,
                  loop_radius: float = 1.0, loop_min_inliers: int = 12,
                  stereo_baseline: float | None = None,
-                 max_disparity: float = 64.0):
+                 max_disparity: float = 64.0,
+                 bootstrap_model: str = "essential",
+                 dist=None, dist_model: str = "radtan"):
         self.K = np.asarray(K, np.float64)
         self.device_loop = bool(device_loop)
         if device_loop:
@@ -99,6 +101,35 @@ class VisualOdometry:
         self.min_bootstrap_good = int(min_bootstrap_good)
         self.huber_px = float(huber_px)
         self.seed = int(seed)
+        # "essential": 8-point E only (fast, assumes general 3D).
+        # "auto": H/E model selection (sfm/homography.py) — survives
+        # planar scenes and rejects pure rotation as degenerate.
+        if bootstrap_model not in ("essential", "auto"):
+            raise ValueError("(VisualOdometry) bootstrap_model must be "
+                             f"'essential' or 'auto', got {bootstrap_model!r}")
+        self.bootstrap_model = bootstrap_model
+
+        # lens distortion (sfm/camera.py): the tracker runs on RAW
+        # images (LK is image-space); the GEOMETRY consumes ideal
+        # pinhole coordinates, so tracked pixels are undistorted at
+        # every geometry boundary. Modes that project the map back INTO
+        # an image (loop closure's guided re-observation) or assume
+        # rectification (stereo) need undistorted input by construction.
+        if dist is not None:
+            from .camera import _check_model
+            _check_model(dist_model)
+            if loop_closure:
+                raise ValueError("(VisualOdometry) dist requires "
+                                 "loop_closure=False — guided "
+                                 "re-observation assumes an undistorted "
+                                 "image; pre-rectify the stream instead")
+            if stereo_baseline is not None:
+                raise ValueError("(VisualOdometry) dist is incompatible "
+                                 "with stereo mode: rectified stereo is "
+                                 "undistorted by definition")
+        self.dist = (np.asarray(dist, np.float64)
+                     if dist is not None else None)
+        self.dist_model = str(dist_model)
 
         # stereo mode (sfm/stereo.py): rectified right frames supply
         # METRIC landmarks per keyframe — no bootstrap, no monocular
@@ -236,6 +267,15 @@ class VisualOdometry:
     def _matches(self, a: dict, b: dict) -> np.ndarray:
         return a["live"] & b["live"] & (a["gen"] == b["gen"])
 
+    def _ideal(self, uv: np.ndarray) -> np.ndarray:
+        """Tracked (raw-sensor) pixels -> ideal pinhole pixels for the
+        geometry; identity when no lens model is set."""
+        if self.dist is None or len(uv) == 0:
+            return uv
+        from .camera import undistort_pixels
+        return np.asarray(undistort_pixels(self.K, self.dist, uv,
+                                           self.dist_model), np.float64)
+
     def _try_bootstrap(self) -> None:
         if len(self.kf) < 2:
             return
@@ -247,19 +287,27 @@ class VisualOdometry:
             self.events.append(f"bootstrap base slid to kf {len(self.kf) - 1}")
             del self.kf[:-1]
             return
-        uv1 = np.stack([base["x"][m], base["y"][m]], -1)
-        uv2 = np.stack([cur["x"][m], cur["y"][m]], -1)
+        uv1 = self._ideal(np.stack([base["x"][m], base["y"][m]], -1))
+        uv2 = self._ideal(np.stack([cur["x"][m], cur["y"][m]], -1))
         parallax = float(np.median(
             np.linalg.norm(uv2 - uv1, axis=-1)))
         if parallax < self.min_parallax_px:
             del self.kf[1:-1]          # keep [base, newest] only
             return
-        out = two_view_bootstrap(self.K, uv1, uv2,
-                                 thresh_px=self.thresh_px,
-                                 n_hypotheses=512, seed=self.seed)
+        if self.bootstrap_model == "auto":
+            from .homography import two_view_bootstrap_auto
+            out = two_view_bootstrap_auto(self.K, uv1, uv2,
+                                          thresh_px=self.thresh_px,
+                                          n_hypotheses=512,
+                                          seed=self.seed)
+        else:
+            out = two_view_bootstrap(self.K, uv1, uv2,
+                                     thresh_px=self.thresh_px,
+                                     n_hypotheses=512, seed=self.seed)
         if out["good"].sum() < self.min_bootstrap_good:
-            self.events.append(
-                f"bootstrap rejected ({int(out['good'].sum())} good)")
+            why = ("pure rotation" if out.get("degenerate")
+                   else f"{int(out['good'].sum())} good")
+            self.events.append(f"bootstrap rejected ({why})")
             del self.kf[1:-1]
             return
         del self.kf[1:-1]
@@ -271,8 +319,9 @@ class VisualOdometry:
                 self.landmarks[(int(s), int(base["gen"][s]))] = \
                     out["X"][i].copy()
         self.initialized = True
+        model = f" [{out['model']}]" if "model" in out else ""
         self.events.append(
-            f"bootstrap at kf pair (frames {base['frame']},"
+            f"bootstrap{model} at kf pair (frames {base['frame']},"
             f" {cur['frame']}): {int(out['good'].sum())} landmarks,"
             f" parallax {parallax:.1f}px")
 
@@ -336,7 +385,7 @@ class VisualOdometry:
                 uvs.append((kf["x"][s], kf["y"][s]))
         return (np.asarray(slots, np.int64),
                 np.asarray(Xs, np.float64).reshape(-1, 3),
-                np.asarray(uvs, np.float64).reshape(-1, 2))
+                self._ideal(np.asarray(uvs, np.float64).reshape(-1, 2)))
 
     def _localize_new_keyframe(self) -> None:
         kf = self.kf[-1]
@@ -409,6 +458,9 @@ class VisualOdometry:
             for (k, u, v) in obs:
                 uvs[li, k] = (u, v)
                 mask[li, k] = True
+        if self.dist is not None:
+            uvs = self._ideal(uvs.reshape(-1, 2)).reshape(
+                L, C, 2).astype(np.float32)
         Rs = np.stack([p[0] for p in pose_w]).astype(np.float32)
         ts = np.stack([p[1] for p in pose_w]).astype(np.float32)
         X = np.asarray(triangulate_dlt(
@@ -456,7 +508,8 @@ class VisualOdometry:
             K=jnp.asarray(self.K, jnp.float32),
             cam_idx=jnp.asarray(cam_idx, jnp.int32),
             pt_idx=jnp.asarray(pt_idx, jnp.int32),
-            uv=jnp.asarray(np.asarray(uv, np.float32)),
+            uv=jnp.asarray(self._ideal(
+                np.asarray(uv, np.float64)).astype(np.float32)),
             w=jnp.asarray(w_obs))
         R0 = np.stack([p[0] for p in pose_w]).astype(np.float32)
         t0 = np.stack([p[1] for p in pose_w]).astype(np.float32)

@@ -182,7 +182,7 @@ def test_cli_vo_mode(tmp_path):
     out = tmp_path / "out"
     rc = main(paths + ["--vo", "--fx", str(K_vo[0, 0]),
                        "--kf-every", "2", "--features", "120",
-                       "--out", str(out)])
+                       "--traj-format", "tum", "--out", str(out)])
     assert rc == 0
     z = np.load(out / "trajectory.npz")
     assert z["R"].shape[0] == z["centers"].shape[0] >= 5
@@ -191,8 +191,21 @@ def test_cli_vo_mode(tmp_path):
     from pyfeaturetrack_tpu.sfm.pipeline import ate_rmse_aligned
     gt = cs[z["keyframe_frames"]]
     assert ate_rmse_aligned(z["centers"], gt) < 0.05
+    # TUM export round-trips the same poses
+    from pyfeaturetrack_tpu.utils.trajectory import read_tum
+    ts_r, R_r, _, C_r = read_tum(out / "trajectory.tum")
+    np.testing.assert_array_equal(ts_r, z["keyframe_frames"])
+    # quaternion round-trip re-orthonormalizes: VO's float32-refined
+    # rotations carry ~1e-6 non-orthonormality the projection removes
+    np.testing.assert_allclose(R_r, z["R"], atol=1e-5)
+    np.testing.assert_allclose(C_r, z["centers"], atol=1e-6)
 
 
 def test_cli_vo_requires_fx():
     with pytest.raises(SystemExit):
         main(["x.pgm", "--vo"])
+
+
+def test_cli_traj_format_requires_vo():
+    with pytest.raises(SystemExit):
+        main(["x.pgm", "--traj-format", "tum"])

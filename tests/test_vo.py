@@ -188,3 +188,58 @@ def test_vo_checkpoint_resume_matches_uninterrupted(scene, tmp_path):
     np.testing.assert_allclose(c_a, c_b, atol=1e-5)
     np.testing.assert_allclose(R_a, R_b, atol=1e-5)
     assert set(full.landmarks) == set(resumed.landmarks)
+
+
+def test_vo_auto_bootstrap_matches_essential(scene):
+    """bootstrap_model='auto' on a true-3D scene selects the essential
+    model and lands in the same accuracy regime as the default."""
+    _, _, cs, _, frames = scene
+    vo = VisualOdometry(K, n_features=120, kf_every=2, window=6,
+                        min_parallax_px=10.0, bootstrap_model="auto")
+    for f in frames:
+        vo.feed(f)
+    assert vo.initialized
+    assert any("bootstrap [E]" in e for e in vo.events), vo.events
+    fi, _, _, c = vo.trajectory()
+    gt = cs[fi]
+    ate = ate_rmse_aligned(c, gt)
+    assert ate < 0.03 * np.linalg.norm(gt[-1] - gt[0])
+
+
+def test_vo_auto_bootstrap_planar_scene():
+    """A fully PLANAR scene (all texture on one wall): the 8-point
+    essential is ill-conditioned there, the homography route must win
+    the model score and still initialize a usable trajectory."""
+    rng = np.random.default_rng(5)
+    nrm = np.array([0.05, -0.08, 1.0])
+    nrm = nrm / np.linalg.norm(nrm)
+    a = np.cross(nrm, [1.0, 0, 0])
+    a /= np.linalg.norm(a)
+    b = np.cross(nrm, a)
+    pts = (nrm * 14.0 + rng.uniform(-9, 9, (N_POINTS, 1)) * a
+           + rng.uniform(-6.5, 6.5, (N_POINTS, 1)) * b).astype(np.float32)
+    Rs, ts, cs = [], [], []
+    for i in range(N_FRAMES):
+        w = np.array([0.0012 * i, 0.003 * i, 0.001 * i], np.float32)
+        R = np.asarray(so3_exp(jnp.asarray(w[None])))[0].astype(np.float32)
+        c = np.array([0.22 * i, 0.03 * i, 0.12 * i], np.float32)
+        Rs.append(R)
+        ts.append((-R @ c).astype(np.float32))
+        cs.append(c)
+    Rs, ts, cs = np.stack(Rs), np.stack(ts), np.stack(cs)
+    frames = _render(Rs, ts, pts)
+    vo = VisualOdometry(K, n_features=120, kf_every=2, window=6,
+                        min_parallax_px=10.0, bootstrap_model="auto")
+    for f in frames:
+        vo.feed(f)
+    assert vo.initialized
+    assert any("bootstrap [H]" in e for e in vo.events), vo.events
+    fi, _, _, c = vo.trajectory()
+    gt = cs[fi]
+    ate = ate_rmse_aligned(c, gt)
+    assert ate < 0.04 * np.linalg.norm(gt[-1] - gt[0]), ate
+
+
+def test_vo_bad_bootstrap_model_raises():
+    with pytest.raises(ValueError):
+        VisualOdometry(K, bootstrap_model="fundamental")
