@@ -155,6 +155,49 @@ def bench_device_trace_fused(timeout_s=560):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def bench_flow_trace(h=480, w=640):
+    """Honest device clock for ONE dense-flow pair (profiler trace, the
+    only truthful lane on this relay — ROOFLINE.md §0). Respects
+    PFT_PALLAS_LK: with it set, every pixel runs through the gridded
+    fused kernel (ops/pallas_lk_fused.py via ops/flow.flow_level)."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.flow import dense_flow_pyramids
+    from pyfeaturetrack_tpu.ops.track import build_track_pyramids_jit
+    from pyfeaturetrack_tpu.utils.traceview import capture_device_trace
+
+    cfg = create_config().validated_window()
+    base = _textured(h, w)
+    p1 = build_track_pyramids_jit(jnp.asarray(base[:h, :w], jnp.float32),
+                                  cfg)
+    p2 = build_track_pyramids_jit(
+        jnp.asarray(base[1:h + 1, 2:w + 2], jnp.float32), cfg)
+    fn = jax.jit(lambda a, b: dense_flow_pyramids.__wrapped__(a, b, cfg))
+    jax.block_until_ready(fn(p1, p2))
+    r = capture_device_trace(lambda: jax.block_until_ready(fn(p1, p2)),
+                             n_calls=1)
+    import os
+    r["fused"] = bool(os.environ.get("PFT_PALLAS_LK"))
+    return r
+
+
+def bench_device_trace_flow_fused(timeout_s=560):
+    """bench_flow_trace with the fused Pallas LK kernel (PFT_PALLAS_LK=1)
+    — subprocess for the same trace-time-env reason as
+    bench_device_trace_fused. Measured 2026-08-18: 693 ms/pair device
+    time vs 29.2 s for the XLA gather path on this relay (42x)."""
+    import subprocess
+
+    env = dict(os.environ, PFT_PALLAS_LK="1")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--flow-trace-only"],
+        env=env, capture_output=True, text=True, timeout=timeout_s)
+    if out.returncode != 0:
+        return {"error": (out.stderr or out.stdout).strip()[-400:]}
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def bench_e2e_result(h=480, w=640, n_features=1000, n_frames=12):
     """Time-to-first-result rate: dependent frame-step chain, ONE scalar
     pull at the end. This is what a caller who needs the answers gets on
@@ -569,11 +612,16 @@ def main():
                     help="also run the multi-device weak-scaling sweep")
     ap.add_argument("--device-trace-only", action="store_true",
                     help=argparse.SUPPRESS)  # bench_device_trace_fused
+    ap.add_argument("--flow-trace-only", action="store_true",
+                    help=argparse.SUPPRESS)  # bench_device_trace_flow_fused
     args = ap.parse_args()
     h, w = map(int, args.size.split("x"))
 
     if args.device_trace_only:
         print(json.dumps(bench_device_trace()))
+        return 0
+    if args.flow_trace_only:
+        print(json.dumps(bench_flow_trace()))
         return 0
 
     from pyfeaturetrack_tpu.config import create_config
@@ -700,6 +748,14 @@ def main():
         except Exception as e:
             details["device_trace_fused_lk"] = {"error": str(e)}
             log(f"fused-LK device trace failed: {e}")
+        try:
+            details["device_trace_flow_fused"] = \
+                bench_device_trace_flow_fused()
+            log("fused dense-flow device trace done: "
+                f"{details['device_trace_flow_fused']}")
+        except Exception as e:
+            details["device_trace_flow_fused"] = {"error": str(e)}
+            log(f"fused dense-flow device trace failed: {e}")
         if args.scaling:
             from pyfeaturetrack_tpu.parallel.scaling import measure_scaling
             sc = measure_scaling()

@@ -82,7 +82,16 @@ def warp_image(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
 def flow_level(img1, gx1, gy1, img2, gx2, gy2, u, v, cfg
                ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One pyramid level of dense LK: track_feature_level over the pixel
-    grid, initialized at grid + (u, v). Returns (u, v, status) maps."""
+    grid, initialized at grid + (u, v). Returns (u, v, status) maps.
+
+    With ``PFT_PALLAS_LK`` set (resolved at trace time, like the sparse
+    dispatch in ops/track.track_features_pyramids) the level runs in the
+    fused Pallas kernel instead: pixels grid over SMEM-blocked chunks
+    with the level images VMEM-resident, so the [H*W, h, w] gather
+    buffers the XLA path materializes in HBM never exist — the lever on
+    byte-taxed backends (ROOFLINE.md dense-flow section).
+    """
+    import os
     nrows, ncols = img1.shape
     xg = jnp.tile(jnp.arange(ncols, dtype=jnp.float32)[None, :],
                   (nrows, 1))
@@ -93,6 +102,18 @@ def flow_level(img1, gx1, gy1, img2, gx2, gy2, u, v, cfg
     x2 = x1 + u.ravel()
     y2 = y1 + v.ravel()
     active = jnp.ones_like(x1, dtype=bool)
+    use_fused = os.environ.get("PFT_PALLAS_LK", "").lower() in (
+        "1", "on", "fused", "true")
+    if use_fused:
+        from .pallas_lk_fused import (fused_level_available,
+                                      fused_track_level)
+        if fused_level_available(img1.shape, cfg):
+            nx, ny, status, _ = fused_track_level(
+                x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2, cfg,
+                active, interpret=jax.default_backend() == "cpu")
+            return ((nx - x1).reshape(nrows, ncols),
+                    (ny - y1).reshape(nrows, ncols),
+                    status.reshape(nrows, ncols))
     nx, ny, status, _ = track_feature_level(
         x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2, cfg, active)
     return ((nx - x1).reshape(nrows, ncols),

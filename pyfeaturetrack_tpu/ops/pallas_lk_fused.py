@@ -60,6 +60,10 @@ from ..features import (KLT_LARGE_RESIDUE, KLT_MAX_ITERATIONS, KLT_OOB,
 _COLS = 256            # lane width of the aligned fetch block
 _ONE_PLUS_EPS = 1.001  # ops/track._ONE_PLUS_EPS (reference bound check)
 _VMEM_BUDGET = 12 * 1024 * 1024
+# Feature axis beyond this is gridded into SMEM-blocked chunks: whole-
+# array SMEM residency caps out (5 arrays x N x 4 B), and dense flow
+# (ops/flow.py routes every PIXEL through this kernel) needs N = H*W.
+_CHUNK = 2048
 
 
 def _rows_blk(wh: int) -> int:
@@ -240,11 +244,18 @@ def _fused_level_kernel(x1_ref, y1_ref, x2_ref, y2_ref, act_ref,
     lax.fori_loop(0, x1_ref.shape[0], one_feature, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "chunk"))
 def fused_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
-                      cfg, active, *, interpret: bool = False):
+                      cfg, active, *, interpret: bool = False,
+                      chunk: int | None = None):
     """Drop-in replacement for ops/track.track_feature_level running the
     whole level in one pallas_call. Returns (x2, y2, status, iteration).
+
+    Up to ``chunk`` features (default ``_CHUNK``) run in a single grid
+    step with the per-feature scalars whole in SMEM; larger batches —
+    dense flow tracks every pixel through here — grid over SMEM-blocked
+    chunks while the six level images stay VMEM-resident across steps
+    (constant block index, fetched once).
     """
     nrows, ncols = img1.shape
     hw, hh = cfg.window_width // 2, cfg.window_height // 2
@@ -264,19 +275,32 @@ def fused_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
         lighting=cfg.lighting_insensitive)
 
     n = x1.shape[0]
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if chunk is None:
+        chunk = min(n, _CHUNK)
+    npad = -(-n // chunk) * chunk
+    act = active.astype(jnp.int32)
+    feats = (x1, y1, x2, y2, act)
+    if npad != n:
+        # tail lanes are inactive pass-throughs, sliced off below
+        feats = tuple(jnp.pad(a, (0, npad - n)) for a in feats)
+
+    smem = pl.BlockSpec((chunk,), lambda i: (i,),
+                        memory_space=pltpu.SMEM)
+    vmem_img = pl.BlockSpec((hp, wp), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
-        in_specs=[smem] * 5 + [vmem] * 6,
-        out_specs=vmem,
+        grid=(npad // chunk,),
+        out_shape=jax.ShapeDtypeStruct((npad, 4), jnp.float32),
+        in_specs=[smem] * 5 + [vmem_img] * 6,
+        out_specs=pl.BlockSpec((chunk, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x1, y1, x2, y2, active.astype(jnp.int32),
+    )(*feats,
       padded(img1), padded(gx1), padded(gy1),
       padded(img2), padded(gx2), padded(gy2))
-    return (out[:, 0], out[:, 1], out[:, 2].astype(jnp.int32),
-            out[:, 3].astype(jnp.int32))
+    return (out[:n, 0], out[:n, 1], out[:n, 2].astype(jnp.int32),
+            out[:n, 3].astype(jnp.int32))
 
 
 def bench_fused_lk(h=480, w=640, n_features=1000, iters=20,

@@ -39,6 +39,37 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Periodic jax.clear_caches(): every compiled XLA-CPU executable the
+# session-long jit caches keep alive holds ~177 mmap regions; the full
+# suite accumulates ~65k mappings and the NEXT compile segfaults when
+# it trips vm.max_map_count (65530) — measured 2026-08-18 with the
+# PFT_RESMON logger below (maps 1,024 -> 65,433 over 367 tests, then
+# SIGSEGV inside backend_compile_and_load, deterministically at ~92% of
+# the suite). Clearing every 20 tests caps the census at a few
+# thousand; the persistent compilation cache (above) makes the
+# recompiles cheap. PFT_CLEAR_CACHES=0 disables, =N changes the period.
+#
+# PFT_RESMON=/path/to/log (opt-in) appends "<maps> <VmRSS kB>
+# <VmSize kB> <test id>" after every test — the instrument that
+# localized the leak; kept for future resource chases.
+_RESMON = os.environ.get("PFT_RESMON")
+_CLEAR_EVERY = int(os.environ.get("PFT_CLEAR_CACHES", "20"))
+_test_counter = [0]
+
+
+def pytest_runtest_teardown(item):
+    _test_counter[0] += 1
+    if _CLEAR_EVERY and _test_counter[0] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
+    if _RESMON:
+        with open("/proc/self/status") as f:
+            d = dict(line.split(":", 1) for line in f if ":" in line)
+        with open("/proc/self/maps") as f:
+            maps = sum(1 for _ in f)
+        with open(_RESMON, "a") as f:
+            f.write(f"{maps} {d['VmRSS'].split()[0]} "
+                    f"{d['VmSize'].split()[0]} {item.nodeid}\n")
+
 
 @pytest.fixture(scope="session")
 def rng():
