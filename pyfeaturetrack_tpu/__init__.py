@@ -62,6 +62,14 @@ from .ops.flow import (  # noqa: F401
     flow_to_rgb,
     warp_image,
 )
+from .ops.disparity import (  # noqa: F401
+    DenseDisparity,
+    dense_depth,
+    dense_disparity,
+    dense_disparity_lr,
+    dense_disparity_pyramids,
+    disparity_lr_consistency,
+)
 from .ops.track import track_features_pyramids_fb  # noqa: F401
 from .serving import (  # noqa: F401
     BatchedStreamingTracker,

@@ -82,6 +82,14 @@ def main(argv=None) -> int:
                          "left frame) for metric stereo VO")
     ap.add_argument("--baseline", type=float, default=None,
                     help="with --right: stereo baseline in world units")
+    ap.add_argument("--depth", action="store_true",
+                    help="dense metric depth from rectified stereo "
+                         "pairs: per-pixel 1-D KLT disparity with the "
+                         "left-right occlusion gate -> depth.npz "
+                         "(requires --right/--baseline/--fx; "
+                         "+ disp{i}.ppm maps with --overlays)")
+    ap.add_argument("--max-disparity", type=float, default=64.0,
+                    help="with --depth: disparity search range in px")
     ap.add_argument("--bootstrap-model", default="essential",
                     choices=("essential", "auto"),
                     help="with --vo: two-view bootstrap model — 'auto' "
@@ -106,13 +114,25 @@ def main(argv=None) -> int:
     if args.flow and len(args.frames) < 2:
         ap.error("--flow needs at least two frames")
     if args.fb_check is not None and (
-            args.flow or args.vo or args.stream or args.device_loop
-            or args.chunks > 1):
+            args.flow or args.vo or args.depth or args.stream
+            or args.device_loop or args.chunks > 1):
         ap.error("--fb-check applies to the default host loop only")
     if (args.right is not None) != (args.baseline is not None):
         ap.error("--right and --baseline must be given together")
-    if args.right is not None and not args.vo:
-        ap.error("--right/--baseline require --vo (stereo VO)")
+    if args.right is not None and not (args.vo or args.depth):
+        ap.error("--right/--baseline require --vo (stereo VO) or "
+                 "--depth (dense stereo depth)")
+    if args.depth:
+        if args.right is None:
+            ap.error("--depth requires --right/--baseline "
+                     "(rectified stereo pairs)")
+        if args.fx is None:
+            ap.error("--depth requires --fx (metric depth needs the "
+                     "focal length)")
+        if args.vo or args.flow or args.stream or args.device_loop \
+                or args.chunks > 1:
+            ap.error("--depth is mutually exclusive with --vo/--flow/"
+                     "--stream/--device-loop/--chunks")
     if args.traj_format is not None and not args.vo:
         ap.error("--traj-format requires --vo")
     if args.right is not None and len(args.right) != len(args.frames):
@@ -180,6 +200,40 @@ def main(argv=None) -> int:
         summary = {"frames": len(frames), "flow": True,
                    "pairs": len(us),
                    "mean_tracked_fraction": round(tracked, 4)}
+    elif args.depth:
+        from .ops.disparity import dense_depth
+        from .utils.io import ppm_write
+        h, w = frames[0].shape
+        fx = args.fx
+        K = np.array([[fx, 0.0, w / 2.0], [0.0, fx, h / 2.0],
+                      [0.0, 0.0, 1.0]])
+        rights = [pgm_read(p) for p in args.right]
+        depths, disps, valids = [], [], []
+        for i, (fL, fR) in enumerate(zip(frames, rights)):
+            depth, disp, valid = dense_depth(
+                fL, fR, K, baseline=args.baseline, cfg=cfg,
+                max_disparity=args.max_disparity)
+            depths.append(depth)
+            disps.append(disp)
+            valids.append(valid)
+            if args.overlays:
+                # disparity map, gated, scaled to 8-bit grey
+                g = np.where(valid, disp, 0.0) / max(
+                    args.max_disparity, 1e-9)
+                g8 = (np.clip(g, 0, 1) * 255).astype(np.uint8)
+                ppm_write(os.path.join(args.out, f"disp{i}.ppm"),
+                          np.stack([g8, g8, g8], -1))
+        np.savez(os.path.join(args.out, "depth.npz"),
+                 depth=np.stack(depths), disparity=np.stack(disps),
+                 valid=np.stack(valids), K=K,
+                 baseline=float(args.baseline))
+        mv = float(np.mean([v.mean() for v in valids]))
+        md = float(np.median(np.concatenate(
+            [d[v] for d, v in zip(depths, valids) if v.any()])))
+        summary = {"frames": len(frames), "depth": True,
+                   "pairs": len(depths),
+                   "mean_valid_fraction": round(mv, 4),
+                   "median_depth": round(md, 4)}
     elif args.vo:
         from .sfm.vo import VisualOdometry
         h, w = frames[0].shape

@@ -209,3 +209,40 @@ def test_cli_vo_requires_fx():
 def test_cli_traj_format_requires_vo():
     with pytest.raises(SystemExit):
         main(["x.pgm", "--traj-format", "tum"])
+
+
+def test_cli_depth_mode(tmp_path, capsys):
+    """--depth: dense stereo depth maps from rectified pairs (constant
+    d=6 -> depth = fx * baseline / 6 on valid pixels)."""
+    tex = make_textured_image(72, 140, seed=33)
+    lefts, rights = [], []
+    for i in range(2):
+        lp = tmp_path / f"l{i}.pgm"
+        rp = tmp_path / f"r{i}.pgm"
+        pgm_write(lp, tex[:, :120])
+        pgm_write(rp, tex[:, 6:126])
+        lefts.append(str(lp))
+        rights.append(str(rp))
+    out = tmp_path / "out"
+    rc = main(lefts + ["--depth", "--right"] + rights +
+              ["--baseline", "0.5", "--fx", "120",
+               "--max-disparity", "12", "--overlays", "--out", str(out)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["depth"] is True and summary["pairs"] == 2
+    assert summary["mean_valid_fraction"] > 0.4
+    assert abs(summary["median_depth"] - 120 * 0.5 / 6.0) < 0.2
+    z = np.load(out / "depth.npz")
+    assert z["depth"].shape == (2, 72, 120)
+    assert (out / "disp0.ppm").exists()
+
+
+def test_cli_depth_flag_validation():
+    with pytest.raises(SystemExit):  # --depth without --right
+        main(["x.pgm", "--depth", "--fx", "100"])
+    with pytest.raises(SystemExit):  # --depth without --fx
+        main(["x.pgm", "--depth", "--right", "y.pgm",
+              "--baseline", "0.5"])
+    with pytest.raises(SystemExit):  # --depth + --vo
+        main(["x.pgm", "--depth", "--vo", "--fx", "100",
+              "--right", "y.pgm", "--baseline", "0.5"])
