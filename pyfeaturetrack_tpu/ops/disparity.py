@@ -85,7 +85,13 @@ def disparity_level(img1, gx1, gy1, img2, gx2, gy2, d, cfg
     (right-image window at (x - d, y)). Returns (d, status) maps.
 
     Mirrors ops/track.track_feature_level's masked fixed-trip loop and
-    status priorities exactly, specialized to the horizontal axis."""
+    status priorities exactly, specialized to the horizontal axis.
+
+    With ``PFT_PALLAS_LK`` set (trace-time, like ops/flow.flow_level)
+    the level runs in the gridded fused Pallas kernel's 1-D mode
+    instead — same 42x-class honest-clock lever as fused dense flow on
+    byte-taxed backends (DESIGN.md §3)."""
+    import os
     nrows, ncols = img1.shape
     hw, hh = cfg.window_width // 2, cfg.window_height // 2
     th = jnp.float32(cfg.min_displacement)
@@ -97,6 +103,19 @@ def disparity_level(img1, gx1, gy1, img2, gx2, gy2, d, cfg
     x1 = xg.ravel()
     y1 = yg.ravel()
     x2 = x1 - d.ravel()
+
+    use_fused = os.environ.get("PFT_PALLAS_LK", "").lower() in (
+        "1", "on", "fused", "true")
+    if use_fused:
+        from .pallas_lk_fused import (fused_level_available,
+                                      fused_track_level)
+        if fused_level_available(img1.shape, cfg):
+            nx, _, status, _ = fused_track_level(
+                x1, y1, x2, y1, img1, gx1, gy1, img2, gx2, gy2, cfg,
+                jnp.ones_like(x1, dtype=bool),
+                interpret=jax.default_backend() == "cpu", one_d=True)
+            return ((x1 - nx).reshape(nrows, ncols),
+                    status.reshape(nrows, ncols))
 
     w1, g1x, g1y = _gather3(img1, gx1, gy1, x1, y1, hw, hh)
     ok1 = _bounds_ok(x1, y1, hw, hh, ncols, nrows)

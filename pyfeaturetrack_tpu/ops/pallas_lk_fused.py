@@ -97,7 +97,8 @@ def _fused_level_kernel(x1_ref, y1_ref, x2_ref, y2_ref, act_ref,
                         hw: int, hh: int, nrows: int, ncols: int,
                         max_iterations: int, min_displacement: float,
                         min_determinant: float, max_residue: float,
-                        step_factor: float, lighting: bool):
+                        step_factor: float, lighting: bool,
+                        one_d: bool = False):
     ww = 2 * hw + 1
     wh = 2 * hh + 1
     rows_blk = _rows_blk(wh)
@@ -186,15 +187,23 @@ def _fused_level_kernel(x1_ref, y1_ref, x2_ref, y2_ref, act_ref,
                     gx = g1x + g2x
                     gy = g1y + g2y
                 gxx = jnp.sum(gx * gx)
-                gxy = jnp.sum(gx * gy)
-                gyy = jnp.sum(gy * gy)
                 ex = step_factor * jnp.sum(diff * gx)
-                ey = step_factor * jnp.sum(diff * gy)
-                det = gxx * gyy - gxy * gxy
-                small = det < min_determinant
-                safe = jnp.where(small, 1.0, det)
-                dx = (gyy * ex - gxy * ey) / safe
-                dy = (gxx * ey - gxy * ex) / safe
+                if one_d:
+                    # 1-D (rectified-stereo) mode: scalar normal
+                    # equation along x, vertical displacement pinned
+                    # (ops/disparity.disparity_level semantics)
+                    small = gxx < min_determinant
+                    dx = ex / jnp.where(small, 1.0, gxx)
+                    dy = jnp.float32(0.0)
+                else:
+                    gxy = jnp.sum(gx * gy)
+                    gyy = jnp.sum(gy * gy)
+                    ey = step_factor * jnp.sum(diff * gy)
+                    det = gxx * gyy - gxy * gxy
+                    small = det < min_determinant
+                    safe = jnp.where(small, 1.0, det)
+                    dx = (gyy * ex - gxy * ey) / safe
+                    dy = (gxx * ey - gxy * ex) / safe
                 upd = ok & ~small
                 nx = jnp.where(upd, x2 + dx, x2)
                 ny = jnp.where(upd, y2 + dy, y2)
@@ -244,10 +253,11 @@ def _fused_level_kernel(x1_ref, y1_ref, x2_ref, y2_ref, act_ref,
     lax.fori_loop(0, x1_ref.shape[0], one_feature, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "chunk"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "chunk",
+                                             "one_d"))
 def fused_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
                       cfg, active, *, interpret: bool = False,
-                      chunk: int | None = None):
+                      chunk: int | None = None, one_d: bool = False):
     """Drop-in replacement for ops/track.track_feature_level running the
     whole level in one pallas_call. Returns (x2, y2, status, iteration).
 
@@ -272,7 +282,7 @@ def fused_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
         min_displacement=cfg.min_displacement,
         min_determinant=cfg.min_determinant,
         max_residue=cfg.max_residue, step_factor=cfg.step_factor,
-        lighting=cfg.lighting_insensitive)
+        lighting=cfg.lighting_insensitive, one_d=one_d)
 
     n = x1.shape[0]
     if chunk is None:

@@ -149,6 +149,39 @@ def dense_flow_sharded(img1, img2, cfg, mesh: Mesh | None = None):
                      cfg)
 
 
+def dense_disparity_sharded(left, right, cfg, mesh: Mesh | None = None,
+                            max_disparity: float = 64.0):
+    """Dense rectified-stereo disparity for ONE pair with the pixel-row
+    axis sharded over the mesh (same design as dense_flow_sharded:
+    images replicate, per-pixel state shards, no collectives — the SSD
+    hypothesis sweep and the 1-D LK are both row-local). Output (d,
+    status) maps are row-sharded; level heights must divide the device
+    count."""
+    from ..ops.disparity import DenseDisparity, dense_disparity_pyramids
+    from ..ops.track import build_track_pyramids
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), (PIXROW_AXIS,))
+    flat = Mesh(mesh.devices.reshape(-1), (PIXROW_AXIS,))
+    row_sh = NamedSharding(flat, P(PIXROW_AXIS, None))
+
+    @functools.partial(
+        jax.jit, static_argnames=("cfg", "max_disparity"),
+        out_shardings=DenseDisparity(d=row_sh, status=row_sh))
+    def _disp(i1, i2, cfg, max_disparity):
+        p1 = build_track_pyramids(i1, cfg)
+        p2 = build_track_pyramids(i2, cfg)
+        return dense_disparity_pyramids.__wrapped__(
+            p1, p2, cfg, max_disparity=max_disparity)
+
+    rep = NamedSharding(flat, P())
+    with flat:
+        return _disp(jax.device_put(jnp.asarray(left, jnp.float32), rep),
+                     jax.device_put(jnp.asarray(right, jnp.float32),
+                                    rep),
+                     cfg, float(max_disparity))
+
+
 def multichip_track_step(n_devices: int, cfg=None,
                          image_shape=(64, 96), n_features: int = 64):
     """Compile + run ONE sharded tracking step on tiny shapes.

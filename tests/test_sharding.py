@@ -154,3 +154,32 @@ def test_dryrun_multichip_entry():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert np.asarray(out[2]).shape == (64,)
+
+
+def test_dense_disparity_sharded_equals_unsharded():
+    """Dense stereo disparity with the pixel-row axis sharded over 8
+    devices == the single-device result exactly (the SSD hypothesis
+    sweep and the 1-D LK are both row-local)."""
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.disparity import dense_disparity_pyramids
+    from pyfeaturetrack_tpu.parallel.sharding import \
+        dense_disparity_sharded
+
+    cfg = create_config()
+    base = make_textured_image(64, 160, seed=13)
+    left = base[:, :128]
+    right = base[:, 24:152]         # constant d = +24 -> needs the sweep
+
+    got = dense_disparity_sharded(left, right, cfg, max_disparity=32.0)
+
+    p1 = build_track_pyramids(jnp.asarray(left, jnp.float32), cfg)
+    p2 = build_track_pyramids(jnp.asarray(right, jnp.float32), cfg)
+    want = dense_disparity_pyramids(p1, p2, cfg, max_disparity=32.0)
+
+    np.testing.assert_array_equal(np.asarray(got.status),
+                                  np.asarray(want.status))
+    np.testing.assert_allclose(np.asarray(got.d), np.asarray(want.d),
+                               atol=1e-5)
+    assert len(got.d.sharding.device_set) == 8
+    ok = np.asarray(want.status) == 0
+    assert abs(np.median(np.asarray(want.d)[ok]) - 24.0) < 0.3
