@@ -422,6 +422,30 @@ def bench_dense_flow(h=480, w=640, n_frames=20, warmup=3):
     return fps
 
 
+def bench_dense_flow_batched(h=480, w=640, batch=4, n_steps=6, warmup=2):
+    """Aggregate dense-flow frames/s for ``batch`` lockstep camera
+    streams in ONE vmapped program per step (ops/flow.dense_flow_batched
+    — the dense analogue of the batched8 sparse config)."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.flow import dense_flow_batched
+
+    cfg = create_config()
+    base = _textured(h, w)
+    stack = [jnp.stack([jnp.asarray(
+        base[(i + b) % 4:(i + b) % 4 + h, (i + b) % 4:(i + b) % 4 + w],
+        jnp.float32) for b in range(batch)]) for i in range(3)]
+    for i in range(warmup):
+        fl = dense_flow_batched(stack[i % 2], stack[(i + 1) % 3], cfg)
+    jax.block_until_ready(fl)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        fl = dense_flow_batched(stack[i % 2], stack[(i + 1) % 3], cfg)
+    jax.block_until_ready(fl)
+    return batch * n_steps / (time.perf_counter() - t0)
+
+
 def bench_two_frame_demo():
     """Config 1: the stock example1 flow (select 100 + track), end to end
     host-to-host, seconds per run."""
@@ -672,6 +696,10 @@ def main():
         log(f"config4 done: {details['config4_1080p_4096feat_4lvl_fps']}")
         details["dense_flow_480x640_fps"] = _repeat(bench_dense_flow, n=3)
         log(f"dense flow done: {details['dense_flow_480x640_fps']}")
+        details["dense_flow_batched4_fps"] = _repeat(
+            bench_dense_flow_batched, n=3)
+        log("dense flow batched4 done: "
+            f"{details['dense_flow_batched4_fps']}")
         details["batched8_streams_aggregate_fps"] = _repeat(
             bench_batched_streams, n=3)
         log(f"batched8 done: {details['batched8_streams_aggregate_fps']}")

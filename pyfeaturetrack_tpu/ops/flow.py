@@ -189,6 +189,24 @@ def dense_flow_fb(pyr1: TrackPyramids, pyr2: TrackPyramids, cfg,
     return fwd, err, valid
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def dense_flow_batched(imgs1: jax.Array, imgs2: jax.Array,
+                       cfg) -> DenseFlow:
+    """Dense flow for B frame pairs as ONE vmapped program (the dense
+    analogue of the sparse lockstep multi-stream path,
+    models/chunked.track_chunks_batched): imgs1/imgs2 are [B, H, W]
+    float32 stacks, the result maps are [B, H, W]. Amortizes the
+    per-dispatch floor across streams on dispatch-taxed backends and
+    keeps one fused program on direct silicon."""
+    from .track import build_track_pyramids
+
+    build = jax.vmap(lambda im: build_track_pyramids(im, cfg))
+    p1 = build(imgs1.astype(jnp.float32))
+    p2 = build(imgs2.astype(jnp.float32))
+    return jax.vmap(
+        lambda a, b: dense_flow_pyramids.__wrapped__(a, b, cfg))(p1, p2)
+
+
 def compute_dense_flow(img1, img2, cfg=None) -> DenseFlow:
     """High-level entry: dense flow from frame 1 to frame 2 (images in
     any array form; uint8 staged host-side per the staging rule)."""

@@ -183,3 +183,24 @@ def test_flow_to_rgb_shape_and_range():
     rgb = flow_to_rgb(u, v)
     assert rgb.shape == (32, 48, 3) and rgb.dtype == np.uint8
     assert rgb.max() > 200  # saturated hues present
+
+
+def test_dense_flow_batched_equals_per_pair():
+    """B lockstep pairs in one vmapped program == per-pair results."""
+    from pyfeaturetrack_tpu.ops.flow import dense_flow_batched
+
+    cfg = create_config()
+    pairs = [_pair(h=48, w=64, shift=(1, 1), seed=s) for s in (3, 4, 5)]
+    i1 = jnp.stack([p[0] for p in pairs])
+    i2 = jnp.stack([p[1] for p in pairs])
+    got = dense_flow_batched(i1, i2, cfg)
+    assert got.u.shape == (3, 48, 64)
+    for b, (a, c) in enumerate(pairs):
+        p1, p2 = _pyramids(a, c, cfg)
+        want = dense_flow_pyramids(p1, p2, cfg)
+        np.testing.assert_array_equal(np.asarray(got.status[b]),
+                                      np.asarray(want.status))
+        np.testing.assert_allclose(np.asarray(got.u[b]),
+                                   np.asarray(want.u), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.v[b]),
+                                   np.asarray(want.v), atol=1e-5)
