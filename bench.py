@@ -777,6 +777,25 @@ def main():
             details["device_trace_fused_lk"] = {"error": str(e)}
             log(f"fused-LK device trace failed: {e}")
         try:
+            from pyfeaturetrack_tpu.ops.pallas_affine_fused import \
+                bench_fused_affine
+            r = bench_fused_affine(device_trace=True)
+            fd, xd = r["pallas_fused_device"], r["xla_batch_device"]
+            details["device_trace_fused_affine"] = {
+                "fused_per_call_ms": fd["per_call_ms"],
+                "fused_ops": fd["ops_per_call"],
+                "xla_per_call_ms": xd["per_call_ms"],
+                "xla_ops": xd["ops_per_call"],
+                "speedup": (round(xd["per_call_ms"] / fd["per_call_ms"],
+                                  2) if fd["per_call_ms"] else None),
+                "note": "mode-2 affine batch, 1000 feat 480x640; "
+                        "profiler device lane (ROOFLINE.md §0)"}
+            log("fused-affine device trace done: "
+                f"{details['device_trace_fused_affine']}")
+        except Exception as e:
+            details["device_trace_fused_affine"] = {"error": str(e)}
+            log(f"fused-affine device trace failed: {e}")
+        try:
             details["device_trace_flow_fused"] = \
                 bench_device_trace_flow_fused()
             log("fused dense-flow device trace done: "

@@ -217,9 +217,28 @@ def affine_consistency_check(pyr1, pyr2, fl_before: FeatureState,
     )
 
     check = tracked & aff.valid & ~need_capture
-    x, y, A, status = _affine_track_batch(
-        aff.img, pyr2.img[0], pyr2.gradx[0], pyr2.grady[0],
-        fl_after.x, fl_after.y, aff.A, check, cfg)
+
+    # Opt-in fused Pallas kernel (whole Gauss-Newton loop as ONE op —
+    # ops/pallas_affine_fused.py): the big lever on op-count-taxed
+    # backends (ROOFLINE.md §0). Resolved at trace time, like
+    # PFT_PALLAS_LK in ops/track.py.
+    import os
+    use_fused = os.environ.get("PFT_PALLAS_AFFINE", "").lower() in (
+        "1", "on", "fused", "true")
+    fused_ok = False
+    if use_fused and getattr(cfg, "image_dtype", "float32") == "float32":
+        from .pallas_affine_fused import (fused_affine_available,
+                                          fused_affine_track_batch)
+        fused_ok = fused_affine_available(pyr2.img[0].shape, cfg)
+    if fused_ok:
+        x, y, A, status = fused_affine_track_batch(
+            aff.img, pyr2.img[0], pyr2.gradx[0], pyr2.grady[0],
+            fl_after.x, fl_after.y, aff.A, check, cfg,
+            interpret=jax.default_backend() == "cpu")
+    else:
+        x, y, A, status = _affine_track_batch(
+            aff.img, pyr2.img[0], pyr2.gradx[0], pyr2.grady[0],
+            fl_after.x, fl_after.y, aff.A, check, cfg)
 
     failed = check & (status != KLT_TRACKED)
     new_x = jnp.where(check, jnp.where(failed, -1.0, x), fl_after.x)
