@@ -422,10 +422,17 @@ def bench_dense_flow(h=480, w=640, n_frames=20, warmup=3):
     return fps
 
 
-def bench_dense_flow_batched(h=480, w=640, batch=4, n_steps=6, warmup=2):
+def bench_dense_flow_batched(h=240, w=320, batch=4, n_steps=6, warmup=2):
     """Aggregate dense-flow frames/s for ``batch`` lockstep camera
     streams in ONE vmapped program per step (ops/flow.dense_flow_batched
-    — the dense analogue of the batched8 sparse config)."""
+    — the dense analogue of the batched8 sparse config).
+
+    Default size is 240x320: the XLA dense path materializes ~2.8 GB of
+    gather buffers per 480x640 stream (ROOFLINE.md dense section), so
+    batch=4 at 480p exceeds v5e HBM at compile time (measured
+    RESOURCE_EXHAUSTED 2026-08-19). The 480p-per-stream answer is the
+    fused kernel path (PFT_PALLAS_LK=1), which never builds those
+    buffers — see device_trace_flow_fused."""
     import jax
     import jax.numpy as jnp
     from pyfeaturetrack_tpu.config import create_config
@@ -696,10 +703,15 @@ def main():
         log(f"config4 done: {details['config4_1080p_4096feat_4lvl_fps']}")
         details["dense_flow_480x640_fps"] = _repeat(bench_dense_flow, n=3)
         log(f"dense flow done: {details['dense_flow_480x640_fps']}")
-        details["dense_flow_batched4_fps"] = _repeat(
-            bench_dense_flow_batched, n=3)
-        log("dense flow batched4 done: "
-            f"{details['dense_flow_batched4_fps']}")
+        try:
+            details["dense_flow_batched4_240x320_fps"] = _repeat(
+                bench_dense_flow_batched, n=3)
+            log("dense flow batched4 done: "
+                f"{details['dense_flow_batched4_240x320_fps']}")
+        except Exception as e:  # never let one stage abort the sweep
+            details["dense_flow_batched4_240x320_fps"] = {
+                "error": str(e)[-300:]}
+            log(f"dense flow batched4 FAILED: {e}")
         details["batched8_streams_aggregate_fps"] = _repeat(
             bench_batched_streams, n=3)
         log(f"batched8 done: {details['batched8_streams_aggregate_fps']}")

@@ -18,9 +18,10 @@ import sys
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="pft-track",
-        description="Track features through a PGM image sequence "
+        description="Track features through an image sequence "
                     "(TPU-native KLT).")
-    ap.add_argument("frames", nargs="+", help="PGM frames, in order")
+    ap.add_argument("frames", nargs="+",
+                help="frames in order (PGM natively; any PIL-readable\n                format otherwise)")
     ap.add_argument("--features", type=int, default=150)
     ap.add_argument("--out", default=".", help="output directory")
     ap.add_argument("--no-replace", action="store_true",
@@ -151,7 +152,7 @@ def main(argv=None) -> int:
     from .config import create_config
     from .errors import KLTSetVerbosity
     from .models.sequence import track_sequence
-    from .utils.io import pgm_read, write_feature_table
+    from .utils.io import read_image, write_feature_table
     from .utils.viz import write_feature_list_to_ppm
 
     if args.verbose:
@@ -207,7 +208,7 @@ def main(argv=None) -> int:
         fx = args.fx
         K = np.array([[fx, 0.0, w / 2.0], [0.0, fx, h / 2.0],
                       [0.0, 0.0, 1.0]])
-        rights = [pgm_read(p) for p in args.right]
+        rights = [read_image(p) for p in args.right]
         depths, disps, valids = [], [], []
         for i, (fL, fR) in enumerate(zip(frames, rights)):
             depth, disp, valid = dense_depth(
@@ -248,7 +249,7 @@ def main(argv=None) -> int:
                             stereo_baseline=args.baseline,
                             bootstrap_model=args.bootstrap_model)
         if args.right is not None:
-            rights = [pgm_read(p) for p in args.right]
+            rights = [read_image(p) for p in args.right]
             for f, r in zip(frames, rights):
                 vo.feed(f, right=r)
         else:
@@ -309,7 +310,7 @@ def main(argv=None) -> int:
                 fl = feature_state_from_numpy(
                     np.stack([tx[i], ty[i], tv[i]], -1))
                 write_feature_list_to_ppm(
-                    fl, pgm_read(path),
+                    fl, read_image(path),
                     os.path.join(args.out, f"feat{i}.ppm"))
         write_feature_table(ft, os.path.join(args.out, "features.txt"),
                             fmt="%5.1f")

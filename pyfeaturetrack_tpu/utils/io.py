@@ -199,6 +199,70 @@ def ppm_read(path) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8).reshape(nrows, ncols, 3).copy()
 
 
+def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R 601-2 luma (the PIL 'L' convention), rounded to uint8:
+    L = (299 R + 587 G + 114 B + 500) // 1000."""
+    rgb = np.asarray(rgb).astype(np.uint32)
+    luma = (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]
+            + 500) // 1000
+    return luma.astype(np.uint8)
+
+
+def read_image(path) -> np.ndarray:
+    """Read any image file -> uint8 grayscale [H, W].
+
+    PGM goes through :func:`pgm_read` (native codec, reference-parity
+    error surface); PPM through :func:`ppm_read` + ITU-R 601 luma; any
+    other extension is decoded by PIL and converted to mode 'L'
+    (SURVEY.md §2.1 notes the reference's examples may route I/O
+    through ``PIL Image.open`` — this keeps that usage working).
+    """
+    p = str(path)
+    ext = p.rsplit(".", 1)[-1].lower() if "." in p else ""
+    if ext in ("pgm", "pnm"):
+        return pgm_read(path)
+    if ext == "ppm":
+        return rgb_to_gray(ppm_read(path))
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is baked in
+        raise KLTError(
+            f"(read_image) {path}: non-PNM formats need PIL ({e})")
+    try:
+        with Image.open(path) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+    except KLTError:
+        raise
+    except Exception as e:
+        raise KLTError(f"(read_image) {path}: {e}")
+
+
+def write_image(path, img: np.ndarray) -> None:
+    """Write a uint8 image: [H, W] grayscale or [H, W, 3] RGB. PGM/PPM
+    use the reference-parity writers; other extensions go through PIL
+    (e.g. ``.png`` overlays for tools that can't read PNM)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    p = str(path)
+    ext = p.rsplit(".", 1)[-1].lower() if "." in p else ""
+    if ext in ("pgm", "pnm") and img.ndim == 2:
+        pgm_write(path, img)
+        return
+    if ext == "ppm" and img.ndim == 3:
+        ppm_write(path, img)
+        return
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is baked in
+        raise KLTError(
+            f"(write_image) {path}: non-PNM formats need PIL ({e})")
+    try:
+        Image.fromarray(img).save(path)
+    except Exception as e:
+        raise KLTError(f"(write_image) {path}: {e}")
+
+
 def float_image_to_pgm(path, img: np.ndarray, scale: bool = True) -> None:
     """Debug-dump a float image to PGM (abs then optionally rescaled to 255).
 

@@ -31,7 +31,7 @@ from typing import Callable, Iterator, Optional, Sequence
 import numpy as np
 
 from ..errors import KLTError
-from .io import pgm_read
+from .io import read_image
 
 _SENTINEL = object()
 
@@ -43,8 +43,9 @@ class FrameLoader:
     cap: readahead x frame bytes); ``workers`` decodes that window
     concurrently — useful because file reads release the GIL and PGM
     ascii decode runs in native code. ``reader`` defaults to
-    :func:`utils.io.pgm_read` and may be any path -> ndarray callable
-    (e.g. ppm_read + a grayscale transform, or an actual video decoder).
+    :func:`utils.io.read_image` (PGM via the native codec, anything
+    else via PIL -> grayscale) and may be any path -> ndarray callable
+    (e.g. an actual video decoder).
 
     Iteration is strictly source-order. A reader exception is re-raised
     at the consuming ``next()`` for the frame that failed (decode-ahead
@@ -64,7 +65,7 @@ class FrameLoader:
         self._paths = list(paths)
         self._readahead = int(readahead)
         self._workers = int(workers)
-        self._reader = reader if reader is not None else pgm_read
+        self._reader = reader if reader is not None else read_image
         self._started = False
 
     def __len__(self) -> int:

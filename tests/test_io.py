@@ -204,3 +204,72 @@ def test_pgm_ascii_out_of_range_pixel_raises_klt_error(tmp_path, token):
     p = tmp_path / "range.pgm"
     p.write_bytes(f"P2\n2 2\n255\n0 1 {token} 3".encode())
     _expect_klt_error(io.pgm_read, p)
+
+
+# ---- read_image / write_image: the any-format surface (PIL-backed) ----
+
+def _gray(seed=0, h=24, w=32):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w), dtype=np.uint8)
+
+
+def test_read_image_pgm_matches_pgm_read(tmp_path):
+    img = _gray(1)
+    p = tmp_path / "a.pgm"
+    io.pgm_write(p, img)
+    np.testing.assert_array_equal(io.read_image(p), io.pgm_read(p))
+
+
+def test_read_image_png_roundtrip_exact(tmp_path):
+    img = _gray(2)
+    p = tmp_path / "a.png"
+    io.write_image(p, img)
+    np.testing.assert_array_equal(io.read_image(p), img)
+
+
+def test_write_read_image_rgb_png(tmp_path):
+    rgb = np.random.default_rng(3).integers(0, 256, (16, 20, 3),
+                                            dtype=np.uint8)
+    p = tmp_path / "rgb.png"
+    io.write_image(p, rgb)
+    from PIL import Image
+    np.testing.assert_array_equal(np.asarray(Image.open(p)), rgb)
+
+
+def test_read_image_ppm_luma_matches_pil(tmp_path):
+    rgb = np.random.default_rng(4).integers(0, 256, (16, 20, 3),
+                                            dtype=np.uint8)
+    p = tmp_path / "c.ppm"
+    io.ppm_write(p, rgb)
+    got = io.read_image(p)
+    from PIL import Image
+    pil = np.asarray(Image.fromarray(rgb).convert("L"), np.int16)
+    # both are rounded ITU-R 601 luma; integer arithmetic may differ
+    # by one code value on ties
+    assert np.abs(got.astype(np.int16) - pil).max() <= 1
+
+
+def test_read_image_corrupt_file_raises_klt_error(tmp_path):
+    p = tmp_path / "bad.png"
+    p.write_bytes(b"\x89PNG\r\n\x1a\n not actually a png")
+    _expect_klt_error(io.read_image, p)
+
+
+def test_write_image_pgm_routes_to_reference_writer(tmp_path):
+    img = _gray(5)
+    p = tmp_path / "w.pgm"
+    io.write_image(p, img)
+    assert p.read_bytes().startswith(b"P5\n")
+    np.testing.assert_array_equal(io.pgm_read(p), img)
+
+
+def test_frame_loader_mixed_formats(tmp_path):
+    from pyfeaturetrack_tpu.utils.loader import load_frames
+    imgs = [_gray(10 + i) for i in range(3)]
+    paths = [tmp_path / "f0.pgm", tmp_path / "f1.png", tmp_path / "f2.ppm"]
+    io.pgm_write(paths[0], imgs[0])
+    io.write_image(paths[1], imgs[1])
+    io.ppm_write(paths[2], np.stack([imgs[2]] * 3, -1))  # gray RGB
+    out = load_frames(paths)
+    for got, want in zip(out, imgs):
+        np.testing.assert_array_equal(got, want)
