@@ -1,0 +1,523 @@
+"""Feature-VECTORIZED fused Pallas LK: whole level in one kernel, with
+the iteration loop advancing a TILE of features at once.
+
+Reference parity: trackFeatures.py -> _trackFeature (the full iterative
+per-level solve), with semantics matching ops/track.track_feature_level
+(the oracle-parity-tested XLA path) lane for lane.
+
+Motivation (VERDICT r2 item 1): ops/pallas_lk_fused.py collapsed the
+level into one kernel but iterates features one at a time inside it
+(``lax.fori_loop`` over features, each with its own while_loop) — a
+latency-serial shape: ~8 tiny Mosaic ops per feature-iteration, ~4.4 ms
+per headline frame on the honest device clock, and the wrong shape for
+direct-attached silicon. This kernel replaces the serial loop with a
+blocked design:
+
+* phase 1a/1c — the ONLY serial work: per feature, one aligned
+  dynamic-slice copy per array (3 frame-1 + 3 frame-2) into VMEM
+  scratch blocks [FC, RB, CB]. Aligned (%8 sublane / %128 lane) block
+  origins are pure functions of the entry positions, so no per-feature
+  metadata needs storing — the vector phases recompute them.
+* phase 1b — frame-1 windows for the WHOLE tile extracted at once:
+  one-hot row/col selector batched ``dot_general``s with
+  precision=HIGHEST (measured exact for one-hot operands on this rig —
+  experiments/probe_mosaic_gather.py) followed by the standard shared-
+  fraction bilinear blend. Bitwise equal to the XLA gather.
+* phase 2 — the LK iteration loop runs VECTORIZED: a fixed-trip
+  ``fori_loop`` whose carry is one [FC, 8] f32 tile (x2, y2, status,
+  iter, live, stale), exactly mirroring track_feature_level's masked
+  fixed-trip semantics. Each iteration re-extracts the tile's frame-2
+  windows from the VMEM-resident blocks with the same batched one-hot
+  dots — no per-feature serialization anywhere in the loop.
+
+Features whose track drifts outside their fetched block's corridor
+(~±8 px vertically, ~±56 px horizontally from the entry position) are
+flagged ``stale`` and frozen; ``vec_track_level_with_fallback`` re-runs
+just those lanes through the serial fused kernel under ``lax.cond``
+(zero compute when no lane is stale — the common case). Both kernels
+reproduce the XLA path exactly, so the merge is exact.
+
+Mosaic constraints discovered on this rig and honored here
+(experiments/probe_mosaic_gather.py, probe_extract_speed.py):
+  * no 1D<->3D reshapes; per-feature scalars live as [FC, 1, 1] or
+    [FC, 1] and convert only 2D<->3D
+  * fori_loop carries must be <=2D tiles (3D carries crash)
+  * multi-axis 3D reductions crash; chain single-axis sums
+  * selector tensors must keep their >=128-wide axis LAST (a
+    [FC, 256, 8] colsel pads 8 lanes -> 128 and OOMs the VMEM stack;
+    build [FC, 8, 256] and contract dim 2 instead)
+  * a 4D ref indexed several times inside a loop body crashes; pass
+    separate 3D refs
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..features import (KLT_LARGE_RESIDUE, KLT_MAX_ITERATIONS, KLT_OOB,
+                        KLT_SMALL_DET, KLT_TRACKED)
+
+_CB = 256              # lane width of each feature's block
+_ONE_PLUS_EPS = 1.001  # ops/track._ONE_PLUS_EPS (reference bound check)
+_VMEM_BUDGET = 10 * 1024 * 1024   # images only; scratch/stack headroom
+_FC = 32               # features per tile (VMEM-stack bound; tuned)
+
+
+def _rb(wh: int) -> int:
+    """Block sublane height: the (wh+1)-row patch at any %8 residual,
+    plus an 8-row corridor for iteration drift."""
+    return 8 * (-(-(wh + 1) // 8)) + 8
+
+
+def _phs(wh: int) -> int:
+    """Patch slot rows (wh+1 padded up to %8)."""
+    return 8 * (-(-(wh + 1) // 8))
+
+
+def _padded_dims(nrows: int, ncols: int, wh: int) -> tuple[int, int]:
+    return (8 * (-(-nrows // 8)) + _rb(wh),
+            128 * (-(-ncols // 128)) + 128)
+
+
+def vec_level_available(shape, cfg) -> bool:
+    """True when the vectorized kernel supports this level: six padded
+    f32 arrays within the VMEM budget and the window within the block."""
+    nrows, ncols = shape
+    ww, wh = cfg.window_width, cfg.window_height
+    if ww + 2 > _CB - 192 or wh + 2 > _rb(wh):
+        return False
+    if nrows < wh + 2 or ncols < ww + 2:
+        return False
+    hp, wp = _padded_dims(nrows, ncols, wh)
+    return 6 * hp * wp * 4 <= _VMEM_BUDGET
+
+
+def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
+                      x1v_ref, y1v_ref, x2v_ref, y2v_ref, actv_ref,
+                      img1_ref, gx1_ref, gy1_ref,
+                      img2_ref, gx2_ref, gy2_ref, out_ref,
+                      bi_ref, bx_ref, by_ref,
+                      w1_ref, g1x_ref, g1y_ref, *,
+                      fc: int, hw: int, hh: int, nrows: int, ncols: int,
+                      hp: int, wp: int, max_iterations: int,
+                      min_displacement: float, min_determinant: float,
+                      max_residue: float, step_factor: float,
+                      lighting: bool, one_d: bool):
+    ww = 2 * hw + 1
+    wh = 2 * hh + 1
+    rb = _rb(wh)
+    phs = _phs(wh)
+    npix = float(ww * wh)
+    f32 = jnp.float32
+
+    # ---------- helpers (vector phases; [fc, 1] per-feature scalars) ----
+
+    def bounds_ok(x, y):
+        # ops/track._bounds_ok
+        return ((x - hw >= 0.0) & (ncols - (x + hw) >= _ONE_PLUS_EPS) &
+                (y - hh >= 0.0) & (nrows - (y + hh) >= _ONE_PLUS_EPS))
+
+    def block_base(x, y):
+        """Aligned block origin (row0, col0) [fc, 1] int32 for windows
+        centered at entry positions (x, y) [fc, 1] f32. The column
+        corridor is centered (dc0 in [64, 191]); both clamps keep the
+        block inside the padded image."""
+        rt = jnp.floor(y).astype(jnp.int32) - hh
+        ct = jnp.floor(x).astype(jnp.int32) - hw
+        row0 = jnp.clip(8 * (rt // 8), 0, hp - rb)
+        col0 = jnp.clip(128 * ((ct - 64) // 128), 0, wp - _CB)
+        return row0, col0
+
+    def patch_offsets(x, y, row0, col0):
+        """(dr, dc [fc,1] int32, ax, ay [fc,1] f32): patch origin
+        offsets inside the block + shared bilinear fractions."""
+        xt = jnp.floor(x).astype(jnp.int32)
+        yt = jnp.floor(y).astype(jnp.int32)
+        return (yt - hh - row0, xt - hw - col0,
+                x - xt.astype(f32), y - yt.astype(f32))
+
+    def extract3(dr, dc, blks):
+        """[fc, phs, phs] integer patches from each block scratch via
+        two exact batched one-hot dots. dr/dc are [fc, 1] int32,
+        pre-clamped to the corridor."""
+        dr3 = dr.reshape(fc, 1, 1)
+        dc3 = dc.reshape(fc, 1, 1)
+        ia = lax.broadcasted_iota(jnp.int32, (fc, phs, rb), 1)
+        ib = lax.broadcasted_iota(jnp.int32, (fc, phs, rb), 2)
+        rowsel = (ib == ia + dr3).astype(f32)
+        jc = lax.broadcasted_iota(jnp.int32, (fc, phs, _CB), 1)
+        ic = lax.broadcasted_iota(jnp.int32, (fc, phs, _CB), 2)
+        colsel = (ic == jc + dc3).astype(f32)
+        out = []
+        for blk in blks:
+            rows = lax.dot_general(
+                rowsel, blk[pl.ds(0, fc)],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=f32)            # [fc, phs, _CB]
+            out.append(lax.dot_general(
+                rows, colsel,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=f32))           # [fc, phs, phs]
+        return out
+
+    def blend(patch, ax3, ay3):
+        """Shared-fraction bilinear blend -> [fc, wh, ww] windows
+        (ops/interp.window_from_patch formula)."""
+        p00 = patch[:, :wh, :ww]
+        p01 = patch[:, :wh, 1:ww + 1]
+        p10 = patch[:, 1:wh + 1, :ww]
+        p11 = patch[:, 1:wh + 1, 1:ww + 1]
+        return ((1.0 - ax3) * (1.0 - ay3) * p00 + ax3 * (1.0 - ay3) * p01
+                + (1.0 - ax3) * ay3 * p10 + ax3 * ay3 * p11)
+
+    def sum2(x3):
+        """Window sum -> [fc, 1] (multi-axis 3D reduce crashes Mosaic;
+        chain single-axis sums, then drop to 2D)."""
+        return jnp.sum(jnp.sum(x3, axis=2, keepdims=True), axis=1,
+                       keepdims=True).reshape(fc, 1)
+
+    def corridor_ok(dr, dc):
+        """Patch (rows dr..dr+wh, cols dc..dc+ww) inside the block."""
+        return ((dr >= 0) & (dr + wh <= rb - 1) &
+                (dc >= 0) & (dc + ww <= _CB - 1))
+
+    def clampdd(dr, dc):
+        return (jnp.clip(dr, 0, rb - phs), jnp.clip(dc, 0, _CB - phs))
+
+    def li_alpha_beta(w1, w2):
+        """Gain/bias normalization (ops/track._window_terms LI branch):
+        alpha, beta [fc, 1, 1]."""
+        sum1_sq = sum2(w1 * w1).reshape(fc, 1, 1)
+        sum2_sq = sum2(w2 * w2).reshape(fc, 1, 1)
+        alpha = jnp.sqrt((sum1_sq / npix) / (sum2_sq / npix))
+        mean1 = sum2(w1).reshape(fc, 1, 1) / npix
+        mean2 = sum2(w2).reshape(fc, 1, 1) / npix
+        beta = mean1 - alpha * mean2
+        return alpha, beta
+
+    # ---------- phase 1a: serial frame-1 block fetch ---------------------
+
+    base = pl.program_id(0) * fc
+
+    def fetch_loop(refs):
+        def body(f, c):
+            @pl.when(acts_ref[base + f] > 0)
+            def _():
+                x = refs[3][base + f]
+                y = refs[4][base + f]
+                rt = jnp.floor(y).astype(jnp.int32) - hh
+                ct = jnp.floor(x).astype(jnp.int32) - hw
+                row0 = pl.multiple_of(
+                    jnp.clip(8 * (rt // 8), 0, hp - rb), 8)
+                col0 = pl.multiple_of(
+                    jnp.clip(128 * ((ct - 64) // 128), 0, wp - _CB), 128)
+                bi_ref[f] = refs[0][pl.ds(row0, rb), pl.ds(col0, _CB)]
+                bx_ref[f] = refs[1][pl.ds(row0, rb), pl.ds(col0, _CB)]
+                by_ref[f] = refs[2][pl.ds(row0, rb), pl.ds(col0, _CB)]
+            return c
+        lax.fori_loop(0, fc, body, 0)
+
+    fetch_loop((img1_ref, gx1_ref, gy1_ref, x1s_ref, y1s_ref))
+
+    # ---------- phase 1b: vectorized frame-1 window extraction ----------
+
+    x1 = x1v_ref[pl.ds(0, fc)].reshape(fc, 1)
+    y1 = y1v_ref[pl.ds(0, fc)].reshape(fc, 1)
+    x20 = x2v_ref[pl.ds(0, fc)].reshape(fc, 1)
+    y20 = y2v_ref[pl.ds(0, fc)].reshape(fc, 1)
+    act = actv_ref[pl.ds(0, fc)].reshape(fc, 1) > 0.0
+
+    row01, col01 = block_base(x1, y1)
+    dr1, dc1, ax1, ay1 = patch_offsets(x1, y1, row01, col01)
+    dr1, dc1 = clampdd(dr1, dc1)
+    p_i, p_gx, p_gy = extract3(dr1, dc1, (bi_ref, bx_ref, by_ref))
+    ax13 = ax1.reshape(fc, 1, 1)
+    ay13 = ay1.reshape(fc, 1, 1)
+
+    def pad_win(win):
+        return jnp.pad(win, ((0, 0), (0, phs - wh), (0, phs - ww)))
+
+    w1_ref[pl.ds(0, fc)] = pad_win(blend(p_i, ax13, ay13))
+    g1x_ref[pl.ds(0, fc)] = pad_win(blend(p_gx, ax13, ay13))
+    g1y_ref[pl.ds(0, fc)] = pad_win(blend(p_gy, ax13, ay13))
+
+    # ---------- phase 1c: serial frame-2 block fetch ---------------------
+
+    fetch_loop((img2_ref, gx2_ref, gy2_ref, x2s_ref, y2s_ref))
+
+    # ---------- phase 2: vectorized iteration loop -----------------------
+
+    ok1 = bounds_ok(x1, y1)
+    row02, col02 = block_base(x20, y20)
+    w1 = w1_ref[pl.ds(0, fc)][:, :wh, :ww]
+    g1x = g1x_ref[pl.ds(0, fc)][:, :wh, :ww]
+    g1y = g1y_ref[pl.ds(0, fc)][:, :wh, :ww]
+    zero = jnp.zeros((fc, 1), f32)
+
+    def lk_body(_, carry):
+        x2 = carry[:, 0:1]
+        y2 = carry[:, 1:2]
+        status = carry[:, 2:3]
+        it = carry[:, 3:4]
+        live = carry[:, 4:5] > 0.0
+        stale = carry[:, 5:6] > 0.0
+
+        # OOB check (XLA path: ok1 & bounds_ok(current))
+        ok = ok1 & bounds_ok(x2, y2)
+        newly_oob = live & ~ok
+        status = jnp.where(newly_oob, float(KLT_OOB), status)
+        live = live & ok
+
+        # block-corridor check -> stale (frozen; serial fallback lane)
+        dr, dc, ax, ay = patch_offsets(x2, y2, row02, col02)
+        in_corr = corridor_ok(dr, dc)
+        newly_stale = live & ~in_corr
+        stale = stale | newly_stale
+        live = live & in_corr
+
+        dr, dc = clampdd(dr, dc)
+        p2_i, p2_gx, p2_gy = extract3(dr, dc, (bi_ref, bx_ref, by_ref))
+        ax3 = ax.reshape(fc, 1, 1)
+        ay3 = ay.reshape(fc, 1, 1)
+        w2 = blend(p2_i, ax3, ay3)
+        g2x = blend(p2_gx, ax3, ay3)
+        g2y = blend(p2_gy, ax3, ay3)
+
+        if lighting:
+            alpha, beta = li_alpha_beta(w1, w2)
+            diff = w1 - w2 * alpha - beta
+            gx = g1x + alpha * g2x
+            gy = g1y + alpha * g2y
+        else:
+            diff = w1 - w2
+            gx = g1x + g2x
+            gy = g1y + g2y
+
+        gxx = sum2(gx * gx)
+        ex = step_factor * sum2(diff * gx)
+        if one_d:
+            # 1-D (rectified-stereo) mode: scalar normal equation
+            # along x, vertical displacement pinned
+            small = gxx < min_determinant
+            dx = ex / jnp.where(small, 1.0, gxx)
+            dy = zero
+        else:
+            gxy = sum2(gx * gy)
+            gyy = sum2(gy * gy)
+            ey = step_factor * sum2(diff * gy)
+            det = gxx * gyy - gxy * gxy
+            small = det < min_determinant
+            safe = jnp.where(small, 1.0, det)
+            dx = (gyy * ex - gxy * ey) / safe
+            dy = (gxx * ey - gxy * ex) / safe
+
+        status = jnp.where(live & small, float(KLT_SMALL_DET), status)
+        live = live & ~small
+
+        nx2 = jnp.where(live, x2 + dx, x2)
+        ny2 = jnp.where(live, y2 + dy, y2)
+        nit = jnp.where(live, it + 1.0, it)
+
+        moving = ((jnp.abs(dx) >= min_displacement) |
+                  (jnp.abs(dy) >= min_displacement))
+        live = live & moving & (nit < float(max_iterations))
+        return jnp.concatenate(
+            [nx2, ny2, status, nit,
+             live.astype(f32), stale.astype(f32), zero, zero], axis=1)
+
+    init = jnp.concatenate(
+        [x20, y20, jnp.full((fc, 1), float(KLT_TRACKED), f32), zero,
+         act.astype(f32), zero, zero, zero], axis=1)
+    fin = lax.fori_loop(0, max_iterations, lk_body, init)
+
+    # ---------- post-loop classification (XLA-path order) ---------------
+
+    x2 = fin[:, 0:1]
+    y2 = fin[:, 1:2]
+    status = fin[:, 2:3]
+    it = fin[:, 3:4]
+    stale = fin[:, 5:6] > 0.0
+
+    final_ok = bounds_ok(x2, y2)
+    status = jnp.where(act & ~final_ok, float(KLT_OOB), status)
+
+    drf, dcf, axf, ayf = patch_offsets(x2, y2, row02, col02)
+    stale = stale | (act & ~corridor_ok(drf, dcf))
+    drf, dcf = clampdd(drf, dcf)
+    (p2f,) = extract3(drf, dcf, (bi_ref,))
+    w2f = blend(p2f, axf.reshape(fc, 1, 1), ayf.reshape(fc, 1, 1))
+    if lighting:
+        alpha, beta = li_alpha_beta(w1, w2f)
+        rdiff = w1 - w2f * alpha - beta
+    else:
+        rdiff = w1 - w2f
+    residue = sum2(jnp.abs(rdiff)) / npix
+
+    tracked = act & (status == float(KLT_TRACKED))
+    status = jnp.where(tracked & (residue > max_residue),
+                       float(KLT_LARGE_RESIDUE), status)
+    tracked = act & (status == float(KLT_TRACKED))
+    status = jnp.where(tracked & (it >= float(max_iterations)),
+                       float(KLT_MAX_ITERATIONS), status)
+
+    out_ref[pl.ds(0, fc)] = jnp.concatenate(
+        [x2, y2, status, it, stale.astype(f32),
+         jnp.zeros((fc, 3), f32)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "one_d",
+                                             "fc"))
+def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
+                    cfg, active, *, interpret: bool = False,
+                    one_d: bool = False, fc: int | None = None):
+    """Feature-vectorized fused LK level. Same contract as
+    ops/pallas_lk_fused.fused_track_level plus a 5th return:
+    (x2, y2, status, iteration, stale) — ``stale`` lanes drifted
+    outside their block corridor and must be recomputed (see
+    vec_track_level_with_fallback)."""
+    nrows, ncols = img1.shape
+    hw, hh = cfg.window_width // 2, cfg.window_height // 2
+    wh = cfg.window_height
+    hp, wp = _padded_dims(nrows, ncols, wh)
+    if fc is None:
+        fc = _FC
+    rb = _rb(wh)
+    phs = _phs(wh)
+
+    def padded(a):
+        h, w = a.shape
+        return jnp.pad(a.astype(jnp.float32), ((0, hp - h), (0, wp - w)))
+
+    n = x1.shape[0]
+    npad = -(-n // fc) * fc
+    act = active.astype(jnp.int32)
+    feats = (x1, y1, x2, y2, act)
+    if npad != n:
+        feats = tuple(jnp.pad(a, (0, npad - n)) for a in feats)
+    vecs = tuple(a.astype(jnp.float32).reshape(npad, 1, 1)
+                 for a in feats)
+
+    kernel = functools.partial(
+        _vec_level_kernel, fc=fc, hw=hw, hh=hh, nrows=nrows,
+        ncols=ncols, hp=hp, wp=wp, max_iterations=cfg.max_iterations,
+        min_displacement=cfg.min_displacement,
+        min_determinant=cfg.min_determinant,
+        max_residue=cfg.max_residue, step_factor=cfg.step_factor,
+        lighting=cfg.lighting_insensitive, one_d=one_d)
+
+    # SMEM arrays pass whole (rank-1 SMEM blocks must be full-array or
+    # %128-sized); the kernel offsets by program_id * fc
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem1 = pl.BlockSpec((fc, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vimg = pl.BlockSpec((hp, wp), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // fc,),
+        out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+        in_specs=[smem] * 5 + [vmem1] * 5 + [vimg] * 6,
+        out_specs=pl.BlockSpec((fc, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((fc, rb, _CB), jnp.float32)] * 3 +
+                       [pltpu.VMEM((fc, phs, phs), jnp.float32)] * 3,
+        interpret=interpret,
+    )(*feats, *vecs,
+      padded(img1), padded(gx1), padded(gy1),
+      padded(img2), padded(gx2), padded(gy2))
+    return (out[:n, 0], out[:n, 1], out[:n, 2].astype(jnp.int32),
+            out[:n, 3].astype(jnp.int32), out[:n, 4] > 0.0)
+
+
+def vec_track_level_with_fallback(x1, y1, x2, y2, img1, gx1, gy1,
+                                  img2, gx2, gy2, cfg, active, *,
+                                  interpret: bool = False,
+                                  one_d: bool = False):
+    """vec_track_level + exact serial recomputation of stale lanes.
+
+    Drop-in replacement for fused_track_level: returns (x2, y2, status,
+    iteration). Stale lanes (those that drifted outside their fetched
+    block, typically none) are re-run from scratch through the serial
+    fused kernel under a ``lax.cond`` — both kernels replicate the XLA
+    path exactly, so the merged result equals an all-serial run."""
+    from .pallas_lk_fused import fused_track_level
+    nx, ny, status, it, stale = vec_track_level(
+        x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2, cfg, active,
+        interpret=interpret, one_d=one_d)
+    args = (x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2)
+
+    def rerun(_):
+        sx, sy, ss, si = fused_track_level(
+            *args, cfg, active & stale, interpret=interpret,
+            one_d=one_d)
+        return (jnp.where(stale, sx, nx), jnp.where(stale, sy, ny),
+                jnp.where(stale, ss, status), jnp.where(stale, si, it))
+
+    return lax.cond(jnp.any(stale & active), rerun,
+                    lambda _: (nx, ny, status, it), 0)
+
+
+def bench_vec_lk(h=480, w=640, n_features=1000, iters=20,
+                 device_trace=False):
+    """Race the vectorized kernel against the serial fused kernel and
+    the XLA level loop (dispatch clock; device trace optional)."""
+    import time
+
+    import numpy as np
+
+    from ..config import create_config
+    from .convolve import compute_gradients, compute_smoothed_image
+    from .pallas_lk_fused import fused_track_level
+    from .track import track_feature_level
+
+    cfg = create_config()
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (h + 8, w + 8)).astype(np.float32)
+    img1 = jnp.asarray(base[:h, :w])
+    img2 = jnp.asarray(base[1:h + 1, 2:w + 2])
+    simg1 = compute_smoothed_image(img1, cfg.smooth_sigma)
+    simg2 = compute_smoothed_image(img2, cfg.smooth_sigma)
+    gx1, gy1 = compute_gradients(simg1, cfg.grad_sigma)
+    gx2, gy2 = compute_gradients(simg2, cfg.grad_sigma)
+    x = jnp.asarray(rng.uniform(8, w - 9, n_features), jnp.float32)
+    y = jnp.asarray(rng.uniform(8, h - 9, n_features), jnp.float32)
+    active = jnp.ones((n_features,), bool)
+    args = (x, y, x, y, simg1, gx1, gy1, simg2, gx2, gy2)
+
+    vec = jax.jit(functools.partial(vec_track_level_with_fallback,
+                                    cfg=cfg))
+    fused = jax.jit(functools.partial(fused_track_level, cfg=cfg))
+    ref = jax.jit(functools.partial(track_feature_level, cfg=cfg))
+
+    out = {}
+    for name, fn in (("pallas_vec", lambda: vec(*args, active=active)),
+                     ("pallas_fused",
+                      lambda: fused(*args, active=active)),
+                     ("xla_level",
+                      lambda: ref(*args, active_in=active))):
+        r = fn()
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn()
+        jax.block_until_ready(r)
+        out[name + "_s"] = (time.perf_counter() - t0) / iters
+        if device_trace:
+            from ..utils.traceview import capture_device_trace
+            out[name + "_device"] = capture_device_trace(
+                lambda: jax.block_until_ready(fn()), n_calls=3)
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    print(json.dumps(bench_vec_lk(device_trace=True), indent=2,
+                     default=str))

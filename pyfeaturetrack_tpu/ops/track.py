@@ -277,8 +277,17 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
     # ops/pallas_lk_fused.py): the big lever on op-count-taxed backends
     # (ROOFLINE.md §0). Resolved at trace time, like PFT_PALLAS above.
     import os
-    use_fused = os.environ.get("PFT_PALLAS_LK", "").lower() in (
-        "1", "on", "fused", "true")
+    lk_mode = os.environ.get("PFT_PALLAS_LK", "").lower()
+    use_vec = lk_mode in ("vec", "1", "on", "true")
+    use_fused = lk_mode in ("fused",) or (not use_vec and lk_mode in
+                                          ("1", "on", "true"))
+    if use_vec:
+        # feature-vectorized fused level kernel (ops/pallas_lk_vec.py)
+        # with exact serial fallback for corridor-stale lanes; preferred
+        # lane — no per-feature serialization (VERDICT r2 item 1)
+        from .pallas_lk_fused import fused_level_available
+        from .pallas_lk_vec import (vec_level_available,
+                                    vec_track_level_with_fallback)
     if use_fused:
         from .pallas_lk_fused import (fused_level_available,
                                       fused_track_level)
@@ -291,12 +300,20 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
         xout = jnp.where(broken, xout, xout * s)
         yout = jnp.where(broken, yout, yout * s)
         active = live & ~broken
-        fused_ok = (use_fused
-                    and fused_level_available(pyr1.img[r].shape, cfg)
-                    and getattr(cfg, "image_dtype",
-                                "float32") == "float32")
+        f32_imgs = getattr(cfg, "image_dtype", "float32") == "float32"
+        vec_ok = (use_vec and f32_imgs
+                  and vec_level_available(pyr1.img[r].shape, cfg)
+                  and fused_level_available(pyr1.img[r].shape, cfg))
+        fused_ok = (use_fused and f32_imgs
+                    and fused_level_available(pyr1.img[r].shape, cfg))
         with jax.named_scope(f"pft.lk_level_{r}"):
-            if fused_ok:
+            if vec_ok:
+                nx, ny, lvl_status, _ = vec_track_level_with_fallback(
+                    xloc, yloc, xout, yout,
+                    pyr1.img[r], pyr1.gradx[r], pyr1.grady[r],
+                    pyr2.img[r], pyr2.gradx[r], pyr2.grady[r], cfg,
+                    active, interpret=jax.default_backend() == "cpu")
+            elif fused_ok:
                 nx, ny, lvl_status, _ = fused_track_level(
                     xloc, yloc, xout, yout,
                     pyr1.img[r], pyr1.gradx[r], pyr1.grady[r],
