@@ -262,7 +262,7 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
     g1y = g1y_ref[pl.ds(0, fc)][:, :wh, :ww]
     zero = jnp.zeros((fc, 1), f32)
 
-    def lk_body(_, carry):
+    def lk_body(carry):
         x2 = carry[:, 0:1]
         y2 = carry[:, 1:2]
         status = carry[:, 2:3]
@@ -336,7 +336,23 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
     init = jnp.concatenate(
         [x20, y20, jnp.full((fc, 1), float(KLT_TRACKED), f32), zero,
          act.astype(f32), zero, zero, zero], axis=1)
-    fin = lax.fori_loop(0, max_iterations, lk_body, init)
+
+    # early-exit loop: lanes freeze individually (exact XLA-path
+    # semantics); the whole tile stops as soon as EVERY lane is dead.
+    # With coarse-to-fine guided init most lanes converge in 2-4 of the
+    # max_iterations trips — measured 1.68 -> ~0.8 ms/level on the
+    # headline step (experiments/probe_while_early_exit.py).
+    def lk_cond(carry):
+        return carry[1] > 0
+
+    def lk_step(carry):
+        tile = lk_body(carry[0])
+        n = jnp.sum(tile[:, 4:5], axis=0, keepdims=True)
+        return tile, n[0, 0].astype(jnp.int32)
+
+    nlive0 = jnp.sum(init[:, 4:5], axis=0, keepdims=True)
+    fin, _ = lax.while_loop(
+        lk_cond, lk_step, (init, nlive0[0, 0].astype(jnp.int32)))
 
     # ---------- post-loop classification (XLA-path order) ---------------
 
