@@ -155,6 +155,25 @@ def bench_device_trace_fused(timeout_s=560):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def bench_device_trace_vec(timeout_s=560):
+    """bench_device_trace with the feature-vectorized Pallas LK kernel
+    + Pallas pyramid (PFT_PALLAS_LK=vec PFT_PALLAS=1) — subprocess for
+    the same trace-time-env reason as bench_device_trace_fused. The
+    best honest-clock lane: 1.87 ms/frame = 534 fps measured 2026-08-19
+    (ops/pallas_lk_vec.py)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, PFT_PALLAS_LK="vec", PFT_PALLAS="1")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--device-trace-only"],
+        env=env, capture_output=True, text=True, timeout=timeout_s)
+    if out.returncode != 0:
+        return {"error": (out.stderr or out.stdout).strip()[-400:]}
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def bench_flow_trace(h=480, w=640):
     """Honest device clock for ONE dense-flow pair (profiler trace, the
     only truthful lane on this relay — ROOFLINE.md §0). Respects
@@ -666,6 +685,24 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(reps["median"] / 500.0, 3),
     }
+    # the honest clock MUST ride the round artifact (VERDICT r2): the
+    # dispatch fence on this relay does not await execution
+    # (ROOFLINE.md §0), so `value` is a dispatch-pipeline rate. The
+    # profiler device lane below is real per-frame execution time,
+    # measured with the feature-vectorized Pallas LK kernel
+    # (the best lane; ops/pallas_lk_vec.py).
+    if (h, w) == (480, 640):
+        try:
+            tr = bench_device_trace_vec()
+            headline["honest_device_fps"] = tr.get("device_fps")
+            headline["honest_device_ms_per_frame"] = tr.get(
+                "per_frame_device_ms")
+            headline["clock_note"] = (
+                "value=dispatch-pipeline rate (relay fence); "
+                "honest_device_fps=profiler device lane, vec Pallas LK")
+        except Exception as e:  # keep the headline even if trace fails
+            headline["honest_device_fps"] = None
+            headline["clock_note"] = f"device trace failed: {e}"
 
     if args.all:
         def log(msg):

@@ -21,7 +21,8 @@ def main(argv=None) -> int:
         description="Track features through an image sequence "
                     "(TPU-native KLT).")
     ap.add_argument("frames", nargs="+",
-                help="frames in order (PGM natively; any PIL-readable\n                format otherwise)")
+                    help="frames in order (PGM natively; any "
+                         "PIL-readable format otherwise)")
     ap.add_argument("--features", type=int, default=150)
     ap.add_argument("--out", default=".", help="output directory")
     ap.add_argument("--no-replace", action="store_true",
@@ -36,6 +37,10 @@ def main(argv=None) -> int:
                     help="forward-backward consistency gate: reject "
                          "tracks whose round trip misses the start by "
                          "more than PX pixels (default host loop only)")
+    ap.add_argument("--subpixel", action="store_true",
+                    help="refine newly selected corners to sub-pixel "
+                         "accuracy (gradient-orthogonality iteration, "
+                         "ops/refine.py; default host loop only)")
     ap.add_argument("--mindist", type=int, default=10)
     ap.add_argument("--window", type=int, default=7)
     ap.add_argument("--search-range", type=int, default=15)
@@ -118,6 +123,10 @@ def main(argv=None) -> int:
             args.flow or args.vo or args.depth or args.stream
             or args.device_loop or args.chunks > 1):
         ap.error("--fb-check applies to the default host loop only")
+    if args.subpixel and (
+            args.flow or args.vo or args.depth or args.stream
+            or args.device_loop or args.chunks > 1):
+        ap.error("--subpixel applies to the default host loop only")
     if (args.right is not None) != (args.baseline is not None):
         ap.error("--right and --baseline must be given together")
     if args.right is not None and not (args.vo or args.depth):
@@ -355,7 +364,8 @@ def main(argv=None) -> int:
         ft, metrics = track_sequence(
             frames, cfg=cfg, n_features=args.features,
             replace_lost=not args.no_replace, on_frame=on_frame,
-            fb_max_displacement=args.fb_check)
+            fb_max_displacement=args.fb_check,
+            subpixel_refine=args.subpixel)
         write_feature_table(ft, os.path.join(args.out, "features.txt"),
                             fmt="%5.1f")
         write_feature_table(ft, os.path.join(args.out, "features.ft"))

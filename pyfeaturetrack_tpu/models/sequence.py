@@ -68,7 +68,8 @@ class SequenceTracker:
 
     def __init__(self, cfg: Optional[TrackerConfig] = None,
                  n_features: int = 150, replace_lost: bool = True,
-                 fb_max_displacement: Optional[float] = None):
+                 fb_max_displacement: Optional[float] = None,
+                 subpixel_refine: bool = False):
         self.cfg = (cfg if cfg is not None
                     else create_config()).replace(sequentialMode=True)
         self.n_features = n_features
@@ -76,6 +77,11 @@ class SequenceTracker:
         # beyond-reference: forward-backward gate (ops/track.fb_reject)
         # applied after each tracked frame when set
         self.fb_max_displacement = fb_max_displacement
+        # beyond-reference: sub-pixel corner refinement (ops/refine.py)
+        # of NEWLY selected features (initial selection + refills);
+        # re-tracked lanes are never moved (their position is the
+        # tracker's estimate, not a detection)
+        self.subpixel_refine = subpixel_refine
         self.fl: Optional[FeatureState] = None
         self._cache = None
         self.metrics: list[dict] = []
@@ -86,6 +92,9 @@ class SequenceTracker:
     def start(self, frame) -> FeatureState:
         frame = np.asarray(frame)
         self.fl = select_good_features(frame, self.n_features, self.cfg)
+        if self.subpixel_refine:
+            from ..ops.refine import refine_features_subpixel
+            self.fl = refine_features_subpixel(frame, self.fl, self.cfg)
         self._cache = build_track_pyramids_jit(
             stage_f32(frame), self.cfg.validated_window())
         self._prev = frame
@@ -114,7 +123,16 @@ class SequenceTracker:
                 fb_max_displacement=float(self.fb_max_displacement))
             self.fl = self.fl._replace(x=nx, y=ny, val=nval)
         if self.replace_lost:
+            dead_before = self.fl.val < 0
             self.fl = replace_lost_features(frame, self.fl, self.cfg)
+            if self.subpixel_refine:
+                from ..ops.refine import refine_features_subpixel
+                refined = refine_features_subpixel(frame, self.fl,
+                                                   self.cfg)
+                newly = dead_before & (self.fl.val >= 0)
+                self.fl = self.fl._replace(
+                    x=jnp.where(newly, refined.x, self.fl.x),
+                    y=jnp.where(newly, refined.y, self.fl.y))
         elapsed = time.perf_counter() - t0
         self._prev = frame
         self.n_frames_seen += 1
@@ -190,7 +208,8 @@ def track_sequence(frames: Iterable[np.ndarray],
                    n_features: int = 150,
                    replace_lost: bool = True,
                    on_frame: Optional[Callable[[int, FeatureState], None]] = None,
-                   fb_max_displacement: Optional[float] = None
+                   fb_max_displacement: Optional[float] = None,
+                   subpixel_refine: bool = False
                    ) -> tuple[FeatureTable, list[dict]]:
     """Track through a whole sequence, returning the feature table.
 
@@ -200,7 +219,8 @@ def track_sequence(frames: Iterable[np.ndarray],
     frames = list(frames)
     st = SequenceTracker(cfg, n_features=n_features,
                          replace_lost=replace_lost,
-                         fb_max_displacement=fb_max_displacement)
+                         fb_max_displacement=fb_max_displacement,
+                         subpixel_refine=subpixel_refine)
     ft = create_feature_table(len(frames), n_features)
     for i, frame in enumerate(frames):
         fl = st.step(frame)

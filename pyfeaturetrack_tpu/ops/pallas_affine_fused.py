@@ -171,6 +171,7 @@ def _affine_kernel(x0_ref, y0_ref, a11_ref, a12_ref, a21_ref, a22_ref,
             block = ref[pl.ds(row_al, rows_blk), pl.ds(col_al, _COLS)]
             prod = lax.dot_general(
                 block, rowsel, (((0,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)   # [COLS, tt]
             return jnp.sum(prod * colsel, axis=0, keepdims=True)
 
@@ -202,6 +203,7 @@ def _affine_kernel(x0_ref, y0_ref, a11_ref, a12_ref, a21_ref, a22_ref,
         the in-kernel form of ops/linalg.gauss_solve_det (same
         elimination order, so dets/solutions agree to rounding)."""
         aug = (lax.dot_general(T, embed, (((1,), (0,)), ((), ())),
+                               precision=lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
                + e * (idc_p == p).astype(jnp.float32))
         det = jnp.float32(1.0)
@@ -236,6 +238,7 @@ def _affine_kernel(x0_ref, y0_ref, a11_ref, a12_ref, a21_ref, a22_ref,
                 jnp.int32, (1, tmpl_ref.shape[0]), 1) == j
             ).astype(jnp.float32)
             tmpl = jnp.dot(trow_sel, tmpl_ref[...],
+                           precision=lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)  # [1, tt]
 
             def cond(c):
@@ -254,8 +257,10 @@ def _affine_kernel(x0_ref, y0_ref, a11_ref, a12_ref, a21_ref, a22_ref,
                 diff = tmpl - i2w
                 J = jacobian(gxw, gyw)
                 T = lax.dot_general(J, J, (((1,), (1,)), ((), ())),
+                                    precision=lax.Precision.HIGHEST,
                                     preferred_element_type=jnp.float32)
                 e = lax.dot_general(J, diff, (((1,), (1,)), ((), ())),
+                                    precision=lax.Precision.HIGHEST,
                                     preferred_element_type=jnp.float32)
                 d, det = gauss_solve(T, e)
                 small = jnp.abs(det) < min_determinant

@@ -20,7 +20,10 @@ program; differentiable like the rest of the compute path.
 
 Verified against a float64 NumPy mirror and on rendered corners with
 known sub-pixel positions (tests/test_refine.py): recovered to
-≲0.03 px from integer-pixel starts.
+≲0.03 px from integer-pixel starts. Wired into the sequence drivers as
+``SequenceTracker(subpixel_refine=True)`` / CLI ``--subpixel`` —
+refines newly SELECTED features only (initial selection + refills);
+re-tracked positions are never moved.
 """
 
 from __future__ import annotations

@@ -219,10 +219,20 @@ def read_image(path) -> np.ndarray:
     """
     p = str(path)
     ext = p.rsplit(".", 1)[-1].lower() if "." in p else ""
-    if ext in ("pgm", "pnm"):
+    if ext == "pgm":
         return pgm_read(path)
     if ext == "ppm":
         return rgb_to_gray(ppm_read(path))
+    if ext == "pnm":
+        # PNM is the superset: dispatch on magic bytes (P2/P5 gray ->
+        # pgm_read, P6 color -> ppm_read; P3 and anything else fall to
+        # PIL below, which decodes ascii-PPM too)
+        with open(path, "rb") as f:
+            magic = f.read(2)
+        if magic in (b"P2", b"P5"):
+            return pgm_read(path)
+        if magic == b"P6":
+            return rgb_to_gray(ppm_read(path))
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - PIL is baked in

@@ -246,3 +246,19 @@ def test_cli_depth_flag_validation():
     with pytest.raises(SystemExit):  # --depth + --vo
         main(["x.pgm", "--depth", "--vo", "--fx", "100",
               "--right", "y.pgm", "--baseline", "0.5"])
+
+
+def test_cli_subpixel_flag(pgm_frames, tmp_path, capsys):
+    rc = main(pgm_frames[:3] + ["--features", "15", "--out",
+                                str(tmp_path), "--subpixel"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["frames"] == 3
+    # sub-pixel refinement moves detections off the integer grid
+    ft = read_feature_table(tmp_path / "features.ft")
+    x0 = np.asarray(ft.x[0])
+    live = np.asarray(ft.val[0]) >= 0
+    assert (np.abs(x0[live] - np.round(x0[live])) > 1e-4).any()
+    with pytest.raises(SystemExit):  # host-loop-only flag
+        main(pgm_frames + ["--subpixel", "--chunks", "2",
+                           "--out", str(tmp_path)])

@@ -273,3 +273,18 @@ def test_frame_loader_mixed_formats(tmp_path):
     out = load_frames(paths)
     for got, want in zip(out, imgs):
         np.testing.assert_array_equal(got, want)
+
+
+def test_read_image_pnm_dispatches_on_magic(tmp_path):
+    """.pnm is a superset extension: P5 gray and P6 color both decode
+    (ADVICE r2: a color .pnm used to hit pgm_read's header error)."""
+    gray = _gray(7)
+    p5 = tmp_path / "g.pnm"
+    io.pgm_write(p5, gray)
+    np.testing.assert_array_equal(io.read_image(p5), gray)
+
+    rgb = np.stack([_gray(8), _gray(9), _gray(10)], axis=-1)
+    p6 = tmp_path / "c.pnm"
+    io.ppm_write(p6, rgb)
+    np.testing.assert_array_equal(io.read_image(p6),
+                                  io.rgb_to_gray(io.ppm_read(p6)))
