@@ -74,45 +74,57 @@ def _grid_dims(nrows: int, ncols: int, d: int) -> tuple[int, int]:
     return hp, wp
 
 
-def _suppress_kernel(xs_ref, ys_ref, valid_ref, out_ref, grid_ref, *,
-                     d: int):
+def _suppress_kernel(xs_ref, ys_ref, valid_ref, budget_ref, out_ref,
+                     grid_ref, acc_ref, *, d: int):
     k = xs_ref.shape[0]
     rb = _rows_blk(d)
     grid_ref[...] = jnp.zeros(grid_ref.shape, grid_ref.dtype)
+    acc_ref[0] = jnp.int32(0)
 
     def one(j, carry):
-        x = xs_ref[j] + _COL_GUARD
-        y = ys_ref[j] + _ROW_GUARD
+        # budget early exit (EXACT: greedy is prefix-stable and
+        # fill_slots consumes only the first `budget` acceptances, so
+        # once that many are accepted the remaining candidates cannot
+        # change the fill — they are marked not-accepted and skipped)
+        out_ref[j] = 0
 
-        # cell read: aligned (8, 128) block + one-hot row/col dots
-        row_al = pl.multiple_of(8 * (y // 8), 8)
-        col_al = pl.multiple_of(128 * (x // 128), 128)
-        block = grid_ref[pl.ds(row_al, 8), pl.ds(col_al, 128)]
-        rsel = (lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-                == y - row_al).astype(jnp.float32)
-        csel = (lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-                == x - col_al).astype(jnp.float32)
-        cell = jnp.dot(jnp.dot(rsel, block,
-                               preferred_element_type=jnp.float32),
-                       csel, preferred_element_type=jnp.float32)[0, 0]
-
-        ok = (valid_ref[j] > 0) & (cell == 0.0)
-        out_ref[j] = jnp.where(ok, 1, 0)  # SMEM: scalar stores allowed
-
-        @pl.when(ok & (d >= 0))
+        @pl.when(acc_ref[0] < budget_ref[0])
         def _():
-            # stamp the (2d+1)-square box via an aligned RMW block
-            r0 = y - d
-            c0 = x - d
-            row_s = pl.multiple_of(8 * (r0 // 8), 8)
-            col_s = pl.multiple_of(128 * (c0 // 128), 128)
-            blk = grid_ref[pl.ds(row_s, rb), pl.ds(col_s, _COLS)]
-            ri = lax.broadcasted_iota(jnp.int32, (rb, _COLS), 0) + row_s
-            ci = lax.broadcasted_iota(jnp.int32, (rb, _COLS), 1) + col_s
-            mask = ((ri >= r0) & (ri <= r0 + 2 * d) &
-                    (ci >= c0) & (ci <= c0 + 2 * d))
-            grid_ref[pl.ds(row_s, rb), pl.ds(col_s, _COLS)] = (
-                jnp.maximum(blk, mask.astype(jnp.float32)))
+            x = xs_ref[j] + _COL_GUARD
+            y = ys_ref[j] + _ROW_GUARD
+
+            # cell read: aligned (8, 128) block + one-hot row/col dots
+            row_al = pl.multiple_of(8 * (y // 8), 8)
+            col_al = pl.multiple_of(128 * (x // 128), 128)
+            block = grid_ref[pl.ds(row_al, 8), pl.ds(col_al, 128)]
+            rsel = (lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+                    == y - row_al).astype(jnp.float32)
+            csel = (lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                    == x - col_al).astype(jnp.float32)
+            cell = jnp.dot(jnp.dot(rsel, block,
+                                   preferred_element_type=jnp.float32),
+                           csel, preferred_element_type=jnp.float32)[0, 0]
+
+            ok = (valid_ref[j] > 0) & (cell == 0.0)
+            out_ref[j] = jnp.where(ok, 1, 0)  # SMEM scalar store
+            acc_ref[0] = acc_ref[0] + jnp.where(ok, 1, 0)
+
+            @pl.when(ok & (d >= 0))
+            def _():
+                # stamp the (2d+1)-square box via an aligned RMW block
+                r0 = y - d
+                c0 = x - d
+                row_s = pl.multiple_of(8 * (r0 // 8), 8)
+                col_s = pl.multiple_of(128 * (c0 // 128), 128)
+                blk = grid_ref[pl.ds(row_s, rb), pl.ds(col_s, _COLS)]
+                ri = (lax.broadcasted_iota(jnp.int32, (rb, _COLS), 0)
+                      + row_s)
+                ci = (lax.broadcasted_iota(jnp.int32, (rb, _COLS), 1)
+                      + col_s)
+                mask = ((ri >= r0) & (ri <= r0 + 2 * d) &
+                        (ci >= c0) & (ci <= c0 + 2 * d))
+                grid_ref[pl.ds(row_s, rb), pl.ds(col_s, _COLS)] = (
+                    jnp.maximum(blk, mask.astype(jnp.float32)))
 
         return carry
 
@@ -123,28 +135,38 @@ def _suppress_kernel(xs_ref, ys_ref, valid_ref, out_ref, grid_ref, *,
                                              "interpret"))
 def greedy_suppress_pallas(cand_x: jax.Array, cand_y: jax.Array,
                            valid: jax.Array, *, shape: tuple[int, int],
-                           mindist: int, interpret: bool = False
+                           mindist: int, interpret: bool = False,
+                           budget: jax.Array | None = None
                            ) -> jax.Array:
     """Greedy mindist acceptance flags for priority-ordered candidates.
 
     Equivalent to the accepted-set of select_device.suppress_and_fill
     (tested bit-equal). ``shape`` is the image (nrows, ncols); invalid
-    lanes are rejected and never stamp.
+    lanes are rejected and never stamp. ``budget`` (traced scalar,
+    default "no limit") stops the scan after that many acceptances —
+    exact whenever the consumer uses at most ``budget`` accepted
+    candidates (fill_slots does), and the big lever for refills: a
+    typical replace-lost pass needs tens of slots, not a K=4096 scan.
     """
     nrows, ncols = shape
     d = mindist - 1
+    k = cand_x.shape[0]
     hp, wp = _grid_dims(nrows, ncols, max(d, 0))
+    if budget is None:
+        budget = jnp.int32(k)
     kernel = functools.partial(_suppress_kernel, d=d)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((cand_x.shape[0],), jnp.int32),
-        in_specs=[smem, smem, smem],
+        out_shape=jax.ShapeDtypeStruct((k,), jnp.int32),
+        in_specs=[smem, smem, smem, smem],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        scratch_shapes=[pltpu.VMEM((hp, wp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hp, wp), jnp.float32),
+                        pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(cand_x.astype(jnp.int32), cand_y.astype(jnp.int32),
-      valid.astype(jnp.int32))
+      valid.astype(jnp.int32),
+      jnp.asarray(budget, jnp.int32).reshape(1))
     return out > 0
 
 

@@ -46,7 +46,13 @@ _EIG_LIMIT = 2147483520.0
 
 def _window_sum(img: jax.Array, window_height: int, window_width: int) -> jax.Array:
     """'Valid' box-filter sum, zero-padded back to input shape (the oracle
-    writes results only for fully-interior windows and leaves borders 0)."""
+    writes results only for fully-interior windows and leaves borders 0).
+
+    A single conv op per pass keeps the accumulation order stable under
+    XLA fusion: host selection and device selection trace this function
+    inside different programs, and a multi-op form could get different
+    FMA contractions in each (measured: ±1 int at ~0.01% of pixels),
+    silently flipping candidate ranks between the two lanes."""
     h, w = img.shape
     x = img.reshape((1, 1, h, w))
     ones_v = jnp.ones((1, 1, window_height, 1), img.dtype)
@@ -84,6 +90,24 @@ def quantized_min_eig_map(gradx: jax.Array, grady: jax.Array,
     shared by the host selection path and the on-device selection in
     select_device.py.
     """
+    # Opt-in one-op Pallas form (PFT_PALLAS_SELECT=1, trace-time env
+    # read like PFT_PALLAS_LK): kills the 6-conv+fusion op tax of the
+    # refill stage on op-taxed backends (ROOFLINE.md §0). The kernel's
+    # fixed in-kernel accumulation differs from the conv lowering by at
+    # most one int step at ~0.01% of pixels (characterized in
+    # tests/test_pallas_eig.py) but is SELF-consistent: with the knob
+    # set, host and device selection both rank by kernel values, so
+    # lane parity is preserved (asserted e2e in the same test file).
+    import os
+    if os.environ.get("PFT_PALLAS_SELECT", "").lower() in (
+            "1", "on", "true"):
+        from .pallas_eig import min_eig_map_pallas, pallas_eig_available
+        if pallas_eig_available(gradx.shape):
+            return min_eig_map_pallas(
+                jnp.asarray(gradx, jnp.float32),
+                jnp.asarray(grady, jnp.float32),
+                window_width, window_height,
+                interpret=jax.default_backend() == "cpu")
     # upcast: gradients may be stored bfloat16 (cfg.image_dtype); the
     # structure-tensor sums always accumulate in float32
     eig = compute_min_eig_map(jnp.asarray(gradx, jnp.float32),

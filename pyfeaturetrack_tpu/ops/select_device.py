@@ -216,7 +216,8 @@ def select_features_from_eig_device(eig: jax.Array, x: jax.Array,
             accepted = greedy_suppress_pallas(
                 cand_x, cand_y, valid, shape=eig.shape,
                 mindist=int(cfg.mindist),
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu",
+                budget=jnp.sum(free).astype(jnp.int32))
             return fill_slots(accepted, cand_x, cand_y, top_val, free,
                               x, y, val)
 

@@ -108,3 +108,40 @@ def test_env_dispatch_selection_equal(monkeypatch):
     for g, wv, rv in zip(got_r, want_r, ref_r):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
         np.testing.assert_array_equal(np.asarray(g), np.asarray(rv))
+
+
+def test_budget_early_exit_fill_exact():
+    """A budget equal to the free-slot count stops the scan early but
+    yields the IDENTICAL fill (greedy is prefix-stable; fill_slots
+    consumes only the first `budget` acceptances). Also: the returned
+    acceptance flags are a prefix of the unbudgeted flags."""
+    h, w, k, n = 160, 256, 400, 60
+    rng = np.random.default_rng(11)
+    cx = jnp.asarray(rng.integers(8, w - 8, k), jnp.int32)
+    cy = jnp.asarray(rng.integers(8, h - 8, k), jnp.int32)
+    cval = jnp.asarray(np.sort(rng.integers(1, 1 << 20, k))[::-1].copy(),
+                       jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=k) > 0.1)
+    x = jnp.asarray(rng.uniform(8, w - 8, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(8, h - 8, n), jnp.float32)
+    val = jnp.asarray(rng.integers(-2, 1, n), jnp.int32)
+    free = val < 0
+    n_free = int(np.asarray(free).sum())
+    assert 0 < n_free < n
+
+    full = greedy_suppress_pallas(cx, cy, valid, shape=(h, w),
+                                  mindist=10, interpret=True)
+    budgeted = greedy_suppress_pallas(
+        cx, cy, valid, shape=(h, w), mindist=10, interpret=True,
+        budget=jnp.int32(n_free))
+    nb = np.asarray(budgeted)
+    nf = np.asarray(full)
+    assert nb.sum() == min(n_free, nf.sum())
+    # prefix property: budgeted acceptances are the first n_free of full
+    np.testing.assert_array_equal(np.where(nb)[0],
+                                  np.where(nf)[0][:nb.sum()])
+
+    got = fill_slots(budgeted, cx, cy, cval, free, x, y, val)
+    want = suppress_and_fill(cx, cy, cval, valid, free, x, y, val, 10)
+    for g, wv in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
