@@ -790,8 +790,10 @@ def main():
         # final/initial cost: ~0 means excellent convergence, 1 means
         # none. First d2h of the process — everything after runs
         # host-side, so the relay poisoning no longer matters.
-        details["config5_ba_final_over_initial_cost"] = round(
-            float(np.median([float(r) for r in ratios])), 6)
+        # scientific notation: the ratio is ~3e-7 and a fixed-point
+        # round displayed it as 0.0 (VERDICT r2 item 10)
+        details["config5_ba_final_over_initial_cost"] = float(
+            f"{float(np.median([float(r) for r in ratios])):.3e}")
         details["config1_two_frame_demo_s"] = round(bench_two_frame_demo(), 4)
         log(f"config1 done: {details['config1_two_frame_demo_s']} s")
         # roofline + honest clocks LAST (ROOFLINE.md §0): the profiler

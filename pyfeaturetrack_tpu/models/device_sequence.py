@@ -165,12 +165,16 @@ def sequence_chain_device(pyr_prev: TrackPyramids, imgs: tuple,
 def warn_selection_exhausted(where: str, top_k: int) -> None:
     """Shared warning for device-selection top-K exhaustion (the one
     case where the device path can fill fewer slots than the host's
-    full candidate scan)."""
+    full candidate scan). Selection auto-escalates K through 2x/8x
+    rungs before flagging (ops/select_device.py), so this fires only
+    when even the capped rung ran dry on a saturated pool."""
     from ..errors import KLTWarning
+    from ..ops.select_device import _ESCALATION_CAP_FACTOR
     KLTWarning(
-        "(%s) a selection ran out of top-%d candidates with free slots "
-        "left — the host full-scan path may fill more; raise top_k for "
-        "exact parity", where, top_k)
+        "(%s) a selection ran out of candidates with free slots left "
+        "even after escalating to %dx top-%d — the host full-scan path "
+        "may fill more; raise top_k for exact parity", where,
+        _ESCALATION_CAP_FACTOR, top_k)
 
 
 def stack_history_chunks(chunks) -> tuple:

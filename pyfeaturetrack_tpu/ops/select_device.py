@@ -44,6 +44,15 @@ from .select import selection_eig_map_core
 # Suppression keeps boolean [K, K] relaxations; 4096 caps the matrix at
 # 16 MB which both fits HBM comfortably and converges in ~10 rounds.
 DEFAULT_TOP_K = 4096
+# Escalation ladder (VERDICT r2 item 6): selection starts at a small K
+# (refills need tens of slots, and lax.top_k + suppression both scale
+# with K), then re-runs at 2x/8x under lax.cond whenever the pass
+# exhausted its candidates with free slots left AND the candidate pool
+# was actually saturated (k-th value above the bar — if not, no larger
+# K can find more and the small pass already equals the full greedy).
+# Exact at every rung by greedy prefix-stability.
+_REFILL_K0 = 512
+_ESCALATION_CAP_FACTOR = 4
 
 
 def _dilate_chebyshev(occ: jax.Array, radius: int) -> jax.Array:
@@ -138,7 +147,12 @@ def select_features_device(img: jax.Array, x: jax.Array, y: jax.Array,
     ``replacing=True``: keep val >= 0 slots, refill the rest
     (KLTReplaceLostFeatures). Traceable; shapes/config must be static.
 
-    Returns (x, y, val, filled, exhausted) — see suppress_and_fill.
+    Returns (x, y, val, filled, exhausted). ``exhausted`` is True only
+    when the result MAY diverge from the host full scan: every
+    escalation rung (up to 4x top_k) ran dry with free slots left while
+    the candidate pool was still saturated. Merely failing to fill all
+    slots (pool genuinely dry — the host scan would fail identically)
+    does not flag; check ``filled``/``val`` for that.
     """
     eig = selection_eig_map_core(
         jnp.asarray(img, jnp.float32),
@@ -163,13 +177,13 @@ def select_features_from_eig_device(eig: jax.Array, x: jax.Array,
     min_eig = max(int(cfg.min_eigenvalue), 1)
 
     if ny == 0 or nx == 0:
-        # no room for features: mirror the host path's empty-grid handling
-        # (exhausted only when there were slots left to fill — a refill
-        # with nothing lost found everything it needed, trivially)
+        # no room for features: mirror the host path's empty-grid
+        # handling. Never flags divergence: the host full scan sees the
+        # same empty lattice and fills nothing either.
         free = jnp.ones_like(val, bool) if not replacing else (val < 0)
         nf = jnp.where(free, KLT_NOT_FOUND, val)
         return (jnp.where(free, -1.0, x), jnp.where(free, -1.0, y), nf,
-                jnp.zeros_like(free), jnp.any(free))
+                jnp.zeros_like(free), jnp.asarray(False))
 
     cand = eig[bordery:nrows - bordery:step, borderx:ncols - borderx:step]
     cand = cand[:ny, :nx]
@@ -198,33 +212,67 @@ def select_features_from_eig_device(eig: jax.Array, x: jax.Array,
     # lax.top_k breaks ties by lower index first = the host path's stable
     # (-val, scan-order) sort.
     flat = jnp.where(cand < min_eig, 0, cand).ravel()
-    k = min(int(top_k), int(flat.shape[0]))
-    top_val, top_idx = lax.top_k(flat, k)
-    cand_y = (bordery + (top_idx // nx) * step).astype(jnp.int32)
-    cand_x = (borderx + (top_idx % nx) * step).astype(jnp.int32)
-    valid = top_val >= min_eig
+    n_cand = int(flat.shape[0])
 
     # Opt-in Pallas greedy (ONE op instead of the [K, K] fixpoint —
     # the op-count lever, ROOFLINE.md §0); trace-time env read like
     # the other PFT_PALLAS_* knobs.
     import os
+    use_pallas = False
     if os.environ.get("PFT_PALLAS_SELECT", "").lower() in (
             "1", "on", "true"):
         from .pallas_select import (greedy_suppress_pallas,
                                     pallas_suppress_available)
-        if pallas_suppress_available(eig.shape, int(cfg.mindist)):
-            accepted = greedy_suppress_pallas(
-                cand_x, cand_y, valid, shape=eig.shape,
-                mindist=int(cfg.mindist),
-                interpret=jax.default_backend() == "cpu",
-                budget=jnp.sum(free).astype(jnp.int32))
-            return fill_slots(accepted, cand_x, cand_y, top_val, free,
-                              x, y, val)
+        use_pallas = pallas_suppress_available(eig.shape,
+                                               int(cfg.mindist))
 
-    nxx, nyy, nval, filled, exhausted = suppress_and_fill(
-        cand_x, cand_y, top_val, valid, free, x, y, val,
-        int(cfg.mindist))
-    return nxx, nyy, nval, filled, exhausted
+    def stage(k):
+        """One selection pass over the top-k candidates. Returns the
+        fill result plus `saturated`: the pass examined k candidates all
+        above the bar while MORE exist beyond k — the only situation in
+        which a larger K (or the host full scan) could see candidates
+        this pass did not."""
+        def run(_):
+            top_val, top_idx = lax.top_k(flat, k)
+            cand_y = (bordery + (top_idx // nx) * step).astype(jnp.int32)
+            cand_x = (borderx + (top_idx % nx) * step).astype(jnp.int32)
+            valid = top_val >= min_eig
+            if use_pallas:
+                from .pallas_select import greedy_suppress_pallas
+                accepted = greedy_suppress_pallas(
+                    cand_x, cand_y, valid, shape=eig.shape,
+                    mindist=int(cfg.mindist),
+                    interpret=jax.default_backend() == "cpu",
+                    budget=jnp.sum(free).astype(jnp.int32))
+                nxx, nyy, nval, filled, ran_dry = fill_slots(
+                    accepted, cand_x, cand_y, top_val, free, x, y, val)
+            else:
+                nxx, nyy, nval, filled, ran_dry = suppress_and_fill(
+                    cand_x, cand_y, top_val, valid, free, x, y, val,
+                    int(cfg.mindist))
+            saturated = valid[k - 1] & (k < n_cand)
+            return nxx, nyy, nval, filled, ran_dry, saturated
+        return run
+
+    # static escalation ladder (see module constants). Initial selection
+    # (replacing=False) must seat N features, so it starts at the full
+    # top_k as before; a refill typically needs tens, so it starts small.
+    k0 = _REFILL_K0 if replacing else int(top_k)
+    ladder = sorted({min(k, n_cand) for k in
+                     (k0, int(top_k),
+                      _ESCALATION_CAP_FACTOR * int(top_k))})
+
+    out = stage(ladder[0])(None)
+    for k in ladder[1:]:
+        # escalate only when this pass ran out of candidates with slots
+        # unfilled AND the pool was saturated at the previous K
+        out = lax.cond(out[4] & out[5], stage(k), lambda _: out, None)
+    # exhausted = "the result may differ from the host full scan": ran
+    # dry at the final rung while candidates beyond it existed. Running
+    # dry on an UNsaturated pass means the full scan would also have
+    # found nothing more — exact, no flag (VERDICT r2 item 6: a crowded
+    # small frame used to warn spuriously here).
+    return out[0], out[1], out[2], out[3], out[4] & out[5]
 
 
 replace_lost_device = functools.partial(jax.jit, static_argnames=(

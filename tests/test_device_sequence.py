@@ -73,7 +73,9 @@ def test_exhausted_selection_warns():
     """Candidate exhaustion in the device path is surfaced, not silent."""
     from pyfeaturetrack_tpu.errors import KLTWarningCategory
     frames = _rolling_frames(n_frames=3, shift=4, seed=31)
-    # top_k=4 cannot fill 40 slots -> exhausted on the initial selection
-    with pytest.warns(KLTWarningCategory, match="ran out of top-4"):
+    # top_k=4 cannot fill 40 slots even at the 4x escalation cap ->
+    # exhausted on the initial selection
+    with pytest.warns(KLTWarningCategory,
+                      match="escalating to 4x top-4"):
         track_sequence_device(frames, cfg=create_config(mindist=8),
                               n_features=40, replace_lost=True, top_k=4)

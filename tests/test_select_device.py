@@ -81,26 +81,26 @@ def test_replacement_nothing_lost_is_identity():
     assert filled.sum() == 0
 
 
-def test_exhausted_flag_when_candidates_run_out():
-    # tiny candidate lattice + huge mindist: cannot fill all slots
+def test_dry_pool_fills_partially_without_divergence_flag():
+    # tiny candidate lattice + huge mindist: cannot fill all slots, but
+    # the full scan would fail identically -> no divergence flag
     img = make_textured_image(96, 96, seed=11)
     cfg = create_config(mindist=30)
     host = select_good_features_arrays(img, 30, cfg)
     dev, filled, exhausted = _device_select(img, 30, cfg)
-    assert exhausted
+    assert not exhausted  # pool ran dry at full depth: exact, no flag
     assert not filled.all()
-    # full-candidate top_k is still the exact greedy even when exhausted
     np.testing.assert_array_equal(dev, host)
 
 
-def test_empty_grid_exhausted_only_with_free_slots():
-    """An image too small for any candidate lattice: fresh selection is
-    exhausted (slots left unfilled), but a replacement call with nothing
-    lost trivially found everything it needed and must NOT flag."""
+def test_empty_grid_never_flags_divergence():
+    """An image too small for any candidate lattice: slots stay unfilled
+    but the host full scan sees the same empty lattice, so neither the
+    fresh selection nor a nothing-lost replacement flags divergence."""
     cfg = create_config()  # default border exceeds a 12x12 interior
     img = make_textured_image(12, 12, seed=21)
     _, filled, exhausted = _device_select(img, 10, cfg)
-    assert exhausted and not filled.any()
+    assert not exhausted and not filled.any()
     kept = np.tile([(6.0, 6.0, 1.0)], (10, 1))  # all alive: free is empty
     out, filled, exhausted = _device_select(img, 10, cfg,
                                             existing=kept.copy())
@@ -118,4 +118,25 @@ def test_mindist_zero_matches_host():
     lost[::4] = (-1.0, -1.0, -1)
     host = select_good_features_arrays(img, 20, cfg, existing=lost.copy())
     dev, _, _ = _device_select(img, 20, cfg, existing=lost.copy())
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_escalation_matches_host_on_crowded_refill():
+    """A refill needing more slots than the first escalation rung
+    (ops/select_device._REFILL_K0 = 512) can possibly seat: the ladder
+    must escalate under lax.cond and land exactly on the host full
+    scan (VERDICT r2 item 6)."""
+    img = make_textured_image(300, 400, seed=13)
+    cfg = create_config(mindist=3)
+    n = 800
+    base = select_good_features_arrays(img, n, cfg)
+    lost = base.copy()
+    lost[40:] = (-1.0, -1.0, -1.0)  # 760 free slots > 512
+    host = select_good_features_arrays(img, n, cfg,
+                                       existing=lost.copy())
+    dev, filled, exhausted = _device_select(img, n, cfg,
+                                            existing=lost.copy(),
+                                            top_k=4096)
+    assert filled.sum() > 512  # the first rung alone could not do this
+    assert not exhausted
     np.testing.assert_array_equal(dev, host)
