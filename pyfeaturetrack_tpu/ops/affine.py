@@ -223,14 +223,27 @@ def affine_consistency_check(pyr1, pyr2, fl_before: FeatureState,
     # backends (ROOFLINE.md §0). Resolved at trace time, like
     # PFT_PALLAS_LK in ops/track.py.
     import os
-    use_fused = os.environ.get("PFT_PALLAS_AFFINE", "").lower() in (
-        "1", "on", "fused", "true")
-    fused_ok = False
-    if use_fused and getattr(cfg, "image_dtype", "float32") == "float32":
+    aff_mode = os.environ.get("PFT_PALLAS_AFFINE", "").lower()
+    use_vec = aff_mode in ("vec",)
+    use_fused = aff_mode in ("1", "on", "fused", "true")
+    f32_imgs = getattr(cfg, "image_dtype", "float32") == "float32"
+    vec_ok = fused_ok = False
+    if (use_vec or use_fused) and f32_imgs:
         from .pallas_affine_fused import (fused_affine_available,
                                           fused_affine_track_batch)
         fused_ok = fused_affine_available(pyr2.img[0].shape, cfg)
-    if fused_ok:
+        if use_vec and fused_ok:
+            # feature-vectorized kernel (ops/pallas_affine_vec.py) with
+            # exact serial-kernel fallback for corridor-stale lanes
+            from .pallas_affine_vec import (vec_affine_available,
+                                            vec_affine_with_fallback)
+            vec_ok = vec_affine_available(pyr2.img[0].shape, cfg)
+    if vec_ok:
+        x, y, A, status = vec_affine_with_fallback(
+            aff.img, pyr2.img[0], pyr2.gradx[0], pyr2.grady[0],
+            fl_after.x, fl_after.y, aff.A, check, cfg,
+            interpret=jax.default_backend() == "cpu")
+    elif fused_ok and use_fused:
         x, y, A, status = fused_affine_track_batch(
             aff.img, pyr2.img[0], pyr2.gradx[0], pyr2.grady[0],
             fl_after.x, fl_after.y, aff.A, check, cfg,
