@@ -174,6 +174,132 @@ def bench_device_trace_vec(timeout_s=560):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def bench_config2_trace(h=480, w=640, n_features=1000, n_calls=6):
+    """Honest device clock for the config-2 device-resident step
+    (track + cond-gated refill). Respects the PFT_PALLAS_* knobs at
+    trace time — run via bench_device_trace_config2 for the fused
+    lanes."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.models.device_sequence import (
+        select_step_device, sequence_step_device)
+    from pyfeaturetrack_tpu.utils.traceview import capture_device_trace
+
+    cfg = create_config().replace(sequentialMode=True).validated_window()
+    base = _textured(h, w, seed=4)[:h, :w]
+    cyc = [jnp.asarray(np.roll(base, 2 * i, axis=1).astype(np.float32))
+           for i in range(16)]
+    frames = cyc + cyc[-2:0:-1]
+    pyr, x, y, val, _, _ = select_step_device(frames[0], cfg, n_features)
+    for i in range(1, 3):
+        pyr, x, y, val, *_ = sequence_step_device(
+            pyr, frames[i], x, y, val, cfg, True)
+    jax.block_until_ready(val)
+    state = {"pyr": pyr, "x": x, "y": y, "val": val, "i": 3}
+
+    def one():
+        s = state
+        s["pyr"], s["x"], s["y"], s["val"], *_ = sequence_step_device(
+            s["pyr"], frames[s["i"] % len(frames)], s["x"], s["y"],
+            s["val"], cfg, True)
+        s["i"] += 1
+        return s["val"]
+
+    r = capture_device_trace(one, n_calls=n_calls)
+    import os
+    return {"per_frame_device_ms": r["per_call_ms"],
+            "device_fps": (round(1e3 / r["per_call_ms"], 2)
+                           if r["per_call_ms"] else None),
+            "ops_per_frame": r["ops_per_call"],
+            "lanes": {k: os.environ.get(k, "") for k in
+                      ("PFT_PALLAS_LK", "PFT_PALLAS",
+                       "PFT_PALLAS_SELECT")},
+            "note": "device-resident sequence step incl. replace-lost; "
+                    "profiler device lane (ROOFLINE.md §0)"}
+
+
+def bench_config3_trace(h=480, w=640, n_features=1000, n_calls=4):
+    """Honest device clock for the config-3 FULL affine frame step
+    (translation track + mode-2 affine consistency). Respects the
+    PFT_PALLAS_* knobs at trace time."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.features import create_feature_list
+    from pyfeaturetrack_tpu.models.tracker import KLTTrackFeatures
+    from pyfeaturetrack_tpu.utils.traceview import capture_device_trace
+
+    cfg = create_config(affineConsistencyCheck=2, sequentialMode=True)
+    base = _textured(h, w, seed=2)
+    frames = [np.asarray(base[i:i + h, i:i + w], np.float32)
+              for i in range(4)]
+    rng = np.random.default_rng(0)
+    n = n_features
+    fl = create_feature_list(n, with_affine=True)
+    fl = fl._replace(
+        x=jnp.asarray(rng.uniform(40, w - 40, n), jnp.float32),
+        y=jnp.asarray(rng.uniform(40, h - 40, n), jnp.float32),
+        val=jnp.zeros((n,), jnp.int32))
+    state = {"fl": fl, "cache": None, "i": 0}
+    # warm both frames' jit paths (template capture + steady state)
+    for _ in range(2):
+        state["fl"], state["cache"] = KLTTrackFeatures(
+            cfg, frames[state["i"] % 4], frames[(state["i"] + 1) % 4],
+            state["fl"], pyramid_last=state["cache"])
+        state["i"] += 1
+    jax.block_until_ready(state["fl"].x)
+
+    def one():
+        state["fl"], state["cache"] = KLTTrackFeatures(
+            cfg, frames[state["i"] % 4], frames[(state["i"] + 1) % 4],
+            state["fl"], pyramid_last=state["cache"])
+        state["i"] += 1
+        return state["fl"].x
+
+    r = capture_device_trace(one, n_calls=n_calls)
+    import os
+    return {"per_frame_device_ms": r["per_call_ms"],
+            "device_fps": (round(1e3 / r["per_call_ms"], 2)
+                           if r["per_call_ms"] else None),
+            "ops_per_frame": r["ops_per_call"],
+            "lanes": {k: os.environ.get(k, "") for k in
+                      ("PFT_PALLAS_LK", "PFT_PALLAS",
+                       "PFT_PALLAS_AFFINE")},
+            "note": "full affine frame step (track + mode-2 check); "
+                    "profiler device lane (ROOFLINE.md §0)"}
+
+
+def _trace_subprocess(flag, env_knobs, timeout_s=560):
+    """Run `bench.py <flag>` in a subprocess with Pallas env knobs (the
+    knobs are read at trace time, and this process's jit caches already
+    hold the XLA paths)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, **env_knobs)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), flag],
+        env=env, capture_output=True, text=True, timeout=timeout_s)
+    if out.returncode != 0:
+        return {"error": (out.stderr or out.stdout).strip()[-400:]}
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def bench_device_trace_config2(timeout_s=560):
+    return _trace_subprocess(
+        "--config2-trace-only",
+        {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1",
+         "PFT_PALLAS_SELECT": "1"}, timeout_s)
+
+
+def bench_device_trace_config3(timeout_s=560):
+    return _trace_subprocess(
+        "--config3-trace-only",
+        {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1",
+         "PFT_PALLAS_AFFINE": "vec"}, timeout_s)
+
+
 def bench_flow_trace(h=480, w=640):
     """Honest device clock for ONE dense-flow pair (profiler trace, the
     only truthful lane on this relay — ROOFLINE.md §0). Respects
@@ -664,6 +790,10 @@ def main():
                     help=argparse.SUPPRESS)  # bench_device_trace_fused
     ap.add_argument("--flow-trace-only", action="store_true",
                     help=argparse.SUPPRESS)  # bench_device_trace_flow_fused
+    ap.add_argument("--config2-trace-only", action="store_true",
+                    help=argparse.SUPPRESS)  # bench_device_trace_config2
+    ap.add_argument("--config3-trace-only", action="store_true",
+                    help=argparse.SUPPRESS)  # bench_device_trace_config3
     args = ap.parse_args()
     h, w = map(int, args.size.split("x"))
 
@@ -672,6 +802,12 @@ def main():
         return 0
     if args.flow_trace_only:
         print(json.dumps(bench_flow_trace()))
+        return 0
+    if args.config2_trace_only:
+        print(json.dumps(bench_config2_trace()))
+        return 0
+    if args.config3_trace_only:
+        print(json.dumps(bench_config3_trace()))
         return 0
 
     from pyfeaturetrack_tpu.config import create_config
@@ -846,6 +982,37 @@ def main():
         except Exception as e:
             details["device_trace_fused_affine"] = {"error": str(e)}
             log(f"fused-affine device trace failed: {e}")
+        try:
+            details["device_trace_config2"] = bench_device_trace_config2()
+            log("config2 device trace done: "
+                f"{details['device_trace_config2']}")
+        except Exception as e:
+            details["device_trace_config2"] = {"error": str(e)}
+            log(f"config2 device trace failed: {e}")
+        try:
+            details["device_trace_config3"] = bench_device_trace_config3()
+            log("config3 device trace done: "
+                f"{details['device_trace_config3']}")
+        except Exception as e:
+            details["device_trace_config3"] = {"error": str(e)}
+            log(f"config3 device trace failed: {e}")
+        try:
+            from pyfeaturetrack_tpu.ops.pallas_affine_vec import \
+                bench_vec_affine
+            r = bench_vec_affine(device_trace=True, start_off=0.5)
+            vd = r["pallas_vec_device"]
+            fd = r["pallas_fused_device"]
+            details["device_trace_vec_affine"] = {
+                "vec_per_call_ms": vd["per_call_ms"],
+                "serial_fused_per_call_ms": fd["per_call_ms"],
+                "xla_per_call_ms": r["xla_batch_device"]["per_call_ms"],
+                "note": "mode-2 affine batch, 1000 feat 480x640, "
+                        "0.5px start; profiler device lane"}
+            log("vec-affine device trace done: "
+                f"{details['device_trace_vec_affine']}")
+        except Exception as e:
+            details["device_trace_vec_affine"] = {"error": str(e)}
+            log(f"vec-affine device trace failed: {e}")
         try:
             details["device_trace_flow_fused"] = \
                 bench_device_trace_flow_fused()

@@ -199,22 +199,30 @@ def affine_consistency_check(pyr1, pyr2, fl_before: FeatureState,
     aff = aff._replace(valid=aff.valid & ~lost,
                        A=jnp.where(lost[:, None, None], eye, aff.A))
 
-    # First successful track -> capture template, skip the check this frame.
+    # First successful track -> capture template, skip the check this
+    # frame. cond-gated: in steady state no lane needs capture and the
+    # three [N, wh, ww] bilinear gathers (26 ms/frame of XLA gather
+    # fusions on the relay's honest clock — the whole affine kernel is
+    # 4.8 ms) are skipped entirely.
     need_capture = tracked & ~aff.valid
     img1s, gx1, gy1 = pyr1.img[0], pyr1.gradx[0], pyr1.grady[0]
-    t_new = gather_window(img1s, fl_before.x, fl_before.y, hw, hh)
-    tx_new = gather_window(gx1, fl_before.x, fl_before.y, hw, hh)
-    ty_new = gather_window(gy1, fl_before.x, fl_before.y, hw, hh)
-    cap = need_capture[:, None, None]
-    aff = AffineState(
-        img=jnp.where(cap, t_new, aff.img),
-        gradx=jnp.where(cap, tx_new, aff.gradx),
-        grady=jnp.where(cap, ty_new, aff.grady),
-        x=jnp.where(need_capture, fl_before.x, aff.x),
-        y=jnp.where(need_capture, fl_before.y, aff.y),
-        A=jnp.where(cap, jnp.eye(2, dtype=jnp.float32)[None], aff.A),
-        valid=aff.valid | need_capture,
-    )
+
+    def capture(a):
+        t_new = gather_window(img1s, fl_before.x, fl_before.y, hw, hh)
+        tx_new = gather_window(gx1, fl_before.x, fl_before.y, hw, hh)
+        ty_new = gather_window(gy1, fl_before.x, fl_before.y, hw, hh)
+        cap = need_capture[:, None, None]
+        return AffineState(
+            img=jnp.where(cap, t_new, a.img),
+            gradx=jnp.where(cap, tx_new, a.gradx),
+            grady=jnp.where(cap, ty_new, a.grady),
+            x=jnp.where(need_capture, fl_before.x, a.x),
+            y=jnp.where(need_capture, fl_before.y, a.y),
+            A=jnp.where(cap, jnp.eye(2, dtype=jnp.float32)[None], a.A),
+            valid=a.valid | need_capture,
+        )
+
+    aff = lax.cond(jnp.any(need_capture), capture, lambda a: a, aff)
 
     check = tracked & aff.valid & ~need_capture
 

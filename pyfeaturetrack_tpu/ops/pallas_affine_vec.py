@@ -81,9 +81,12 @@ def vec_affine_available(shape, cfg) -> bool:
         return False
     hp, wp = _padded_dims(nrows, ncols, wh)
     tt_pad = 128 * (-(-(ww * wh) // 128))
+    rb = _rb_a(wh)
+    # 3 images + the stacked block scratch + the live sampling temps
+    # (prod [fc,3rb,tt] + colsel [fc,cw,tt] + rowsel [fc,rb,tt])
     need = (3 * hp * wp * 4
-            + _FC * 3 * _rb_a(wh) * 128 * 4
-            + 3 * _FC * max(_cw(ww), 3 * _rb_a(wh)) * tt_pad * 4)
+            + _FC * 3 * rb * 128 * 4
+            + _FC * tt_pad * 4 * (3 * rb + _cw(ww) + rb))
     return need <= _VMEM_BUDGET
 
 
