@@ -262,8 +262,17 @@ def test_bfloat16_image_storage_mode():
         outs[name] = (np.asarray(nx), np.asarray(ny), np.asarray(nv))
 
     v32, vbf = outs["f32"][2], outs["bf16"][2]
-    agree = (v32 == vbf)
-    assert agree.mean() >= 0.95  # rounding may flip borderline statuses
+    # Lane-enumeration discipline (VERDICT r2 item 5): the old blanket
+    # ">=95% agree" tolerance hid nothing — measured ZERO flipped lanes
+    # on this scenario (2026-08-19, CPU backend and the 8-device mesh).
+    # Assert the exclusion list explicitly; if a future numerics change
+    # flips a lane, classify it (borderline residue/bounds/iterations)
+    # and extend the list rather than re-blanketing.
+    bf16_status_exclusions: list[int] = []
+    flipped = np.where(v32 != vbf)[0]
+    assert sorted(flipped.tolist()) == bf16_status_exclusions, (
+        f"unclassified bf16 status flips at lanes {flipped.tolist()}: "
+        f"{[(int(v32[i]), int(vbf[i])) for i in flipped]}")
     both = (v32 == 0) & (vbf == 0)
     assert both.sum() >= n // 2
     np.testing.assert_allclose(outs["bf16"][0][both], outs["f32"][0][both],
