@@ -282,7 +282,22 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
                                  np.asarray(ft.val, np.int64)))
             all_metrics.append(metrics)
 
-    # Stitch identities left to right.
+    table, col_ids = stitch_chunk_tables(chunk_tables, n_frames,
+                                         n_features, stitch_tol)
+    return (table, col_ids, all_metrics)
+
+
+def stitch_chunk_tables(chunk_tables, n_frames: int, n_features: int,
+                        stitch_tol: float = 1.0):
+    """Stitch per-chunk track tables into one global table.
+
+    ``chunk_tables`` is a list of (s, e, x, y, v) with x/y [e-s, N]
+    float64 and v [e-s, N] int64, chunks sharing one boundary frame
+    (chunk_bounds). Pure host-side numpy — the piece each host runs
+    after all-gathering every chunk's table in a multi-process
+    deployment (parallel/multihost.track_sequence_multiprocess), and
+    the same code single-process callers use, so the two lanes agree
+    bit-for-bit by construction. Returns (table dict, col_ids)."""
     next_gid = 0
     col_ids = []       # per chunk: global id of each feature column
     col_matched = []   # per chunk: column continues a previous-chunk track
@@ -330,4 +345,4 @@ def track_sequence_chunked(frames, cfg: Optional[TrackerConfig] = None,
             gy[rows, gid] = y[lrows, j]
             gv[rows, gid] = v[lrows, j]
 
-    return ({"x": gx, "y": gy, "val": gv}, col_ids, all_metrics)
+    return {"x": gx, "y": gy, "val": gv}, col_ids

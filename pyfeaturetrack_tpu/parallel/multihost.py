@@ -106,3 +106,63 @@ def allgather_boundary_states(local_states: np.ndarray,
     extra = n_chunks % n
     parts = [gathered[p, :per + (1 if p < extra else 0)] for p in range(n)]
     return np.concatenate(parts, axis=0)
+
+
+def track_sequence_multiprocess(frames, cfg=None, n_features: int = 150,
+                                n_chunks: int | None = None,
+                                replace_lost: bool = True,
+                                stitch_tol: float = 1.0):
+    """Multi-process chunk-and-stitch sequence tracking (SURVEY.md
+    §5.7): every process tracks only the chunks in
+    ``host_chunk_assignment``, the per-chunk tables travel host-to-host
+    with ONE all-gather, and every process stitches the identical
+    global table with models/chunked.stitch_chunk_tables — the same
+    function the single-process driver uses, so
+    track_sequence_multiprocess(frames) == track_sequence_chunked(
+    frames) bit-for-bit (asserted e2e by tests/test_multiprocess.py on
+    a real 4-process jax.distributed cluster).
+
+    ``frames`` must be the FULL sequence on every process (frames are
+    inputs, not device state; a deployment would read each chunk's
+    files per-host — only the chunk bounds matter here). Returns
+    (table, col_ids) like the single-process driver (metrics are
+    per-host, not gathered).
+    """
+    from ..models.chunked import (chunk_bounds, stitch_chunk_tables)
+    from ..models.sequence import track_sequence
+
+    frames = list(frames)
+    n_frames = len(frames)
+    if n_chunks is None:
+        n_chunks = jax.process_count()
+    bounds = chunk_bounds(n_frames, n_chunks)
+    mine = host_chunk_assignment(len(bounds))
+
+    # track my chunks; pad every table to the global max chunk length
+    # so the all-gather ships one even-shaped [my_chunks, L, N, 3] tile
+    max_len = max(e - s for (s, e) in bounds)
+    local = np.full((len(mine), max_len, n_features, 3), -1.0,
+                    np.float32)
+    for row, k in enumerate(mine):
+        s, e = bounds[k]
+        ft, _ = track_sequence(frames[s:e], cfg=cfg,
+                               n_features=n_features,
+                               replace_lost=replace_lost)
+        ln = e - s
+        local[row, :ln, :, 0] = np.asarray(ft.x, np.float32)
+        local[row, :ln, :, 1] = np.asarray(ft.y, np.float32)
+        local[row, :ln, :, 2] = np.asarray(ft.val, np.float32)
+
+    flat = local.reshape(len(mine), max_len * n_features * 3)
+    gathered = allgather_boundary_states(flat, n_chunks=len(bounds))
+    gathered = gathered.reshape(len(bounds), max_len, n_features, 3)
+
+    chunk_tables = []
+    for k, (s, e) in enumerate(bounds):
+        ln = e - s
+        chunk_tables.append((s, e,
+                             gathered[k, :ln, :, 0].astype(np.float64),
+                             gathered[k, :ln, :, 1].astype(np.float64),
+                             gathered[k, :ln, :, 2].astype(np.int64)))
+    return stitch_chunk_tables(chunk_tables, n_frames, n_features,
+                               stitch_tol)

@@ -53,3 +53,37 @@ def test_two_process_cluster(tmp_path):
         results[1]["final_cost"], rel=1e-6)
     assert results[0]["final_cost_windowed"] == pytest.approx(
         results[1]["final_cost_windowed"], rel=1e-6)
+
+
+def test_four_process_chunked_sequence_e2e(tmp_path):
+    """4 OS processes (8 global devices) track a real sequence in
+    chunks, all-gather the tables, stitch — the stitched table must be
+    BIT-identical to the single-process chunked driver on every
+    process (VERDICT r2 item 9)."""
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker_e2e.py")
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    n = 4
+    outs = [str(tmp_path / f"e2e{i}.json") for i in range(n)]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(i), str(n), outs[i]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(n)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+    results = [json.load(open(o)) for o in outs]
+    assert all(r["ok"] for r in results)
+    # every process stitched the identical global table
+    assert len({r["digest"] for r in results}) == 1
+    assert results[0]["n_tracks"] >= 15
+    assert results[0]["live_last"] >= 10
