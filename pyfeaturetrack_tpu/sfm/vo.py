@@ -75,7 +75,23 @@ class VisualOdometry:
                  stereo_baseline: float | None = None,
                  max_disparity: float = 64.0,
                  bootstrap_model: str = "essential",
-                 dist=None, dist_model: str = "radtan"):
+                 dist=None, dist_model: str = "radtan",
+                 fb_max_displacement: float | None = None,
+                 robust: bool = False):
+        # robust=True: the photometric-nuisance preset measured in
+        # tests/test_sfm_stress.py — gain/bias-insensitive residuals
+        # (cfg.lighting_insensitive; recovers a 20%-of-travel ATE blowup
+        # under exposure drift back to the clean 0.15%) + a 0.5 px
+        # forward-backward gate (halves occluder-induced ATE). Opt-in:
+        # the defaults stay reference-parity for clean footage.
+        if robust:
+            from ..config import create_config
+            if cfg is None:
+                cfg = create_config(lighting_insensitive=True)
+            elif not cfg.lighting_insensitive:
+                cfg = cfg.replace(lighting_insensitive=True)
+            if fb_max_displacement is None:
+                fb_max_displacement = 0.5
         self.K = np.asarray(K, np.float64)
         self.device_loop = bool(device_loop)
         if device_loop:
@@ -90,7 +106,13 @@ class VisualOdometry:
             self._dev_state = None     # (pyr, x, y, val, aff)
             self._dev_buf: list = []
         else:
-            self._tr = SequenceTracker(cfg, n_features, replace_lost=False)
+            # fb_max_displacement: forward-backward gate on every
+            # tracked frame (ops/track.fb_reject) — prunes tracks that
+            # latched onto occluders or photometric artifacts before
+            # they poison the geometry (tests/test_sfm_stress.py)
+            self._tr = SequenceTracker(
+                cfg, n_features, replace_lost=False,
+                fb_max_displacement=fb_max_displacement)
         self.n_features = int(n_features)
         self.kf_every = int(kf_every)
         self.window = int(window)
