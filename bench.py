@@ -278,6 +278,61 @@ def bench_config3_trace(h=480, w=640, n_features=1000, n_calls=4):
                     "profiler device lane (ROOFLINE.md §0)"}
 
 
+def bench_config4_trace(h=1088, w=1920, n_features=4096, n_calls=3):
+    """Honest device clock for the config-4 1080p frame step (4-level
+    pyramid, subsampling 2). With PFT_PALLAS_LK=vec, level 0 exceeds
+    the VMEM gate and runs the vec kernel's HBM-images mode
+    (per-feature async-DMA fetch, ops/pallas_lk_vec.py) — the first
+    fused 1080p lane (VERDICT r2 item 4)."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.track import (build_track_pyramids,
+                                              track_features_pyramids)
+    from pyfeaturetrack_tpu.utils.traceview import capture_device_trace
+
+    cfg = create_config().replace(nPyramidLevels=4, subsampling=2)
+
+    @jax.jit
+    def frame_step(pyr_prev, img_new, x, y, val):
+        pyr_new = build_track_pyramids(img_new, cfg)
+        return pyr_new, track_features_pyramids(pyr_prev, pyr_new, x, y,
+                                                val, cfg)
+
+    base = _textured(h, w)
+    frames = [jnp.asarray(base[i:i + h, i:i + w], jnp.float32)
+              for i in range(3)]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(cfg.borderx + 1, w - cfg.borderx - 2,
+                                n_features), jnp.float32)
+    y = jnp.asarray(rng.uniform(cfg.bordery + 1, h - cfg.bordery - 2,
+                                n_features), jnp.float32)
+    val = jnp.ones((n_features,), jnp.int32)
+    pyr = jax.jit(build_track_pyramids, static_argnames=("cfg",))(
+        frames[0], cfg)
+    p2, out = frame_step(pyr, frames[1], x, y, val)
+    jax.block_until_ready(out)
+    state = {"cur": pyr, "i": 0}
+
+    def one():
+        state["i"] += 1
+        state["cur"], o = frame_step(state["cur"],
+                                     frames[state["i"] % 3], x, y, val)
+        return o
+
+    r = capture_device_trace(one, n_calls=n_calls)
+    import os
+    return {"per_frame_device_ms": r["per_call_ms"],
+            "device_fps": (round(1e3 / r["per_call_ms"], 2)
+                           if r["per_call_ms"] else None),
+            "ops_per_frame": r["ops_per_call"],
+            "lanes": {k: os.environ.get(k, "") for k in
+                      ("PFT_PALLAS_LK", "PFT_PALLAS")},
+            "note": "1080p 4096-feat 4-level frame step; level 0 via "
+                    "the vec kernel's HBM-images mode when the vec "
+                    "lane is on; profiler device lane (ROOFLINE.md §0)"}
+
+
 def _trace_subprocess(flag, env_knobs, timeout_s=560):
     """Run `bench.py <flag>` in a subprocess with Pallas env knobs (the
     knobs are read at trace time, and this process's jit caches already
@@ -306,6 +361,12 @@ def bench_device_trace_config3(timeout_s=560):
         "--config3-trace-only",
         {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1",
          "PFT_PALLAS_AFFINE": "vec"}, timeout_s)
+
+
+def bench_device_trace_config4(timeout_s=560):
+    return _trace_subprocess(
+        "--config4-trace-only",
+        {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1"}, timeout_s)
 
 
 def bench_flow_trace(h=480, w=640):
@@ -802,6 +863,8 @@ def main():
                     help=argparse.SUPPRESS)  # bench_device_trace_config2
     ap.add_argument("--config3-trace-only", action="store_true",
                     help=argparse.SUPPRESS)  # bench_device_trace_config3
+    ap.add_argument("--config4-trace-only", action="store_true",
+                    help=argparse.SUPPRESS)  # bench_device_trace_config4
     args = ap.parse_args()
     h, w = map(int, args.size.split("x"))
 
@@ -816,6 +879,9 @@ def main():
         return 0
     if args.config3_trace_only:
         print(json.dumps(bench_config3_trace()))
+        return 0
+    if args.config4_trace_only:
+        print(json.dumps(bench_config4_trace()))
         return 0
 
     from pyfeaturetrack_tpu.config import create_config
@@ -1012,6 +1078,13 @@ def main():
         except Exception as e:
             details["device_trace_config3"] = {"error": str(e)}
             log(f"config3 device trace failed: {e}")
+        try:
+            details["device_trace_config4"] = bench_device_trace_config4()
+            log("config4 device trace done: "
+                f"{details['device_trace_config4']}")
+        except Exception as e:
+            details["device_trace_config4"] = {"error": str(e)}
+            log(f"config4 device trace failed: {e}")
         try:
             from pyfeaturetrack_tpu.ops.pallas_affine_vec import \
                 bench_vec_affine

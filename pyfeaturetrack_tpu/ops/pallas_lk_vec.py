@@ -31,11 +31,17 @@ blocked design:
   dots — no per-feature serialization anywhere in the loop.
 
 Features whose track drifts outside their fetched block's corridor
-(~±8 px vertically, ~±56 px horizontally from the entry position) are
-flagged ``stale`` and frozen; ``vec_track_level_with_fallback`` re-runs
-just those lanes through the serial fused kernel under ``lax.cond``
-(zero compute when no lane is stale — the common case). Both kernels
-reproduce the XLA path exactly, so the merge is exact.
+(~±8-15 px vertically, ~±56 px horizontally from the entry position)
+are flagged ``stale`` and frozen; ``vec_track_level_with_fallback``
+re-runs just those lanes under ``lax.cond`` (zero compute when no lane
+is stale — the common case) through the serial fused kernel, or
+through the XLA level loop at levels beyond its VMEM gate. All
+implementations reproduce the XLA path exactly, so the merge is exact.
+
+Levels whose six padded arrays exceed the VMEM budget (1080p level 0)
+run the SAME kernel with images left in ANY/HBM memory and the fetch
+loop issuing overlapped async DMAs per feature block
+(vec_level_available_hbm) — VERDICT r2 item 4.
 
 Mosaic constraints discovered on this rig and honored here
 (experiments/probe_mosaic_gather.py, probe_extract_speed.py):
@@ -71,8 +77,11 @@ _FC = 32               # features per tile (VMEM-stack bound; tuned)
 
 def _rb(wh: int) -> int:
     """Block sublane height: the (wh+1)-row patch at any %8 residual,
-    plus an 8-row corridor for iteration drift."""
-    return 8 * (-(-(wh + 1) // 8)) + 8
+    plus a 16-row corridor for iteration drift. (An 8-row corridor left
+    only ~±3-7 px of vertical tolerance after the %8 residual and sent
+    ~14% of lanes to the stale fallback on ordinary 1-2 px tracking —
+    ruinous at 1080p where the fallback is the XLA path.)"""
+    return 8 * (-(-(wh + 1) // 8)) + 16
 
 
 def _phs(wh: int) -> int:
@@ -85,17 +94,31 @@ def _padded_dims(nrows: int, ncols: int, wh: int) -> tuple[int, int]:
             128 * (-(-ncols // 128)) + 128)
 
 
-def vec_level_available(shape, cfg) -> bool:
-    """True when the vectorized kernel supports this level: six padded
-    f32 arrays within the VMEM budget and the window within the block."""
+def _window_fits(shape, cfg) -> bool:
     nrows, ncols = shape
     ww, wh = cfg.window_width, cfg.window_height
     if ww + 2 > _CB - 192 or wh + 2 > _rb(wh):
         return False
-    if nrows < wh + 2 or ncols < ww + 2:
+    return nrows >= wh + 2 and ncols >= ww + 2
+
+
+def vec_level_available(shape, cfg) -> bool:
+    """True when the VMEM-resident form supports this level: six padded
+    f32 arrays within the VMEM budget and the window within the block."""
+    if not _window_fits(shape, cfg):
         return False
-    hp, wp = _padded_dims(nrows, ncols, wh)
+    nrows, ncols = shape
+    hp, wp = _padded_dims(nrows, ncols, cfg.window_height)
     return 6 * hp * wp * 4 <= _VMEM_BUDGET
+
+
+def vec_level_available_hbm(shape, cfg) -> bool:
+    """True when the HBM-resident form supports this level (images stay
+    in ANY memory; the fetch loop async-DMAs each feature's aligned
+    block into VMEM scratch, so VMEM holds only the per-tile blocks —
+    any resolution works). VERDICT r2 item 4: this is what lets
+    config-4's 1080p level 0 run fused."""
+    return _window_fits(shape, cfg)
 
 
 def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
@@ -103,12 +126,12 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
                       img1_ref, gx1_ref, gy1_ref,
                       img2_ref, gx2_ref, gy2_ref, out_ref,
                       bi_ref, bx_ref, by_ref,
-                      w1_ref, g1x_ref, g1y_ref, *,
+                      w1_ref, g1x_ref, g1y_ref, *dma_sem,
                       fc: int, hw: int, hh: int, nrows: int, ncols: int,
                       hp: int, wp: int, max_iterations: int,
                       min_displacement: float, min_determinant: float,
                       max_residue: float, step_factor: float,
-                      lighting: bool, one_d: bool):
+                      lighting: bool, one_d: bool, hbm: bool = False):
     ww = 2 * hw + 1
     wh = 2 * hh + 1
     rb = _rb(wh)
@@ -130,7 +153,9 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         block inside the padded image."""
         rt = jnp.floor(y).astype(jnp.int32) - hh
         ct = jnp.floor(x).astype(jnp.int32) - hw
-        row0 = jnp.clip(8 * (rt // 8), 0, hp - rb)
+        # -8 centers the vertical corridor (patch at rows 8..8+wh of
+        # the block -> ~+-8-15 px drift tolerance both ways)
+        row0 = jnp.clip(8 * ((rt - 8) // 8), 0, hp - rb)
         col0 = jnp.clip(128 * ((ct - 64) // 128), 0, wp - _CB)
         return row0, col0
 
@@ -207,23 +232,61 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
 
     base = pl.program_id(0) * fc
 
+    def _origin(f, xs_ref, ys_ref):
+        x = xs_ref[base + f]
+        y = ys_ref[base + f]
+        rt = jnp.floor(y).astype(jnp.int32) - hh
+        ct = jnp.floor(x).astype(jnp.int32) - hw
+        row0 = pl.multiple_of(
+            jnp.clip(8 * ((rt - 8) // 8), 0, hp - rb), 8)
+        col0 = pl.multiple_of(
+            jnp.clip(128 * ((ct - 64) // 128), 0, wp - _CB), 128)
+        return row0, col0
+
     def fetch_loop(refs):
-        def body(f, c):
+        if not hbm:
+            def body(f, c):
+                @pl.when(acts_ref[base + f] > 0)
+                def _():
+                    row0, col0 = _origin(f, refs[3], refs[4])
+                    bi_ref[f] = refs[0][pl.ds(row0, rb), pl.ds(col0, _CB)]
+                    bx_ref[f] = refs[1][pl.ds(row0, rb), pl.ds(col0, _CB)]
+                    by_ref[f] = refs[2][pl.ds(row0, rb), pl.ds(col0, _CB)]
+                return c
+            lax.fori_loop(0, fc, body, 0)
+            return
+
+        # HBM mode: images live in ANY memory; async-copy every
+        # feature's aligned block into the VMEM scratch. All 3*fc DMAs
+        # start before any wait so their latencies overlap (the wait
+        # pass recreates each descriptor from the same pure origin
+        # math — the canonical Pallas start/wait pattern).
+        sem = dma_sem[0]
+
+        def dmas(f):
+            row0, col0 = _origin(f, refs[3], refs[4])
+            return [pltpu.make_async_copy(
+                src.at[pl.ds(row0, rb), pl.ds(col0, _CB)],
+                dst.at[f], sem.at[f, s])
+                for s, (src, dst) in enumerate(
+                    zip(refs[:3], (bi_ref, bx_ref, by_ref)))]
+
+        def start(f, c):
             @pl.when(acts_ref[base + f] > 0)
             def _():
-                x = refs[3][base + f]
-                y = refs[4][base + f]
-                rt = jnp.floor(y).astype(jnp.int32) - hh
-                ct = jnp.floor(x).astype(jnp.int32) - hw
-                row0 = pl.multiple_of(
-                    jnp.clip(8 * (rt // 8), 0, hp - rb), 8)
-                col0 = pl.multiple_of(
-                    jnp.clip(128 * ((ct - 64) // 128), 0, wp - _CB), 128)
-                bi_ref[f] = refs[0][pl.ds(row0, rb), pl.ds(col0, _CB)]
-                bx_ref[f] = refs[1][pl.ds(row0, rb), pl.ds(col0, _CB)]
-                by_ref[f] = refs[2][pl.ds(row0, rb), pl.ds(col0, _CB)]
+                for d in dmas(f):
+                    d.start()
             return c
-        lax.fori_loop(0, fc, body, 0)
+
+        def wait(f, c):
+            @pl.when(acts_ref[base + f] > 0)
+            def _():
+                for d in dmas(f):
+                    d.wait()
+            return c
+
+        lax.fori_loop(0, fc, start, 0)
+        lax.fori_loop(0, fc, wait, 0)
 
     fetch_loop((img1_ref, gx1_ref, gy1_ref, x1s_ref, y1s_ref))
 
@@ -390,10 +453,11 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "one_d",
-                                             "fc"))
+                                             "fc", "force_hbm"))
 def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
                     cfg, active, *, interpret: bool = False,
-                    one_d: bool = False, fc: int | None = None):
+                    one_d: bool = False, fc: int | None = None,
+                    force_hbm: bool | None = None):
     """Feature-vectorized fused LK level. Same contract as
     ops/pallas_lk_fused.fused_track_level plus a 5th return:
     (x2, y2, status, iteration, stale) — ``stale`` lanes drifted
@@ -421,21 +485,34 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
     vecs = tuple(a.astype(jnp.float32).reshape(npad, 1, 1)
                  for a in feats)
 
+    # images beyond the VMEM budget stay in ANY memory; the kernel's
+    # fetch loop DMAs per-feature blocks instead of slicing resident
+    # arrays (vec_level_available_hbm — config-4's 1080p level 0)
+    hbm = (force_hbm if force_hbm is not None
+           else 6 * hp * wp * 4 > _VMEM_BUDGET)
+
     kernel = functools.partial(
         _vec_level_kernel, fc=fc, hw=hw, hh=hh, nrows=nrows,
         ncols=ncols, hp=hp, wp=wp, max_iterations=cfg.max_iterations,
         min_displacement=cfg.min_displacement,
         min_determinant=cfg.min_determinant,
         max_residue=cfg.max_residue, step_factor=cfg.step_factor,
-        lighting=cfg.lighting_insensitive, one_d=one_d)
+        lighting=cfg.lighting_insensitive, one_d=one_d, hbm=hbm)
 
     # SMEM arrays pass whole (rank-1 SMEM blocks must be full-array or
     # %128-sized); the kernel offsets by program_id * fc
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem1 = pl.BlockSpec((fc, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    vimg = pl.BlockSpec((hp, wp), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)
+    if hbm:
+        vimg = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        vimg = pl.BlockSpec((hp, wp), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = ([pltpu.VMEM((fc, rb, _CB), jnp.float32)] * 3 +
+               [pltpu.VMEM((fc, phs, phs), jnp.float32)] * 3)
+    if hbm:
+        scratch.append(pltpu.SemaphoreType.DMA((fc, 3)))
     out = pl.pallas_call(
         kernel,
         grid=(npad // fc,),
@@ -443,8 +520,7 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
         in_specs=[smem] * 5 + [vmem1] * 5 + [vimg] * 6,
         out_specs=pl.BlockSpec((fc, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((fc, rb, _CB), jnp.float32)] * 3 +
-                       [pltpu.VMEM((fc, phs, phs), jnp.float32)] * 3,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*feats, *vecs,
       padded(img1), padded(gx1), padded(gy1),
@@ -457,23 +533,35 @@ def vec_track_level_with_fallback(x1, y1, x2, y2, img1, gx1, gy1,
                                   img2, gx2, gy2, cfg, active, *,
                                   interpret: bool = False,
                                   one_d: bool = False):
-    """vec_track_level + exact serial recomputation of stale lanes.
+    """vec_track_level + exact recomputation of stale lanes.
 
     Drop-in replacement for fused_track_level: returns (x2, y2, status,
     iteration). Stale lanes (those that drifted outside their fetched
-    block, typically none) are re-run from scratch through the serial
-    fused kernel under a ``lax.cond`` — both kernels replicate the XLA
-    path exactly, so the merged result equals an all-serial run."""
-    from .pallas_lk_fused import fused_track_level
+    block, typically none) are re-run from scratch under a ``lax.cond``
+    — through the serial fused kernel where its VMEM gate allows, else
+    through the XLA level loop (levels beyond the gate, e.g. 1080p
+    level 0 in the HBM-images mode). All three implementations
+    replicate the same semantics, so the merge is exact."""
+    from .pallas_lk_fused import fused_level_available, fused_track_level
     nx, ny, status, it, stale = vec_track_level(
         x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2, cfg, active,
         interpret=interpret, one_d=one_d)
     args = (x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2)
+    use_fused = fused_level_available(img1.shape, cfg)
 
     def rerun(_):
-        sx, sy, ss, si = fused_track_level(
-            *args, cfg, active & stale, interpret=interpret,
-            one_d=one_d)
+        if use_fused:
+            sx, sy, ss, si = fused_track_level(
+                *args, cfg, active & stale, interpret=interpret,
+                one_d=one_d)
+        else:
+            if one_d:  # no XLA 1-D feature-level lane exists; callers
+                # use one_d only at fused-gate-sized levels
+                raise NotImplementedError(
+                    "one_d vec fallback needs the fused kernel's gate")
+            from .track import track_feature_level
+            sx, sy, ss, si = track_feature_level(
+                *args, cfg, active_in=active & stale)
         return (jnp.where(stale, sx, nx), jnp.where(stale, sy, ny),
                 jnp.where(stale, ss, status), jnp.where(stale, si, it))
 

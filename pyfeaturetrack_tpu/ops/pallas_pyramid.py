@@ -306,7 +306,8 @@ def build_track_pyramids_pallas(img: jax.Array, cfg):
                 cur, lvl_smooth, grad_k, pyr_k if want_pyr else None)
         else:
             base, gx, gy, smp = fused_level_build_tiled(
-                cur, lvl_smooth, grad_k, pyr_k if want_pyr else None)
+                cur, lvl_smooth, grad_k, pyr_k if want_pyr else None,
+                tile=_tile_for(cur.shape))
         imgs.append(base)
         gxs.append(gx)
         gys.append(gy)
@@ -316,11 +317,26 @@ def build_track_pyramids_pallas(img: jax.Array, cfg):
     return TrackPyramids(img=tuple(imgs), gradx=tuple(gxs), grady=tuple(gys))
 
 
+def _tile_for(shape: tuple[int, int]) -> int:
+    """Row-tile height for the tiled kernel: smaller tiles for big
+    images keep the double-buffered output blocks + slab temps inside
+    VMEM next to the whole resident input."""
+    return 32 if np.prod(shape) * 4 > 4 * 1024 * 1024 else 64
+
+
 def fits_vmem_tiled(shape: tuple[int, int], n_outputs: int) -> bool:
-    """The tiled kernel still keeps the whole (padded) input image in
-    VMEM (only the intermediates are slab-sized); bound the resident
-    input + per-tile output buffers."""
-    return (np.prod(shape) * 4 * (1 + n_outputs) * 1.5) < (14 * 1024 * 1024)
+    """The tiled kernel keeps the whole (padded) input image in VMEM;
+    outputs are STREAMED per tile through BlockSpecs (double-buffered),
+    and intermediates are slab-sized. Budget those parts separately —
+    the old whole-array x n_outputs bound wrongly rejected 1080p level
+    0, whose real footprint is input 8.5 MB + ~2 MB tiles + ~2 MB
+    slabs (VERDICT r2 item 4)."""
+    h, w = shape
+    tile = _tile_for(shape)
+    in_bytes = (h + 24) * w * 4            # whole input + halo pad
+    out_bytes = n_outputs * tile * w * 4 * 2   # double-buffered blocks
+    slab_bytes = 5 * (tile + 24) * w * 4       # live slab temps
+    return in_bytes + out_bytes + slab_bytes < (14 * 1024 * 1024)
 
 
 def pallas_pyramids_available(img_shape, cfg) -> bool:

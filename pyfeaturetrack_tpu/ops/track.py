@@ -283,10 +283,11 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
                                           ("1", "on", "true"))
     if use_vec:
         # feature-vectorized fused level kernel (ops/pallas_lk_vec.py)
-        # with exact serial fallback for corridor-stale lanes; preferred
-        # lane — no per-feature serialization (VERDICT r2 item 1)
-        from .pallas_lk_fused import fused_level_available
-        from .pallas_lk_vec import (vec_level_available,
+        # with exact fallback for corridor-stale lanes; preferred lane
+        # — no per-feature serialization. Levels whose images exceed
+        # the VMEM budget run the SAME kernel with HBM-resident images
+        # (per-feature async-DMA fetch), so 1080p level 0 stays fused.
+        from .pallas_lk_vec import (vec_level_available_hbm,
                                     vec_track_level_with_fallback)
     if use_fused:
         from .pallas_lk_fused import (fused_level_available,
@@ -302,8 +303,7 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
         active = live & ~broken
         f32_imgs = getattr(cfg, "image_dtype", "float32") == "float32"
         vec_ok = (use_vec and f32_imgs
-                  and vec_level_available(pyr1.img[r].shape, cfg)
-                  and fused_level_available(pyr1.img[r].shape, cfg))
+                  and vec_level_available_hbm(pyr1.img[r].shape, cfg))
         fused_ok = (use_fused and f32_imgs
                     and fused_level_available(pyr1.img[r].shape, cfg))
         with jax.named_scope(f"pft.lk_level_{r}"):

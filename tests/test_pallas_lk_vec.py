@@ -254,3 +254,51 @@ def test_vec_full_pyramid_env_dispatch(monkeypatch):
     np.testing.assert_array_equal(np.asarray(vv), np.asarray(rv))
     np.testing.assert_allclose(np.asarray(vx), np.asarray(rx), atol=1e-3)
     np.testing.assert_allclose(np.asarray(vy), np.asarray(ry), atol=1e-3)
+
+
+def test_vec_hbm_mode_matches_vmem_mode():
+    """force_hbm=True (images in ANY memory, per-feature async-DMA
+    fetch — the 1080p config-4 path) is bitwise equal to the
+    VMEM-resident form on the same inputs."""
+    cfg = create_config()
+    h, w, n = 120, 160, 48
+    img1, img2 = _level_inputs(h, w, seed=17)
+    lvl = _prep(cfg, img1, img2)
+    rng = np.random.default_rng(18)
+    x = jnp.asarray(rng.uniform(8, w - 9, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(8, h - 9, n), jnp.float32)
+    act = jnp.asarray(rng.uniform(size=n) < 0.9)
+    a = vec_track_level(x, y, x, y, *lvl, cfg, act, interpret=True,
+                        force_hbm=False)
+    b = vec_track_level(x, y, x, y, *lvl, cfg, act, interpret=True,
+                        force_hbm=True)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_vec_hbm_gate_and_stale_fallback_beyond_fused():
+    """1080p level 0 is beyond the serial fused kernel's VMEM gate but
+    inside the HBM vec gate; the stale fallback there routes through
+    the XLA level loop and still matches it exactly. (Small image with
+    forced HBM + a large shift exercises the same code path without a
+    1080p compile in the suite.)"""
+    from pyfeaturetrack_tpu.ops.pallas_lk_fused import \
+        fused_level_available
+    from pyfeaturetrack_tpu.ops.pallas_lk_vec import \
+        vec_level_available_hbm
+    cfg = create_config()
+    assert not fused_level_available((1088, 1920), cfg)
+    assert vec_level_available_hbm((1088, 1920), cfg)
+    assert not vec_level_available((1088, 1920), cfg)
+
+    h, w, n = 120, 160, 64
+    img1, img2 = _level_inputs(h, w, shift=(5, 9), seed=2)
+    lvl = _prep(cfg, img1, img2)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(12, w - 13, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(12, h - 13, n), jnp.float32)
+    act = jnp.ones((n,), bool)
+    _, _, _, _, stale = vec_track_level(x, y, x, y, *lvl, cfg, act,
+                                        interpret=True, force_hbm=True)
+    assert np.asarray(stale).any()
+    _assert_matches(cfg, lvl, x, y, act)
