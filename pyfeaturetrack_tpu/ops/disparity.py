@@ -104,12 +104,26 @@ def disparity_level(img1, gx1, gy1, img2, gx2, gy2, d, cfg
     y1 = yg.ravel()
     x2 = x1 - d.ravel()
 
-    use_fused = os.environ.get("PFT_PALLAS_LK", "").lower() in (
-        "1", "on", "fused", "true")
-    if use_fused:
+    lk_mode = os.environ.get("PFT_PALLAS_LK", "").lower()
+    use_vec = lk_mode in ("vec",)
+    use_fused = lk_mode in ("1", "on", "fused", "true")
+    if use_vec or use_fused:
         from .pallas_lk_fused import (fused_level_available,
                                       fused_track_level)
+        # the vec lane's one_d stale-fallback routes through the serial
+        # fused kernel, so both lanes need its VMEM gate here
         if fused_level_available(img1.shape, cfg):
+            if use_vec:
+                from .pallas_lk_vec import (
+                    vec_level_available, vec_track_level_with_fallback)
+                if vec_level_available(img1.shape, cfg):
+                    nx, _, status, _ = vec_track_level_with_fallback(
+                        x1, y1, x2, y1, img1, gx1, gy1, img2, gx2, gy2,
+                        cfg, jnp.ones_like(x1, dtype=bool),
+                        interpret=jax.default_backend() == "cpu",
+                        one_d=True)
+                    return ((x1 - nx).reshape(nrows, ncols),
+                            status.reshape(nrows, ncols))
             nx, _, status, _ = fused_track_level(
                 x1, y1, x2, y1, img1, gx1, gy1, img2, gx2, gy2, cfg,
                 jnp.ones_like(x1, dtype=bool),

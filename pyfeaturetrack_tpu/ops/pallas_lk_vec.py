@@ -73,6 +73,8 @@ _CB = 256              # lane width of each feature's block
 _ONE_PLUS_EPS = 1.001  # ops/track._ONE_PLUS_EPS (reference bound check)
 _VMEM_BUDGET = 10 * 1024 * 1024   # images only; scratch/stack headroom
 _FC = 32               # features per tile (VMEM-stack bound; tuned)
+_SMEM_CHUNK = 2048     # scalar-array features per SMEM block (~1 MB
+                       # SMEM total; dense flow sends H*W lanes here)
 
 
 def _rb(wh: int) -> int:
@@ -230,7 +232,7 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
 
     # ---------- phase 1a: serial frame-1 block fetch ---------------------
 
-    base = pl.program_id(0) * fc
+    base = pl.program_id(1) * fc  # tile within the SMEM chunk
 
     def _origin(f, xs_ref, ys_ref):
         x = xs_ref[base + f]
@@ -477,13 +479,18 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
         return jnp.pad(a.astype(jnp.float32), ((0, hp - h), (0, wp - w)))
 
     n = x1.shape[0]
-    npad = -(-n // fc) * fc
+    # SMEM holds ~1 MB: beyond _SMEM_CHUNK features the scalar arrays
+    # are chunked over a leading grid dimension (dense flow routes
+    # H*W lanes through here)
+    chunk = _SMEM_CHUNK if n > _SMEM_CHUNK else -(-n // fc) * fc
+    npad = -(-n // chunk) * chunk
     act = active.astype(jnp.int32)
     feats = (x1, y1, x2, y2, act)
     if npad != n:
         feats = tuple(jnp.pad(a, (0, npad - n)) for a in feats)
     vecs = tuple(a.astype(jnp.float32).reshape(npad, 1, 1)
                  for a in feats)
+    tiles_per_chunk = chunk // fc
 
     # images beyond the VMEM budget stay in ANY memory; the kernel's
     # fetch loop DMAs per-feature blocks instead of slicing resident
@@ -499,15 +506,19 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
         max_residue=cfg.max_residue, step_factor=cfg.step_factor,
         lighting=cfg.lighting_insensitive, one_d=one_d, hbm=hbm)
 
-    # SMEM arrays pass whole (rank-1 SMEM blocks must be full-array or
-    # %128-sized); the kernel offsets by program_id * fc
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem1 = pl.BlockSpec((fc, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
+    # SMEM blocks must be full-array or %128-sized: pass one `chunk`
+    # of the scalar arrays per leading grid index; the kernel offsets
+    # into it by program_id(1) * fc (tile within chunk)
+    smem = pl.BlockSpec((chunk,), lambda i, j: (i,),
+                        memory_space=pltpu.SMEM)
+    vmem1 = pl.BlockSpec(
+        (fc, 1, 1),
+        lambda i, j, t=tiles_per_chunk: (i * t + j, 0, 0),
+        memory_space=pltpu.VMEM)
     if hbm:
         vimg = pl.BlockSpec(memory_space=pl.ANY)
     else:
-        vimg = pl.BlockSpec((hp, wp), lambda i: (0, 0),
+        vimg = pl.BlockSpec((hp, wp), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
     scratch = ([pltpu.VMEM((fc, rb, _CB), jnp.float32)] * 3 +
                [pltpu.VMEM((fc, phs, phs), jnp.float32)] * 3)
@@ -515,11 +526,12 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
         scratch.append(pltpu.SemaphoreType.DMA((fc, 3)))
     out = pl.pallas_call(
         kernel,
-        grid=(npad // fc,),
+        grid=(npad // chunk, tiles_per_chunk),
         out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
         in_specs=[smem] * 5 + [vmem1] * 5 + [vimg] * 6,
-        out_specs=pl.BlockSpec((fc, 8), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (fc, 8), lambda i, j, t=tiles_per_chunk: (i * t + j, 0),
+            memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         interpret=interpret,
     )(*feats, *vecs,

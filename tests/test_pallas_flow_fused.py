@@ -118,3 +118,60 @@ def test_dense_flow_pyramids_fused_matches_xla(monkeypatch):
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(fused.v), np.asarray(ref.v),
                                atol=2e-3)
+
+
+def test_dense_flow_pyramids_vec_matches_xla(monkeypatch):
+    """Full coarse-to-fine dense flow through the feature-VECTORIZED
+    kernel (PFT_PALLAS_LK=vec routes every pixel through the 32-lane
+    tiled kernel with early exit + exact stale fallback) == XLA dense
+    flow."""
+    cfg = create_config().validated_window()
+    h, w = 48, 64
+    img1, img2 = _pair(h, w, shift=(1, 2), seed=5)
+    p1 = build_track_pyramids_jit(img1, cfg)
+    p2 = build_track_pyramids_jit(img2, cfg)
+
+    monkeypatch.delenv("PFT_PALLAS_LK", raising=False)
+    ref = dense_flow_pyramids.__wrapped__(p1, p2, cfg)
+    monkeypatch.setenv("PFT_PALLAS_LK", "vec")
+    vec = dense_flow_pyramids.__wrapped__(p1, p2, cfg)
+
+    np.testing.assert_array_equal(np.asarray(vec.status),
+                                  np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(vec.u), np.asarray(ref.u),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(vec.v), np.asarray(ref.v),
+                               atol=2e-3)
+
+
+def test_dense_disparity_vec_matches_xla(monkeypatch):
+    """Dense 1-D disparity through the vec kernel's one_d lane == the
+    XLA disparity path."""
+    from pyfeaturetrack_tpu.ops.disparity import dense_disparity_pyramids
+
+    cfg = create_config().validated_window()
+    h, w = 48, 64
+    rng = np.random.default_rng(9)
+    base = rng.uniform(0, 255, (h, w + 8))
+    k = np.array([1.0, 4, 6, 4, 1]) / 16.0
+    for axis in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), axis, base)
+    left = np.asarray(base[:, 4:w + 4], np.float32)
+    right = np.asarray(base[:, :w], np.float32)  # disparity = 4 px
+    p_l = build_track_pyramids_jit(jnp.asarray(left), cfg)
+    p_r = build_track_pyramids_jit(jnp.asarray(right), cfg)
+
+    # __wrapped__: the jitted wrapper would cache the first env read
+    monkeypatch.delenv("PFT_PALLAS_LK", raising=False)
+    ref = dense_disparity_pyramids.__wrapped__(p_l, p_r, cfg,
+                                               max_disparity=8.0)
+    monkeypatch.setenv("PFT_PALLAS_LK", "vec")
+    vec = dense_disparity_pyramids.__wrapped__(p_l, p_r, cfg,
+                                               max_disparity=8.0)
+
+    np.testing.assert_array_equal(np.asarray(vec.status),
+                                  np.asarray(ref.status))
+    ok = np.asarray(ref.status) == 0
+    np.testing.assert_allclose(np.asarray(vec.d)[ok],
+                               np.asarray(ref.d)[ok], atol=2e-3)
