@@ -302,7 +302,10 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
         yout = jnp.where(broken, yout, yout * s)
         active = live & ~broken
         f32_imgs = getattr(cfg, "image_dtype", "float32") == "float32"
-        vec_ok = (use_vec and f32_imgs
+        # the vec kernel handles bf16 image storage too: its wrapper
+        # upcasts at the padding copy, which equals the XLA bf16 path's
+        # upcast-at-gather values exactly (tests/test_pallas_lk_vec.py)
+        vec_ok = (use_vec
                   and vec_level_available_hbm(pyr1.img[r].shape, cfg))
         fused_ok = (use_fused and f32_imgs
                     and fused_level_available(pyr1.img[r].shape, cfg))

@@ -302,3 +302,37 @@ def test_vec_hbm_gate_and_stale_fallback_beyond_fused():
                                         interpret=True, force_hbm=True)
     assert np.asarray(stale).any()
     _assert_matches(cfg, lvl, x, y, act)
+
+
+def test_vec_bf16_storage_matches_xla_bf16(monkeypatch):
+    """bf16 image storage through the vec lane == the XLA bf16 path:
+    both upcast the stored bf16 arrays to f32 before sampling (the vec
+    wrapper at its padding copy, XLA at the gather), so values are
+    identical. Statuses exact; positions to float tolerance."""
+    import jax
+
+    from pyfeaturetrack_tpu.ops.track import (build_track_pyramids,
+                                              track_features_pyramids)
+    cfg = create_config().replace(image_dtype="bfloat16")
+    h, w, n = 112, 208, 30
+    img1, img2 = _level_inputs(h, w, seed=23)
+    build = jax.jit(build_track_pyramids, static_argnames=("cfg",))
+    p1 = build(img1, cfg)
+    p2 = build(img2, cfg)
+    assert p1.img[0].dtype == jnp.bfloat16
+    rng = np.random.default_rng(24)
+    x = jnp.asarray(rng.uniform(cfg.borderx + 1, w - cfg.borderx - 2, n),
+                    jnp.float32)
+    y = jnp.asarray(rng.uniform(cfg.bordery + 1, h - cfg.bordery - 2, n),
+                    jnp.float32)
+    val = jnp.ones((n,), jnp.int32)
+
+    monkeypatch.delenv("PFT_PALLAS_LK", raising=False)
+    rx, ry, rv = track_features_pyramids(p1, p2, x, y, val, cfg)
+    monkeypatch.setenv("PFT_PALLAS_LK", "vec")
+    vec_fn = jax.jit(functools.partial(
+        track_features_pyramids.__wrapped__, cfg=cfg))
+    vx, vy, vv = vec_fn(p1, p2, x, y, val)
+    np.testing.assert_array_equal(np.asarray(vv), np.asarray(rv))
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(rx), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vy), np.asarray(ry), atol=1e-3)
