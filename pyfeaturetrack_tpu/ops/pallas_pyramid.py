@@ -75,7 +75,32 @@ def _vconv(x, k: np.ndarray):
     return jnp.concatenate([z, acc, z], axis=0)
 
 
-def _fused_kernel(img_ref, *out_refs, smooth_k, grad_g, grad_d, pyr_k):
+def _decimate(smp, sub: int, subhalf: int, h2: int, w2: int,
+              row_base: int = 0):
+    """Exact one-hot-matmul decimation: out[j, q] = smp[row_base +
+    subhalf + j*sub, subhalf + q*sub]. XLA lowers the equivalent
+    strided slice as a lane gather costing ~185 us/frame on the relay
+    (the fusion.12 finding); two one-hot dots are ~free on the MXU and
+    bitwise equal (one-hot operands select, never round)."""
+    import jax.lax as lax
+    nr, nc = smp.shape
+    rs = (lax.broadcasted_iota(jnp.int32, (h2, nr), 1)
+          == row_base + subhalf
+          + sub * lax.broadcasted_iota(jnp.int32, (h2, nr), 0)
+          ).astype(smp.dtype)
+    cs = (lax.broadcasted_iota(jnp.int32, (nc, w2), 0)
+          == subhalf
+          + sub * lax.broadcasted_iota(jnp.int32, (nc, w2), 1)
+          ).astype(smp.dtype)
+    import jax
+    dec1 = jax.lax.dot(rs, smp, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=smp.dtype)
+    return jax.lax.dot(dec1, cs, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=smp.dtype)
+
+
+def _fused_kernel(img_ref, *out_refs, smooth_k, grad_g, grad_d, pyr_k,
+                  dec=None):
     x = img_ref[:]
     i = 0
     if smooth_k is not None:
@@ -86,7 +111,11 @@ def _fused_kernel(img_ref, *out_refs, smooth_k, grad_g, grad_d, pyr_k):
     out_refs[i + 1][:] = _vconv(_hconv(x, grad_g), grad_d)  # grady
     i += 2
     if pyr_k is not None:
-        out_refs[i][:] = _vconv(_hconv(x, pyr_k), pyr_k)
+        smp = _vconv(_hconv(x, pyr_k), pyr_k)
+        out_refs[i][:] = smp
+        if dec is not None:
+            sub, subhalf, h2, w2 = dec
+            out_refs[i + 1][:] = _decimate(smp, sub, subhalf, h2, w2)
 
 
 def fits_vmem(shape: tuple[int, int], with_smooth: bool,
@@ -98,15 +127,19 @@ def fits_vmem(shape: tuple[int, int], with_smooth: bool,
     return (np.prod(shape) * 4 * n_bufs) * 3.2 < _VMEM_BUDGET_BYTES
 
 
-@functools.partial(jax.jit, static_argnames=("smooth_k", "grad_k", "pyr_k"))
-def fused_level_build(img: jax.Array, smooth_k, grad_k, pyr_k):
+@functools.partial(jax.jit, static_argnames=("smooth_k", "grad_k", "pyr_k",
+                                             "dec"))
+def fused_level_build(img: jax.Array, smooth_k, grad_k, pyr_k, dec=None):
     """Fused level build. Kernels are passed as hashable tuples of floats
     (static); ``smooth_k``/``pyr_k`` may be None.
 
-    Returns (base, gradx, grady[, smp]):
+    Returns (base, gradx, grady[, smp[, decimated]]):
       base  — presmoothed image (== img when smooth_k is None)
       gradx/grady — derivative-of-Gaussian gradients of base
       smp   — pyramid-presmoothed base (only when pyr_k is not None)
+      decimated — smp[subhalf::sub, subhalf::sub][:h2, :w2] when
+          ``dec = (sub, subhalf, h2, w2)`` is given (in-kernel one-hot
+          dots; the XLA strided slice lowers to a costly lane gather)
     """
     gg = np.asarray(grad_k[0], np.float32)
     gd = np.asarray(grad_k[1], np.float32)
@@ -120,10 +153,13 @@ def fused_level_build(img: jax.Array, smooth_k, grad_k, pyr_k):
     shapes.append(jax.ShapeDtypeStruct(img.shape, img.dtype))
     if pk is not None:
         shapes.append(jax.ShapeDtypeStruct(img.shape, img.dtype))
+        if dec is not None:
+            shapes.append(jax.ShapeDtypeStruct((dec[2], dec[3]),
+                                               img.dtype))
 
     outs = pl.pallas_call(
         functools.partial(_fused_kernel, smooth_k=sk, grad_g=gg, grad_d=gd,
-                          pyr_k=pk),
+                          pyr_k=pk, dec=dec if pk is not None else None),
         out_shape=tuple(shapes),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -139,11 +175,13 @@ def fused_level_build(img: jax.Array, smooth_k, grad_k, pyr_k):
     gradx, grady = outs[i], outs[i + 1]
     i += 2
     smp = outs[i] if pk is not None else None
-    return (base, gradx, grady, smp)
+    decd = (outs[i + 1] if (pk is not None and dec is not None)
+            else None)
+    return (base, gradx, grady, smp, decd)
 
 
 def _tiled_kernel(img_ref, *out_refs, smooth_k, grad_g, grad_d, pyr_k,
-                  tile: int, h_pad: int, nrows: int):
+                  tile: int, h_pad: int, nrows: int, dec=None):
     """Row-tiled fused level build. The full image sits in VMEM; each grid
     step computes ``tile`` output rows from a haloed input slab, so the
     Mosaic stack only holds slab-sized intermediates."""
@@ -210,12 +248,20 @@ def _tiled_kernel(img_ref, *out_refs, smooth_k, grad_g, grad_d, pyr_k,
         r_p = pyr_k.shape[0] // 2
         smp = vzero(vconv_full(_hconv(x, pyr_k), pyr_k), r_p)
         out_refs[i_out][...] = out_slice(smp)
+        if dec is not None:
+            # this tile covers global rows [i*tile, (i+1)*tile) =
+            # slab rows [h_pad, h_pad+tile); decimated rows jj pick
+            # slab row h_pad + subhalf + jj*sub (tile % sub == 0 by
+            # wrapper contract, so tiles partition the decimated rows)
+            sub, subhalf, _, w2 = dec
+            out_refs[i_out + 1][...] = _decimate(
+                smp, sub, subhalf, tile // sub, w2, row_base=h_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("smooth_k", "grad_k", "pyr_k",
-                                             "tile"))
+                                             "tile", "dec"))
 def fused_level_build_tiled(img: jax.Array, smooth_k, grad_k, pyr_k,
-                            tile: int = 64):
+                            tile: int = 64, dec=None):
     """Row-tiled fused level build for images too large for the
     single-block kernel. Same outputs as fused_level_build.
 
@@ -242,27 +288,41 @@ def fused_level_build_tiled(img: jax.Array, smooth_k, grad_k, pyr_k,
     img = jnp.pad(img, ((h_pad, out_rows - nrows + h_pad), (0, 0)))
     n_tiles = out_rows // tile
 
+    if dec is not None:
+        assert tile % dec[0] == 0, "tile must be a multiple of sub"
+
     shapes = []
     if sk is not None:
         shapes.append(jax.ShapeDtypeStruct((out_rows, ncols), img.dtype))
     shapes.append(jax.ShapeDtypeStruct((out_rows, ncols), img.dtype))
     shapes.append(jax.ShapeDtypeStruct((out_rows, ncols), img.dtype))
+    out_spec = [pl.BlockSpec((tile, ncols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)] * len(shapes)
     if pk is not None:
         shapes.append(jax.ShapeDtypeStruct((out_rows, ncols), img.dtype))
-
-    out_spec = pl.BlockSpec((tile, ncols), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+        out_spec.append(pl.BlockSpec((tile, ncols), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        if dec is not None:
+            sub, _, _, w2 = dec
+            shapes.append(jax.ShapeDtypeStruct((out_rows // sub, w2),
+                                               img.dtype))
+            out_spec.append(pl.BlockSpec((tile // sub, w2),
+                                         lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         functools.partial(_tiled_kernel, smooth_k=sk, grad_g=gg, grad_d=gd,
-                          pyr_k=pk, tile=tile, h_pad=h_pad, nrows=nrows),
+                          pyr_k=pk, tile=tile, h_pad=h_pad, nrows=nrows,
+                          dec=dec if pk is not None else None),
         grid=(n_tiles,),
         out_shape=tuple(shapes),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=tuple(out_spec for _ in shapes),
+        out_specs=tuple(out_spec),
         interpret=jax.default_backend() == "cpu",
     )(img)
 
-    outs = tuple(o[:nrows] for o in outs)
+    outs = tuple(o[:nrows] for o in outs[:-1]) + (outs[-1],) \
+        if (pk is not None and dec is not None) \
+        else tuple(o[:nrows] for o in outs)
     i = 0
     base = orig_img  # the padded buffer is internal; base == input here
     if sk is not None:
@@ -271,7 +331,9 @@ def fused_level_build_tiled(img: jax.Array, smooth_k, grad_k, pyr_k,
     gradx, grady = outs[i], outs[i + 1]
     i += 2
     smp = outs[i] if pk is not None else None
-    return (base, gradx, grady, smp)
+    decd = (outs[i + 1][:dec[2]] if (pk is not None and dec is not None)
+            else None)
+    return (base, gradx, grady, smp, decd)
 
 
 def build_track_pyramids_pallas(img: jax.Array, cfg):
@@ -301,19 +363,26 @@ def build_track_pyramids_pallas(img: jax.Array, cfg):
     for level in range(n_levels):
         want_pyr = level < n_levels - 1
         lvl_smooth = smooth_k if level == 0 else None
+        # decimation happens IN-KERNEL (one-hot dots): the XLA strided
+        # slice lowers to a lane gather costing ~185 us/frame on the
+        # relay (trace finding "fusion.12", 2026-08-19)
+        dec = None
+        if want_pyr:
+            h2, w2 = cur.shape[0] // sub, cur.shape[1] // sub
+            dec = (int(sub), int(subhalf), int(h2), int(w2))
         if fits_vmem(cur.shape, lvl_smooth is not None, want_pyr):
-            base, gx, gy, smp = fused_level_build(
-                cur, lvl_smooth, grad_k, pyr_k if want_pyr else None)
-        else:
-            base, gx, gy, smp = fused_level_build_tiled(
+            base, gx, gy, _, nxt = fused_level_build(
                 cur, lvl_smooth, grad_k, pyr_k if want_pyr else None,
-                tile=_tile_for(cur.shape))
+                dec=dec)
+        else:
+            base, gx, gy, _, nxt = fused_level_build_tiled(
+                cur, lvl_smooth, grad_k, pyr_k if want_pyr else None,
+                tile=_tile_for(cur.shape), dec=dec)
         imgs.append(base)
         gxs.append(gx)
         gys.append(gy)
         if want_pyr:
-            h, w = base.shape[0] // sub, base.shape[1] // sub
-            cur = smp[subhalf::sub, subhalf::sub][:h, :w]
+            cur = nxt
     return TrackPyramids(img=tuple(imgs), gradx=tuple(gxs), grady=tuple(gys))
 
 

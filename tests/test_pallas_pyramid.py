@@ -59,7 +59,8 @@ def test_tiled_matches_xla(kernels, img, tile):
 def test_tiled_no_smooth_no_pyr(kernels, img):
     sk, gk, pk = kernels
     gx_w, gy_w = compute_gradients(img, 1.0)
-    base, gx, gy, smp = fused_level_build_tiled(img, None, gk, None)
+    base, gx, gy, smp, _ = fused_level_build_tiled(img, None, gk,
+                                                   None)
     assert smp is None
     np.testing.assert_allclose(np.asarray(base), np.asarray(img))
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_w), atol=1e-3)
@@ -91,3 +92,24 @@ def test_odd_sizes(kernels):
             assert g.shape == w.shape
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        atol=1e-3)
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("sub", [2, 4])
+def test_in_kernel_decimation_matches_strided_slice(kernels, img, tiled,
+                                                    sub):
+    """The dec output == smp[subhalf::sub, subhalf::sub][:h2, :w2]
+    bitwise (one-hot dots select, never round). This replaces the XLA
+    strided slice that lowered to a ~185 us lane gather per frame."""
+    sk, gk, pk = kernels
+    h, w = img.shape
+    subhalf = sub // 2
+    h2, w2 = h // sub, w // sub
+    dec = (sub, subhalf, h2, w2)
+    if tiled:
+        *_, smp, decd = fused_level_build_tiled(img, sk, gk, pk,
+                                                tile=32, dec=dec)
+    else:
+        *_, smp, decd = fused_level_build(img, sk, gk, pk, dec=dec)
+    want = np.asarray(smp)[subhalf::sub, subhalf::sub][:h2, :w2]
+    np.testing.assert_array_equal(np.asarray(decd), want)
