@@ -121,7 +121,7 @@ def disparity_level(img1, gx1, gy1, img2, gx2, gy2, d, cfg
                         x1, y1, x2, y1, img1, gx1, gy1, img2, gx2, gy2,
                         cfg, jnp.ones_like(x1, dtype=bool),
                         interpret=jax.default_backend() == "cpu",
-                        one_d=True)
+                        one_d=True, shared_blocks=True)
                     return ((x1 - nx).reshape(nrows, ncols),
                             status.reshape(nrows, ncols))
             nx, _, status, _ = fused_track_level(

@@ -114,7 +114,8 @@ def flow_level(img1, gx1, gy1, img2, gx2, gy2, u, v, cfg
         if vec_level_available_hbm(img1.shape, cfg):
             nx, ny, status, _ = vec_track_level_with_fallback(
                 x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2, cfg,
-                active, interpret=jax.default_backend() == "cpu")
+                active, interpret=jax.default_backend() == "cpu",
+                shared_blocks=True)
             return ((nx - x1).reshape(nrows, ncols),
                     (ny - y1).reshape(nrows, ncols),
                     status.reshape(nrows, ncols))

@@ -123,8 +123,25 @@ def vec_level_available_hbm(shape, cfg) -> bool:
     return _window_fits(shape, cfg)
 
 
+def _block_origins(x, y, *, hw, hh, hp, wp, rb):
+    """Aligned block origin (row0, col0) int32 for windows centered at
+    entry positions (x, y) f32 — computed HOST-side (wrapper) so the
+    per-feature and shared-per-tile modes use one kernel. The column
+    corridor is centered (dc0 in [64, 191]); the -8 centers the
+    vertical corridor (patch at rows 8..8+wh of the block -> ~+-8-15 px
+    drift tolerance both ways); both clamps keep the block inside the
+    padded image."""
+    rt = jnp.floor(y).astype(jnp.int32) - hh
+    ct = jnp.floor(x).astype(jnp.int32) - hw
+    row0 = jnp.clip(8 * ((rt - 8) // 8), 0, hp - rb)
+    col0 = jnp.clip(128 * ((ct - 64) // 128), 0, wp - _CB)
+    return row0, col0
+
+
 def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
+                      r1s_ref, c1s_ref, r2s_ref, c2s_ref,
                       x1v_ref, y1v_ref, x2v_ref, y2v_ref, actv_ref,
+                      r1v_ref, c1v_ref, r2v_ref, c2v_ref,
                       img1_ref, gx1_ref, gy1_ref,
                       img2_ref, gx2_ref, gy2_ref, out_ref,
                       bi_ref, bx_ref, by_ref,
@@ -133,7 +150,8 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
                       hp: int, wp: int, max_iterations: int,
                       min_displacement: float, min_determinant: float,
                       max_residue: float, step_factor: float,
-                      lighting: bool, one_d: bool, hbm: bool = False):
+                      lighting: bool, one_d: bool, hbm: bool = False,
+                      shared: bool = False):
     ww = 2 * hw + 1
     wh = 2 * hh + 1
     rb = _rb(wh)
@@ -147,19 +165,6 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         # ops/track._bounds_ok
         return ((x - hw >= 0.0) & (ncols - (x + hw) >= _ONE_PLUS_EPS) &
                 (y - hh >= 0.0) & (nrows - (y + hh) >= _ONE_PLUS_EPS))
-
-    def block_base(x, y):
-        """Aligned block origin (row0, col0) [fc, 1] int32 for windows
-        centered at entry positions (x, y) [fc, 1] f32. The column
-        corridor is centered (dc0 in [64, 191]); both clamps keep the
-        block inside the padded image."""
-        rt = jnp.floor(y).astype(jnp.int32) - hh
-        ct = jnp.floor(x).astype(jnp.int32) - hw
-        # -8 centers the vertical corridor (patch at rows 8..8+wh of
-        # the block -> ~+-8-15 px drift tolerance both ways)
-        row0 = jnp.clip(8 * ((rt - 8) // 8), 0, hp - rb)
-        col0 = jnp.clip(128 * ((ct - 64) // 128), 0, wp - _CB)
-        return row0, col0
 
     def patch_offsets(x, y, row0, col0):
         """(dr, dc [fc,1] int32, ax, ay [fc,1] f32): patch origin
@@ -183,11 +188,20 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         colsel = (ic == jc + dc3).astype(f32)
         out = []
         for blk in blks:
-            rows = lax.dot_general(
-                rowsel, blk[pl.ds(0, fc)],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=f32)            # [fc, phs, _CB]
+            if shared:
+                # one shared [rb, CB] block: a single UNBATCHED dot
+                # serves the whole tile (1 MXU issue instead of fc)
+                rows = lax.dot_general(
+                    rowsel, blk[...],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=f32)        # [fc, phs, _CB]
+            else:
+                rows = lax.dot_general(
+                    rowsel, blk[pl.ds(0, fc)],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=f32)        # [fc, phs, _CB]
             out.append(lax.dot_general(
                 rows, colsel,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -234,18 +248,36 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
 
     base = pl.program_id(1) * fc  # tile within the SMEM chunk
 
-    def _origin(f, xs_ref, ys_ref):
-        x = xs_ref[base + f]
-        y = ys_ref[base + f]
-        rt = jnp.floor(y).astype(jnp.int32) - hh
-        ct = jnp.floor(x).astype(jnp.int32) - hw
-        row0 = pl.multiple_of(
-            jnp.clip(8 * ((rt - 8) // 8), 0, hp - rb), 8)
-        col0 = pl.multiple_of(
-            jnp.clip(128 * ((ct - 64) // 128), 0, wp - _CB), 128)
+    def _origin(f, rs_ref, cs_ref):
+        # origins precomputed host-side (_block_origins), read as
+        # scalars; alignment facts re-asserted for Mosaic
+        row0 = pl.multiple_of(rs_ref[base + f], 8)
+        col0 = pl.multiple_of(cs_ref[base + f], 128)
         return row0, col0
 
     def fetch_loop(refs):
+        if shared and not hbm:
+            # ONE block per tile (dense grids: adjacent lanes share
+            # their window neighbourhood; origins are per-tile mins,
+            # scratch is [rb, CB] 2-D)
+            row0, col0 = _origin(0, refs[3], refs[4])
+            bi_ref[...] = refs[0][pl.ds(row0, rb), pl.ds(col0, _CB)]
+            bx_ref[...] = refs[1][pl.ds(row0, rb), pl.ds(col0, _CB)]
+            by_ref[...] = refs[2][pl.ds(row0, rb), pl.ds(col0, _CB)]
+            return
+        if shared and hbm:
+            sem = dma_sem[0]
+            row0, col0 = _origin(0, refs[3], refs[4])
+            ds = [pltpu.make_async_copy(
+                src.at[pl.ds(row0, rb), pl.ds(col0, _CB)],
+                dst, sem.at[0, i])
+                for i, (src, dst) in enumerate(
+                    zip(refs[:3], (bi_ref, bx_ref, by_ref)))]
+            for d in ds:
+                d.start()
+            for d in ds:
+                d.wait()
+            return
         if not hbm:
             def body(f, c):
                 @pl.when(acts_ref[base + f] > 0)
@@ -290,7 +322,7 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         lax.fori_loop(0, fc, start, 0)
         lax.fori_loop(0, fc, wait, 0)
 
-    fetch_loop((img1_ref, gx1_ref, gy1_ref, x1s_ref, y1s_ref))
+    fetch_loop((img1_ref, gx1_ref, gy1_ref, r1s_ref, c1s_ref))
 
     # ---------- phase 1b: vectorized frame-1 window extraction ----------
 
@@ -300,7 +332,8 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
     y20 = y2v_ref[pl.ds(0, fc)].reshape(fc, 1)
     act = actv_ref[pl.ds(0, fc)].reshape(fc, 1) > 0.0
 
-    row01, col01 = block_base(x1, y1)
+    row01 = r1v_ref[pl.ds(0, fc)].reshape(fc, 1).astype(jnp.int32)
+    col01 = c1v_ref[pl.ds(0, fc)].reshape(fc, 1).astype(jnp.int32)
     dr1, dc1, ax1, ay1 = patch_offsets(x1, y1, row01, col01)
     dr1, dc1 = clampdd(dr1, dc1)
     p_i, p_gx, p_gy = extract3(dr1, dc1, (bi_ref, bx_ref, by_ref))
@@ -316,12 +349,13 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
 
     # ---------- phase 1c: serial frame-2 block fetch ---------------------
 
-    fetch_loop((img2_ref, gx2_ref, gy2_ref, x2s_ref, y2s_ref))
+    fetch_loop((img2_ref, gx2_ref, gy2_ref, r2s_ref, c2s_ref))
 
     # ---------- phase 2: vectorized iteration loop -----------------------
 
     ok1 = bounds_ok(x1, y1)
-    row02, col02 = block_base(x20, y20)
+    row02 = r2v_ref[pl.ds(0, fc)].reshape(fc, 1).astype(jnp.int32)
+    col02 = c2v_ref[pl.ds(0, fc)].reshape(fc, 1).astype(jnp.int32)
     w1 = w1_ref[pl.ds(0, fc)][:, :wh, :ww]
     g1x = g1x_ref[pl.ds(0, fc)][:, :wh, :ww]
     g1y = g1y_ref[pl.ds(0, fc)][:, :wh, :ww]
@@ -455,11 +489,13 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "one_d",
-                                             "fc", "force_hbm"))
+                                             "fc", "force_hbm",
+                                             "shared_blocks"))
 def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
                     cfg, active, *, interpret: bool = False,
                     one_d: bool = False, fc: int | None = None,
-                    force_hbm: bool | None = None):
+                    force_hbm: bool | None = None,
+                    shared_blocks: bool = False):
     """Feature-vectorized fused LK level. Same contract as
     ops/pallas_lk_fused.fused_track_level plus a 5th return:
     (x2, y2, status, iteration, stale) — ``stale`` lanes drifted
@@ -488,8 +524,31 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
     feats = (x1, y1, x2, y2, act)
     if npad != n:
         feats = tuple(jnp.pad(a, (0, npad - n)) for a in feats)
+
+    # block origins, host-side (one kernel serves both modes):
+    # per-feature, or per-TILE from the masked tile-min positions
+    # (shared_blocks — dense grids where adjacent lanes share their
+    # window neighbourhood; out-of-block lanes go stale as usual)
+    def origins(px, py):
+        if not shared_blocks:
+            return _block_origins(px, py, hw=hw, hh=hh, hp=hp, wp=wp,
+                                  rb=rb)
+        big = jnp.float32(3e38)
+        m = feats[4] > 0
+        tx = jnp.where(m, px, big).reshape(-1, fc).min(axis=1)
+        ty = jnp.where(m, py, big).reshape(-1, fc).min(axis=1)
+        tx = jnp.where(tx >= big, 0.0, tx)
+        ty = jnp.where(ty >= big, 0.0, ty)
+        r0, c0 = _block_origins(tx, ty, hw=hw, hh=hh, hp=hp, wp=wp,
+                                rb=rb)
+        return (jnp.repeat(r0, fc, total_repeat_length=npad),
+                jnp.repeat(c0, fc, total_repeat_length=npad))
+
+    r1o, c1o = origins(feats[0], feats[1])
+    r2o, c2o = origins(feats[2], feats[3])
+    feats = feats + (r1o, c1o, r2o, c2o)
     vecs = tuple(a.astype(jnp.float32).reshape(npad, 1, 1)
-                 for a in feats)
+                 for a in feats[:5] + (r1o, c1o, r2o, c2o))
     tiles_per_chunk = chunk // fc
 
     # images beyond the VMEM budget stay in ANY memory; the kernel's
@@ -504,7 +563,8 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
         min_displacement=cfg.min_displacement,
         min_determinant=cfg.min_determinant,
         max_residue=cfg.max_residue, step_factor=cfg.step_factor,
-        lighting=cfg.lighting_insensitive, one_d=one_d, hbm=hbm)
+        lighting=cfg.lighting_insensitive, one_d=one_d, hbm=hbm,
+        shared=shared_blocks)
 
     # SMEM blocks must be full-array or %128-sized: pass one `chunk`
     # of the scalar arrays per leading grid index; the kernel offsets
@@ -520,7 +580,8 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
     else:
         vimg = pl.BlockSpec((hp, wp), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
-    scratch = ([pltpu.VMEM((fc, rb, _CB), jnp.float32)] * 3 +
+    blk_shape = (rb, _CB) if shared_blocks else (fc, rb, _CB)
+    scratch = ([pltpu.VMEM(blk_shape, jnp.float32)] * 3 +
                [pltpu.VMEM((fc, phs, phs), jnp.float32)] * 3)
     if hbm:
         scratch.append(pltpu.SemaphoreType.DMA((fc, 3)))
@@ -528,7 +589,7 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
         kernel,
         grid=(npad // chunk, tiles_per_chunk),
         out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
-        in_specs=[smem] * 5 + [vmem1] * 5 + [vimg] * 6,
+        in_specs=[smem] * 9 + [vmem1] * 9 + [vimg] * 6,
         out_specs=pl.BlockSpec(
             (fc, 8), lambda i, j, t=tiles_per_chunk: (i * t + j, 0),
             memory_space=pltpu.VMEM),
@@ -544,7 +605,8 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
 def vec_track_level_with_fallback(x1, y1, x2, y2, img1, gx1, gy1,
                                   img2, gx2, gy2, cfg, active, *,
                                   interpret: bool = False,
-                                  one_d: bool = False):
+                                  one_d: bool = False,
+                                  shared_blocks: bool = False):
     """vec_track_level + exact recomputation of stale lanes.
 
     Drop-in replacement for fused_track_level: returns (x2, y2, status,
@@ -557,7 +619,7 @@ def vec_track_level_with_fallback(x1, y1, x2, y2, img1, gx1, gy1,
     from .pallas_lk_fused import fused_level_available, fused_track_level
     nx, ny, status, it, stale = vec_track_level(
         x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2, cfg, active,
-        interpret=interpret, one_d=one_d)
+        interpret=interpret, one_d=one_d, shared_blocks=shared_blocks)
     args = (x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2)
     use_fused = fused_level_available(img1.shape, cfg)
 
