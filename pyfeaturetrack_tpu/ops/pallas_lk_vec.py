@@ -144,7 +144,7 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
                       r1v_ref, c1v_ref, r2v_ref, c2v_ref,
                       img1_ref, gx1_ref, gy1_ref,
                       img2_ref, gx2_ref, gy2_ref, out_ref,
-                      bi_ref, bx_ref, by_ref,
+                      blk3_ref,
                       w1_ref, g1x_ref, g1y_ref, *dma_sem,
                       fc: int, hw: int, hh: int, nrows: int, ncols: int,
                       hp: int, wp: int, max_iterations: int,
@@ -174,10 +174,13 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         return (yt - hh - row0, xt - hw - col0,
                 x - xt.astype(f32), y - yt.astype(f32))
 
-    def extract3(dr, dc, blks):
-        """[fc, phs, phs] integer patches from each block scratch via
-        two exact batched one-hot dots. dr/dc are [fc, 1] int32,
-        pre-clamped to the corridor."""
+    def extract3(dr, dc, sections=(0, 1, 2)):
+        """[fc, phs, phs] integer patches for the requested block
+        SECTIONS (0=img, 1=gx, 2=gy of the 3-wide stacked scratch) via
+        exact one-hot dots. The row dot runs ONCE over the whole
+        [rb, 3*CB] stacked block (one batched issue instead of three);
+        the column dots slice the section lanes. dr/dc are [fc, 1]
+        int32, pre-clamped to the corridor."""
         dr3 = dr.reshape(fc, 1, 1)
         dc3 = dc.reshape(fc, 1, 1)
         ia = lax.broadcasted_iota(jnp.int32, (fc, phs, rb), 1)
@@ -186,24 +189,24 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         jc = lax.broadcasted_iota(jnp.int32, (fc, phs, _CB), 1)
         ic = lax.broadcasted_iota(jnp.int32, (fc, phs, _CB), 2)
         colsel = (ic == jc + dc3).astype(f32)
+        if shared:
+            # one shared [rb, 3*CB] block: a single UNBATCHED dot
+            # serves the whole tile (1 MXU issue instead of fc)
+            rows3 = lax.dot_general(
+                rowsel, blk3_ref[...],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=f32)        # [fc, phs, 3*_CB]
+        else:
+            rows3 = lax.dot_general(
+                rowsel, blk3_ref[pl.ds(0, fc)],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=f32)        # [fc, phs, 3*_CB]
         out = []
-        for blk in blks:
-            if shared:
-                # one shared [rb, CB] block: a single UNBATCHED dot
-                # serves the whole tile (1 MXU issue instead of fc)
-                rows = lax.dot_general(
-                    rowsel, blk[...],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    precision=lax.Precision.HIGHEST,
-                    preferred_element_type=f32)        # [fc, phs, _CB]
-            else:
-                rows = lax.dot_general(
-                    rowsel, blk[pl.ds(0, fc)],
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    precision=lax.Precision.HIGHEST,
-                    preferred_element_type=f32)        # [fc, phs, _CB]
+        for sec in sections:
             out.append(lax.dot_general(
-                rows, colsel,
+                rows3[:, :, sec * _CB:(sec + 1) * _CB], colsel,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 precision=lax.Precision.HIGHEST,
                 preferred_element_type=f32))           # [fc, phs, phs]
@@ -259,20 +262,19 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         if shared and not hbm:
             # ONE block per tile (dense grids: adjacent lanes share
             # their window neighbourhood; origins are per-tile mins,
-            # scratch is [rb, CB] 2-D)
+            # scratch is [rb, 3*CB] 2-D with img/gx/gy lane sections)
             row0, col0 = _origin(0, refs[3], refs[4])
-            bi_ref[...] = refs[0][pl.ds(row0, rb), pl.ds(col0, _CB)]
-            bx_ref[...] = refs[1][pl.ds(row0, rb), pl.ds(col0, _CB)]
-            by_ref[...] = refs[2][pl.ds(row0, rb), pl.ds(col0, _CB)]
+            for sec in range(3):
+                blk3_ref[:, sec * _CB:(sec + 1) * _CB] = refs[sec][
+                    pl.ds(row0, rb), pl.ds(col0, _CB)]
             return
         if shared and hbm:
             sem = dma_sem[0]
             row0, col0 = _origin(0, refs[3], refs[4])
             ds = [pltpu.make_async_copy(
-                src.at[pl.ds(row0, rb), pl.ds(col0, _CB)],
-                dst, sem.at[0, i])
-                for i, (src, dst) in enumerate(
-                    zip(refs[:3], (bi_ref, bx_ref, by_ref)))]
+                refs[sec].at[pl.ds(row0, rb), pl.ds(col0, _CB)],
+                blk3_ref.at[:, pl.ds(sec * _CB, _CB)], sem.at[0, sec])
+                for sec in range(3)]
             for d in ds:
                 d.start()
             for d in ds:
@@ -283,9 +285,9 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
                 @pl.when(acts_ref[base + f] > 0)
                 def _():
                     row0, col0 = _origin(f, refs[3], refs[4])
-                    bi_ref[f] = refs[0][pl.ds(row0, rb), pl.ds(col0, _CB)]
-                    bx_ref[f] = refs[1][pl.ds(row0, rb), pl.ds(col0, _CB)]
-                    by_ref[f] = refs[2][pl.ds(row0, rb), pl.ds(col0, _CB)]
+                    for sec in range(3):
+                        blk3_ref[f, :, sec * _CB:(sec + 1) * _CB] = \
+                            refs[sec][pl.ds(row0, rb), pl.ds(col0, _CB)]
                 return c
             lax.fori_loop(0, fc, body, 0)
             return
@@ -300,10 +302,10 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         def dmas(f):
             row0, col0 = _origin(f, refs[3], refs[4])
             return [pltpu.make_async_copy(
-                src.at[pl.ds(row0, rb), pl.ds(col0, _CB)],
-                dst.at[f], sem.at[f, s])
-                for s, (src, dst) in enumerate(
-                    zip(refs[:3], (bi_ref, bx_ref, by_ref)))]
+                refs[sec].at[pl.ds(row0, rb), pl.ds(col0, _CB)],
+                blk3_ref.at[f, slice(None), pl.ds(sec * _CB, _CB)],
+                sem.at[f, sec])
+                for sec in range(3)]
 
         def start(f, c):
             @pl.when(acts_ref[base + f] > 0)
@@ -336,7 +338,7 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
     col01 = c1v_ref[pl.ds(0, fc)].reshape(fc, 1).astype(jnp.int32)
     dr1, dc1, ax1, ay1 = patch_offsets(x1, y1, row01, col01)
     dr1, dc1 = clampdd(dr1, dc1)
-    p_i, p_gx, p_gy = extract3(dr1, dc1, (bi_ref, bx_ref, by_ref))
+    p_i, p_gx, p_gy = extract3(dr1, dc1)
     ax13 = ax1.reshape(fc, 1, 1)
     ay13 = ay1.reshape(fc, 1, 1)
 
@@ -383,7 +385,7 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         live = live & in_corr
 
         dr, dc = clampdd(dr, dc)
-        p2_i, p2_gx, p2_gy = extract3(dr, dc, (bi_ref, bx_ref, by_ref))
+        p2_i, p2_gx, p2_gy = extract3(dr, dc)
         ax3 = ax.reshape(fc, 1, 1)
         ay3 = ay.reshape(fc, 1, 1)
         w2 = blend(p2_i, ax3, ay3)
@@ -467,7 +469,7 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
     drf, dcf, axf, ayf = patch_offsets(x2, y2, row02, col02)
     stale = stale | (act & ~corridor_ok(drf, dcf))
     drf, dcf = clampdd(drf, dcf)
-    (p2f,) = extract3(drf, dcf, (bi_ref,))
+    (p2f,) = extract3(drf, dcf, sections=(0,))
     w2f = blend(p2f, axf.reshape(fc, 1, 1), ayf.reshape(fc, 1, 1))
     if lighting:
         alpha, beta = li_alpha_beta(w1, w2f)
@@ -580,8 +582,9 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
     else:
         vimg = pl.BlockSpec((hp, wp), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
-    blk_shape = (rb, _CB) if shared_blocks else (fc, rb, _CB)
-    scratch = ([pltpu.VMEM(blk_shape, jnp.float32)] * 3 +
+    blk_shape = ((rb, 3 * _CB) if shared_blocks
+                 else (fc, rb, 3 * _CB))
+    scratch = ([pltpu.VMEM(blk_shape, jnp.float32)] +
                [pltpu.VMEM((fc, phs, phs), jnp.float32)] * 3)
     if hbm:
         scratch.append(pltpu.SemaphoreType.DMA((fc, 3)))
