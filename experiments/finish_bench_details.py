@@ -1,0 +1,126 @@
+"""Finish the BENCH_DETAILS.json stages a timed-out --all sweep missed
+(same functions, same merge-into-artifact pattern as bench.py --all).
+
+Run from repo root: python experiments/finish_bench_details.py
+"""
+import importlib.util
+import json
+import sys
+
+import numpy as np
+
+sys.argv = ["bench.py"]
+spec = importlib.util.spec_from_file_location("bench",
+                                              "/root/repo/bench.py")
+bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench)
+
+
+def log(msg):
+    print(f"[finish] {msg}", file=sys.stderr, flush=True)
+
+
+def flush(details):
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        merged = {}
+    merged.update(details)
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(merged, f, indent=2)
+
+
+details = {}
+ratios = []
+
+
+def _sfm_rate():
+    rate, ratio = bench.bench_sfm()
+    ratios.append(ratio)
+    return rate
+
+
+stages = [
+    ("config5b_windowed_ba_iters_per_s",
+     lambda: bench._repeat(bench.bench_sfm_windowed, n=5)),
+    ("config5c_cg_ba_500cams_20kpts_iters_per_s",
+     lambda: bench._repeat(
+         lambda: bench.bench_sfm_windowed(C=500, L=20000, kw=8,
+                                          n_iters=6, solver="cg",
+                                          precond_block=16), n=5)),
+    ("config1_two_frame_demo_s",
+     lambda: round(bench.bench_two_frame_demo(), 4)),
+]
+for key, fn in stages:
+    try:
+        details[key] = fn()
+    except Exception as e:
+        details[key] = {"error": str(e)[-300:]}
+    log(f"{key}: {details[key]}")
+    flush(details)
+
+# config5 convergence ratio needs a bench_sfm run in THIS process
+try:
+    bench._repeat(_sfm_rate, n=1, warmup=0)
+    details["config5_ba_final_over_initial_cost"] = float(
+        f"{float(np.median([float(r) for r in ratios])):.3e}")
+except Exception as e:
+    details["config5_ba_final_over_initial_cost"] = {
+        "error": str(e)[-300:]}
+log(f"ratio: {details['config5_ba_final_over_initial_cost']}")
+flush(details)
+
+details["fence_semantics"] = (
+    "fps values above are dispatch-pipeline rates; block_until_ready "
+    "does not await execution on this relay (ROOFLINE.md §0). "
+    "device_trace* entries are the honest clocks for this rig.")
+details["spread_diagnosis"] = (
+    "every config runs n=5 with one DISCARDED warmup call: the r2 "
+    "5.8x serving-batched and 2.2x batched-chain spreads were the "
+    "first repetition paying jit compile + first-execution warmup "
+    "inside its timed section (measured 2026-08-19: 7170 then "
+    "10166/10334/10063/9668/10087 fps); residual steady-state spread "
+    "is relay dispatch contention (~3% serving, ~20% batched-chain).")
+
+try:
+    from pyfeaturetrack_tpu.utils.roofline import roofline_report
+    details["roofline"] = roofline_report()
+    log("roofline done")
+except Exception as e:
+    details["roofline"] = {"error": str(e)[-300:]}
+flush(details)
+
+trace_stages = [
+    ("device_trace", bench.bench_device_trace),
+    ("e2e_result_fps", lambda: round(bench.bench_e2e_result(), 3)),
+    ("device_trace_fused_lk", bench.bench_device_trace_fused),
+    ("device_trace_vec_lk", bench.bench_device_trace_vec),
+    ("device_trace_config2", bench.bench_device_trace_config2),
+    ("device_trace_config3", bench.bench_device_trace_config3),
+    ("device_trace_config4", bench.bench_device_trace_config4),
+    ("device_trace_flow_fused", bench.bench_device_trace_flow_fused),
+]
+for key, fn in trace_stages:
+    try:
+        details[key] = fn()
+    except Exception as e:
+        details[key] = {"error": str(e)[-300:]}
+    log(f"{key}: {details[key]}")
+    flush(details)
+
+try:
+    from pyfeaturetrack_tpu.ops.pallas_affine_vec import bench_vec_affine
+    r = bench_vec_affine(device_trace=True, start_off=0.5)
+    details["device_trace_vec_affine"] = {
+        "vec_per_call_ms": r["pallas_vec_device"]["per_call_ms"],
+        "serial_fused_per_call_ms":
+            r["pallas_fused_device"]["per_call_ms"],
+        "xla_per_call_ms": r["xla_batch_device"]["per_call_ms"],
+        "note": "mode-2 affine batch, 1000 feat 480x640, 0.5px start; "
+                "profiler device lane"}
+except Exception as e:
+    details["device_trace_vec_affine"] = {"error": str(e)[-300:]}
+log(f"vec affine: {details['device_trace_vec_affine']}")
+flush(details)
+log("all finish stages done")
