@@ -52,7 +52,17 @@ def capture_device_trace(fn, n_calls: int = 10, trace_dir: str | None
 
 
 def parse_device_trace(trace_dir: str, n_calls: int = 1) -> dict:
-    """Parse the newest trace.json.gz under ``trace_dir``."""
+    """Parse the newest trace.json.gz under ``trace_dir``.
+
+    Busy time is the INTERVAL UNION of the device-lane op events, not
+    the sum of durations: control-flow ops (``cond.*``/``while.*``) are
+    logged as container events that SPAN their branch's member ops
+    (verified on this rig — a 455 us ``cond`` event contained 78 member
+    events summing to 453 us), so a plain sum double-counts every
+    cond/while interior. The union is the honest "device was busy"
+    clock; ``sum_durations_ms`` keeps the old (overcounting) sum for
+    comparison against pre-fix artifacts.
+    """
     files = sorted(glob.glob(os.path.join(
         trace_dir, "**", "*.trace.json.gz"), recursive=True))
     if not files:
@@ -72,6 +82,7 @@ def parse_device_trace(trace_dir: str, n_calls: int = 1) -> dict:
     n_op_events = 0
     n_module_events = 0
     by_name: collections.Counter = collections.Counter()
+    intervals: dict = collections.defaultdict(list)
     t_min, t_max = None, None
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in device_pids:
@@ -86,14 +97,27 @@ def parse_device_trace(trace_dir: str, n_calls: int = 1) -> dict:
             else:
                 total_us += dur
                 n_op_events += 1
-            ts = float(e.get("ts", 0.0))
-            t_min = ts if t_min is None else min(t_min, ts)
-            t_max = max(t_max or 0.0, ts + dur)
+                ts = float(e.get("ts", 0.0))
+                intervals[e["pid"]].append((ts, ts + dur))
+                t_min = ts if t_min is None else min(t_min, ts)
+                t_max = max(t_max or 0.0, ts + dur)
+    union_us = 0.0
+    for iv in intervals.values():
+        iv.sort()
+        cs, ce = iv[0]
+        for s, t in iv[1:]:
+            if s > ce:
+                union_us += ce - cs
+                cs, ce = s, t
+            else:
+                ce = max(ce, t)
+        union_us += ce - cs
     modules = {k: v for k, v in by_name.items() if k.startswith("jit_")}
     return {
         "n_calls": n_calls,
-        "device_busy_ms": round(total_us / 1e3, 3),
-        "per_call_ms": round(total_us / 1e3 / max(n_calls, 1), 3),
+        "device_busy_ms": round(union_us / 1e3, 3),
+        "per_call_ms": round(union_us / 1e3 / max(n_calls, 1), 3),
+        "sum_durations_ms": round(total_us / 1e3, 3),
         "op_events": n_op_events,
         "ops_per_call": n_op_events // max(n_calls, 1),
         "module_events": n_module_events,

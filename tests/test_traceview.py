@@ -52,6 +52,26 @@ def test_parse_synthetic_trace(tmp_path):
     assert "jit_step(123)" not in top
 
 
+def test_parse_nested_container_not_double_counted(tmp_path):
+    """Control-flow ops (cond/while) are logged as container events
+    spanning their branch's member ops (measured on the axon relay: a
+    455 us cond contained 78 members summing to 453 us). Busy time must
+    be the interval UNION, not the sum of durations."""
+    ev = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "X", "pid": 3, "name": "fusion.1", "ts": 0, "dur": 50.0},
+        # a cond container spanning two member ops
+        {"ph": "X", "pid": 3, "name": "cond.65", "ts": 50, "dur": 100.0},
+        {"ph": "X", "pid": 3, "name": "sort.2", "ts": 55, "dur": 60.0},
+        {"ph": "X", "pid": 3, "name": "fusion.2", "ts": 120, "dur": 25.0},
+    ]
+    r = parse_device_trace(str(_write_trace(tmp_path, ev)), n_calls=1)
+    # union = [0, 150] = 150 us; the naive sum would be 235 us
+    assert r["device_busy_ms"] == pytest.approx(0.15)
+    assert r["sum_durations_ms"] == pytest.approx(0.235)
+
+
 def test_parse_missing_trace_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         parse_device_trace(str(tmp_path))
