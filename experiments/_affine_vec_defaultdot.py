@@ -46,7 +46,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..features import KLT_LARGE_RESIDUE, KLT_OOB, KLT_SMALL_DET, KLT_TRACKED
+from pyfeaturetrack_tpu.features import KLT_LARGE_RESIDUE, KLT_OOB, KLT_SMALL_DET, KLT_TRACKED
 
 _ONE_PLUS_EPS = 1.001  # ops/affine._ONE_PLUS_EPS (warp bound check)
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -217,7 +217,6 @@ def _affine_vec_kernel(row0s_ref, col0s_ref, rolls_ref, acts_ref,
         prod = lax.dot_general(
             blk3_ref[pl.ds(0, fc)], colsel,
             (((2,), (1,)), ((0,), (0,))),
-            precision=lax.Precision.HIGHEST,
             preferred_element_type=f32)          # [fc, 3*rb, tt]
 
         def one(s):
@@ -475,7 +474,7 @@ def vec_affine_with_fallback(tmpl, img2, gx2, gy2, x0, y0, A0, check,
     """vec_affine_track_batch + exact serial recomputation of stale
     lanes. Drop-in replacement for _affine_track_batch /
     fused_affine_track_batch: returns (x, y, A, status)."""
-    from .pallas_affine_fused import fused_affine_track_batch
+    from pyfeaturetrack_tpu.ops.pallas_affine_fused import fused_affine_track_batch
     x, y, A, status, stale = vec_affine_track_batch(
         tmpl, img2, gx2, gy2, x0, y0, A0, check, cfg,
         interpret=interpret)
@@ -500,11 +499,11 @@ def bench_vec_affine(h=480, w=640, n_features=1000, iters=10,
 
     import numpy as np
 
-    from ..config import create_config
-    from .affine import _affine_track_batch
-    from .convolve import compute_gradients, compute_smoothed_image
-    from .interp import gather_window
-    from .pallas_affine_fused import fused_affine_track_batch
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.ops.affine import _affine_track_batch
+    from pyfeaturetrack_tpu.ops.convolve import compute_gradients, compute_smoothed_image
+    from pyfeaturetrack_tpu.ops.interp import gather_window
+    from pyfeaturetrack_tpu.ops.pallas_affine_fused import fused_affine_track_batch
 
     cfg = create_config(affineConsistencyCheck=mode)
     rng = np.random.default_rng(0)
@@ -547,7 +546,7 @@ def bench_vec_affine(h=480, w=640, n_features=1000, iters=10,
         jax.block_until_ready(r)
         out[name + "_s"] = (time.perf_counter() - t0) / iters
         if device_trace:
-            from ..utils.traceview import capture_device_trace
+            from pyfeaturetrack_tpu.utils.traceview import capture_device_trace
             out[name + "_device"] = capture_device_trace(
                 lambda: jax.block_until_ready(fn()), n_calls=3)
     return out
