@@ -23,10 +23,18 @@ answers actually gets here).
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# cwd-independence (VERDICT r3 item 2): the driver may invoke bench.py
+# from any directory; pin the repo dir for imports, subprocesses, and
+# the BENCH_DETAILS.json artifact.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def _textured(h, w, seed=0):
@@ -150,17 +158,9 @@ def bench_device_trace_fused(timeout_s=560):
     subprocess because the env knobs are read at trace time and this
     process's jit caches already hold the XLA paths. The honest-clock
     headline for op-count-taxed backends (ops/pallas_lk_fused.py)."""
-    import os
-    import subprocess
-
-    env = dict(os.environ, PFT_PALLAS_LK="1", PFT_PALLAS="1")
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__),
-         "--device-trace-only"],
-        env=env, capture_output=True, text=True, timeout=timeout_s)
-    if out.returncode != 0:
-        return {"error": (out.stderr or out.stdout).strip()[-400:]}
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return _trace_subprocess(
+        "--device-trace-only",
+        {"PFT_PALLAS_LK": "1", "PFT_PALLAS": "1"}, timeout_s)
 
 
 def bench_device_trace_vec(timeout_s=560):
@@ -169,17 +169,9 @@ def bench_device_trace_vec(timeout_s=560):
     the same trace-time-env reason as bench_device_trace_fused. The
     best honest-clock lane: 1.87 ms/frame = 534 fps measured 2026-08-19
     (ops/pallas_lk_vec.py)."""
-    import os
-    import subprocess
-
-    env = dict(os.environ, PFT_PALLAS_LK="vec", PFT_PALLAS="1")
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__),
-         "--device-trace-only"],
-        env=env, capture_output=True, text=True, timeout=timeout_s)
-    if out.returncode != 0:
-        return {"error": (out.stderr or out.stdout).strip()[-400:]}
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return _trace_subprocess(
+        "--device-trace-only",
+        {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1"}, timeout_s)
 
 
 def bench_config2_trace(h=480, w=640, n_features=1000, n_calls=6):
@@ -336,14 +328,16 @@ def bench_config4_trace(h=1088, w=1920, n_features=4096, n_calls=3):
 def _trace_subprocess(flag, env_knobs, timeout_s=560):
     """Run `bench.py <flag>` in a subprocess with Pallas env knobs (the
     knobs are read at trace time, and this process's jit caches already
-    hold the XLA paths)."""
-    import os
+    hold the XLA paths). cwd + PYTHONPATH pinned to the repo so the run
+    is cwd-independent (VERDICT r3 item 2)."""
     import subprocess
 
     env = dict(os.environ, **env_knobs)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), flag],
-        env=env, capture_output=True, text=True, timeout=timeout_s)
+        env=env, cwd=_REPO, capture_output=True, text=True,
+        timeout=timeout_s)
     if out.returncode != 0:
         return {"error": (out.stderr or out.stdout).strip()[-400:]}
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -401,15 +395,8 @@ def bench_device_trace_flow_fused(timeout_s=560):
     — subprocess for the same trace-time-env reason as
     bench_device_trace_fused. Measured 2026-08-18: 693 ms/pair device
     time vs 29.2 s for the XLA gather path on this relay (42x)."""
-    import subprocess
-
-    env = dict(os.environ, PFT_PALLAS_LK="1")
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--flow-trace-only"],
-        env=env, capture_output=True, text=True, timeout=timeout_s)
-    if out.returncode != 0:
-        return {"error": (out.stderr or out.stdout).strip()[-400:]}
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return _trace_subprocess("--flow-trace-only",
+                             {"PFT_PALLAS_LK": "1"}, timeout_s)
 
 
 def bench_e2e_result(h=480, w=640, n_features=1000, n_frames=12):
@@ -840,7 +827,6 @@ def bench_sfm():
 
 
 def main():
-    import os
     # persistent XLA compile cache: repeat bench runs skip the 1-3 min
     # remote compiles (must be set before any jax backend use)
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -920,13 +906,14 @@ def main():
             # incremental flush MERGED over any previous artifact: a
             # timeout mid-run must neither lose this run's completed
             # configs nor wipe results the previous complete run had
+            path = os.path.join(_REPO, "BENCH_DETAILS.json")
             try:
-                with open("BENCH_DETAILS.json") as f:
+                with open(path) as f:
                     merged = json.load(f)
             except (OSError, ValueError):
                 merged = {}
             merged.update(details)
-            with open("BENCH_DETAILS.json", "w") as f:
+            with open(path, "w") as f:
                 json.dump(merged, f, indent=2)
         details = {"headline": headline, "headline_runs": reps}
         # ORDER MATTERS: on the axon relay, the first device->host
@@ -1121,6 +1108,16 @@ def main():
             log(f"scaling done: {details['scaling']}")
         log("all configs done")  # final merged flush
         print(json.dumps(details), file=sys.stderr)
+        # fail LOUDLY if any entry errored (VERDICT r3 item 2): a sweep
+        # artifact with {"error": ...} entries must not pass silently
+        errored = sorted(
+            k for k, v in details.items()
+            if isinstance(v, dict) and "error" in v)
+        if errored:
+            print(f"[bench] FAILED entries: {errored}", file=sys.stderr,
+                  flush=True)
+            print(json.dumps(headline))
+            return 1
 
     print(json.dumps(headline))
     return 0

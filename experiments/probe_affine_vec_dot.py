@@ -53,6 +53,16 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 _FC = 16               # features per tile
 _XPAD = 8              # footprint left edge lands at this lane
 
+# A/B knob (merged from the former _affine_vec_defaultdot/_highdot twin
+# snapshots, VERDICT r3 item 9): PROBE_DOT_PRECISION=high runs the
+# sampling dot at lax.Precision.HIGH; unset/default leaves the MXU
+# default precision.
+import os as _os
+_SAMPLING_DOT_PRECISION = (
+    lax.Precision.HIGH
+    if _os.environ.get("PROBE_DOT_PRECISION", "").lower() == "high"
+    else None)
+
 
 def _cw(ww: int) -> int:
     """Compact block lane width: footprint (ww+2 with warp growth) at
@@ -217,6 +227,7 @@ def _affine_vec_kernel(row0s_ref, col0s_ref, rolls_ref, acts_ref,
         prod = lax.dot_general(
             blk3_ref[pl.ds(0, fc)], colsel,
             (((2,), (1,)), ((0,), (0,))),
+            precision=_SAMPLING_DOT_PRECISION,
             preferred_element_type=f32)          # [fc, 3*rb, tt]
 
         def one(s):
