@@ -170,6 +170,112 @@ def greedy_suppress_pallas(cand_x: jax.Array, cand_y: jax.Array,
     return out > 0
 
 
+def extract_available(grid_shape) -> bool:
+    """greedy_extract_pallas VMEM gate: the padded candidate map must
+    fit in VMEM once (input is donated to the stamped output, so only
+    one copy lives on chip)."""
+    ny, nx = grid_shape
+    hp = 8 * (-(-ny // 8))
+    wp = 128 * (-(-nx // 128))
+    return hp * wp * 4 <= _VMEM_GRID_BUDGET
+
+
+def _extract_kernel(budget_ref, map_in_ref, map_io_ref, outc_ref,
+                    outr_ref, outv_ref, nacc_ref, *, dg: int,
+                    min_eig: int, big: int):
+    del map_in_ref  # aliased with map_io_ref (input_output_aliases)
+    """Serial greedy extraction from the candidate eig map.
+
+    Each round: global argmax (first occurrence in row-major order —
+    the host sort's stable (-val, scan-order) tie-break), record it,
+    zero the (2*dg+1)-square box around it (candidates whose image
+    distance to an ACCEPTED one is <= mindist-1 can never be accepted —
+    exactly _enforceMinimumDistance's fill_map stamp, in lattice
+    coordinates). Stops when the max drops below min_eig (pool dry) or
+    ``budget`` candidates were accepted."""
+    hp, wp = map_io_ref.shape
+    rio = lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    cio = lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    rio1 = lax.broadcasted_iota(jnp.int32, (hp, 1), 0)
+    cio1 = lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    sio = lax.broadcasted_iota(jnp.int32, outc_ref.shape, 1)
+    outc_ref[...] = jnp.zeros(outc_ref.shape, jnp.int32)
+    outr_ref[...] = jnp.zeros(outr_ref.shape, jnp.int32)
+    outv_ref[...] = jnp.zeros(outv_ref.shape, jnp.int32)
+    nacc_ref[0] = jnp.int32(0)
+
+    def body(state):
+        i, _ = state
+        m = map_io_ref[...]
+        rowmax = jnp.max(m, axis=1, keepdims=True)            # [hp, 1]
+        v = jnp.max(rowmax, axis=0, keepdims=True)[0, 0]
+        ok = v >= min_eig
+        r = jnp.min(jnp.where(rowmax == v, rio1, big),
+                    axis=0, keepdims=True)[0, 0]
+        rowv = jnp.max(jnp.where(rio == r, m, 0),
+                       axis=0, keepdims=True)                 # [1, wp]
+        c = jnp.min(jnp.where(rowv == v, cio1, big),
+                    axis=1, keepdims=True)[0, 0]
+
+        @pl.when(ok)
+        def _():
+            lane = sio == i
+            outc_ref[...] = jnp.where(lane, c, outc_ref[...])
+            outr_ref[...] = jnp.where(lane, r, outr_ref[...])
+            outv_ref[...] = jnp.where(lane, v, outv_ref[...])
+            nacc_ref[0] = i + 1
+            box = ((jnp.abs(rio - r) <= dg) & (jnp.abs(cio - c) <= dg))
+            map_io_ref[...] = jnp.where(box, 0, m)
+
+        new_i = i + jnp.where(ok, 1, 0)
+        return new_i, ok & (new_i < budget_ref[0])
+
+    lax.while_loop(lambda s: s[1], body,
+                   (jnp.int32(0), budget_ref[0] > 0))
+
+
+@functools.partial(jax.jit, static_argnames=("min_eig", "dg", "max_out",
+                                             "interpret"))
+def greedy_extract_pallas(cand: jax.Array, *, min_eig: int, dg: int,
+                          budget: jax.Array, max_out: int,
+                          interpret: bool = False):
+    """One-op greedy selection straight from the candidate eig map.
+
+    ``cand``/[ny, nx] is the int32 candidate-lattice min-eig map with
+    blocked cells already zeroed. Returns (row, col, val, n_acc):
+    lattice coordinates + values of the accepted candidates in
+    acceptance order ([max_out] arrays; lanes >= n_acc are zero), which
+    IS the host greedy's acceptance sequence over ALL candidates — so
+    unlike the top-K path there is no exhaustion/divergence case.
+    ``dg`` is the stamp radius in lattice steps ((mindist-1)//step,
+    min 0: a candidate always excludes at least its own cell)."""
+    ny, nx = cand.shape
+    hp = 8 * (-(-ny // 8))
+    wp = 128 * (-(-nx // 128))
+    padded = jnp.pad(cand.astype(jnp.int32),
+                     ((0, hp - ny), (0, wp - nx)))
+    s = 128 * (-(-max_out // 128))
+    kernel = functools.partial(_extract_kernel, dg=dg,
+                               min_eig=max(int(min_eig), 1),
+                               big=1 << 30)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    _, outc, outr, outv, nacc = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+                   jax.ShapeDtypeStruct((1, s), jnp.int32),
+                   jax.ShapeDtypeStruct((1, s), jnp.int32),
+                   jax.ShapeDtypeStruct((1, s), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vmem],
+        out_specs=(vmem, vmem, vmem, vmem,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(jnp.asarray(budget, jnp.int32).reshape(1), padded)
+    return (outr[0, :max_out], outc[0, :max_out], outv[0, :max_out],
+            nacc[0])
+
+
 def bench_pallas_select(h=480, w=640, k=2048, iters=20):
     """Race the Pallas greedy against the MIS fixpoint on the current
     backend (dispatch clock; use utils.traceview for the honest one)."""

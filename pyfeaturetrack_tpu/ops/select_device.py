@@ -221,10 +221,32 @@ def select_features_from_eig_device(eig: jax.Array, x: jax.Array,
     use_pallas = False
     if os.environ.get("PFT_PALLAS_SELECT", "").lower() in (
             "1", "on", "true"):
-        from .pallas_select import (greedy_suppress_pallas,
+        from .pallas_select import (extract_available,
+                                    greedy_extract_pallas,
+                                    greedy_suppress_pallas,
                                     pallas_suppress_available)
         use_pallas = pallas_suppress_available(eig.shape,
                                                int(cfg.mindist))
+        if replacing and extract_available(cand.shape):
+            # Refill lane: ONE serial-extraction kernel straight off the
+            # candidate map — the host greedy verbatim (argmax -> record
+            # -> stamp), so there is NO top-K prefix and NO exhaustion/
+            # escalation case. Replaces lax.top_k (a ~253 us full sort
+            # on the relay) + the suppression pass (VERDICT r3 item 1).
+            n_out = int(val.shape[0])
+            rr, cc, vv, n_acc = greedy_extract_pallas(
+                cand, min_eig=min_eig,
+                dg=max(0, (int(cfg.mindist) - 1) // step),
+                budget=jnp.sum(free).astype(jnp.int32), max_out=n_out,
+                interpret=jax.default_backend() == "cpu")
+            cand_x = (borderx + cc * step).astype(jnp.int32)
+            cand_y = (bordery + rr * step).astype(jnp.int32)
+            accepted = jnp.arange(n_out) < n_acc
+            nxx, nyy, nval, filled, _ = fill_slots(
+                accepted, cand_x, cand_y, vv, free, x, y, val)
+            # never "exhausted": the kernel scans the FULL candidate
+            # pool, so running dry means the host scan runs dry too
+            return nxx, nyy, nval, filled, jnp.asarray(False)
 
     def stage(k):
         """One selection pass over the top-k candidates. Returns the
