@@ -993,6 +993,21 @@ def main():
             f"{float(np.median([float(r) for r in ratios])):.3e}")
         details["config1_two_frame_demo_s"] = round(bench_two_frame_demo(), 4)
         log(f"config1 done: {details['config1_two_frame_demo_s']} s")
+        try:
+            # config-5 END-TO-END (VERDICT r3 item 7): 100-frame
+            # KITTI-style corridor through the full front-end (track ->
+            # VO -> windowed BA) with ATE/RPE vs exact ground truth.
+            # Runs in the transfer phase: the VO host loop pulls arrays
+            # every frame, which is exactly the d2h pattern that must
+            # come after all dispatch-fenced configs on this relay.
+            from pyfeaturetrack_tpu.utils.synthscene import \
+                run_vo_on_corridor
+            details["config5_e2e_corridor"] = run_vo_on_corridor(
+                n_frames=100, kf_every=3, n_features=100)
+            log(f"config5 e2e done: {details['config5_e2e_corridor']}")
+        except Exception as e:
+            details["config5_e2e_corridor"] = {"error": str(e)[-300:]}
+            log(f"config5 e2e FAILED: {e}")
         # roofline + honest clocks LAST (ROOFLINE.md §0): the profiler
         # capture inside roofline_report flips this process into
         # synchronously-observed execution (measured: config5 after a

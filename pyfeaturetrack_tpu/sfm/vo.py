@@ -52,6 +52,19 @@ from .pnp import pnp_ransac, refine_pose
 from .triangulate import triangulate_dlt
 
 
+def _bucket(n: int, q: int = 64) -> int:
+    """Round ``n`` up to a multiple of ``q`` (min ``q``): the geometry
+    stages (refine_pose, triangulate_dlt, bundle_adjust) are jitted on
+    static shapes, and every keyframe presents slightly different
+    match/candidate/observation counts — unbucketed, a 100+ frame
+    sequence recompiles each stage at every keyframe (~13 s/keyframe
+    of XLA compiles on the long-corridor drive). Padding is exact:
+    zero-WEIGHT observations contribute 0.0 to every scatter-sum and
+    dummy landmarks get damped-identity Schur blocks (ba._damp's +1e-9)
+    whose updates are exactly zero."""
+    return max(q, q * (-(-int(n) // q)))
+
+
 class VisualOdometry:
     """Incremental monocular VO over a PGM-style frame stream.
 
@@ -439,12 +452,21 @@ class VisualOdometry:
             self.events.append(f"kf {len(self.kf) - 1}: relocalized by "
                                f"PnP-RANSAC over {len(slots)} landmarks")
             return
+        # bucket the match count so refine_pose's jit program is reused
+        # across keyframes (zero-weight padding rows are exact no-ops)
+        m = len(slots)
+        mp = _bucket(m)
+        Xp = np.concatenate(
+            [X, np.tile([[0.0, 0.0, 10.0]], (mp - m, 1))])
+        uvp = np.concatenate([uv, np.zeros((mp - m, 2))])
+        wp = np.concatenate([np.ones(m, np.float32),
+                             np.zeros(mp - m, np.float32)])
         R, t, _ = refine_pose(
             jnp.asarray(self.K, jnp.float32),
             jnp.asarray(R_prev, jnp.float32),
             jnp.asarray(t_prev, jnp.float32),
-            jnp.asarray(X, jnp.float32), jnp.asarray(uv, jnp.float32),
-            jnp.ones(len(slots), jnp.float32), n_iters=12,
+            jnp.asarray(Xp, jnp.float32), jnp.asarray(uvp, jnp.float32),
+            jnp.asarray(wp), n_iters=12,
             huber_delta=self.huber_px)
         self.poses.append((np.asarray(R, np.float64),
                            np.asarray(t, np.float64)))
@@ -473,21 +495,28 @@ class VisualOdometry:
             cand.append((key, obs))
         if not cand:
             return
+        # bucket the candidate count so triangulate_dlt's jit program
+        # is reused across keyframes; padding rows DUPLICATE the last
+        # real candidate (finite, discarded below — real rows are
+        # untouched: triangulation is per-landmark independent)
         L, C = len(cand), len(win)
-        uvs = np.zeros((L, C, 2), np.float32)
-        mask = np.zeros((L, C), bool)
+        lp = _bucket(L)
+        uvs = np.zeros((lp, C, 2), np.float32)
+        mask = np.zeros((lp, C), bool)
         for li, (_, obs) in enumerate(cand):
             for (k, u, v) in obs:
                 uvs[li, k] = (u, v)
                 mask[li, k] = True
+        uvs[L:] = uvs[L - 1]
+        mask[L:] = mask[L - 1]
         if self.dist is not None:
             uvs = self._ideal(uvs.reshape(-1, 2)).reshape(
-                L, C, 2).astype(np.float32)
+                lp, C, 2).astype(np.float32)
         Rs = np.stack([p[0] for p in pose_w]).astype(np.float32)
         ts = np.stack([p[1] for p in pose_w]).astype(np.float32)
         X = np.asarray(triangulate_dlt(
             jnp.asarray(self.K, jnp.float32), jnp.asarray(Rs),
-            jnp.asarray(ts), jnp.asarray(uvs), jnp.asarray(mask)))
+            jnp.asarray(ts), jnp.asarray(uvs), jnp.asarray(mask)))[:L]
         # keep only cheirality-consistent points (in front of every
         # observing camera)
         for li, (key, obs) in enumerate(cand):
@@ -526,20 +555,34 @@ class VisualOdometry:
         if len(keys) < 8 or len(win) < 2:
             return
         w_obs = (counts[np.asarray(pt_idx)] >= 2).astype(np.float32)
+        # bucket observation/landmark counts so bundle_adjust's jit
+        # program is reused across keyframes: zero-weight padding
+        # observations scatter exact zeros, and the padding landmarks
+        # (untouched by any observation) get ba._damp's 1e-9-identity
+        # Schur blocks whose updates are exactly zero
+        n_obs, n_pts = len(cam_idx), len(keys)
+        op = _bucket(n_obs, 256)
+        pp = _bucket(n_pts, 64)
+        uv_id = self._ideal(np.asarray(uv, np.float64)).astype(
+            np.float32)
         problem = BAProblem(
             K=jnp.asarray(self.K, jnp.float32),
-            cam_idx=jnp.asarray(cam_idx, jnp.int32),
-            pt_idx=jnp.asarray(pt_idx, jnp.int32),
-            uv=jnp.asarray(self._ideal(
-                np.asarray(uv, np.float64)).astype(np.float32)),
-            w=jnp.asarray(w_obs))
+            cam_idx=jnp.asarray(np.pad(np.asarray(cam_idx, np.int32),
+                                       (0, op - n_obs))),
+            pt_idx=jnp.asarray(np.pad(np.asarray(pt_idx, np.int32),
+                                      (0, op - n_obs))),
+            uv=jnp.asarray(np.pad(uv_id, ((0, op - n_obs), (0, 0)))),
+            w=jnp.asarray(np.pad(w_obs, (0, op - n_obs))))
         R0 = np.stack([p[0] for p in pose_w]).astype(np.float32)
         t0 = np.stack([p[1] for p in pose_w]).astype(np.float32)
-        X0 = np.stack([self.landmarks[k] for k in keys]).astype(np.float32)
+        X0 = np.pad(np.stack([self.landmarks[k] for k in keys]),
+                    ((0, pp - n_pts), (0, 0)),
+                    constant_values=1.0).astype(np.float32)
         R, t, X, _ = bundle_adjust(problem, R0, t0, X0,
                                    n_iters=self.ba_iters,
                                    fix_first=True,
                                    huber_delta=self.huber_px)
+        X = X[:n_pts]
         R, t, X = (np.asarray(R, np.float64), np.asarray(t, np.float64),
                    np.asarray(X, np.float64))
         # re-anchor the monocular scale gauge: BA with one camera fixed
@@ -556,7 +599,7 @@ class VisualOdometry:
                                         (0, 2, 1)),
             np.asarray(t0, np.float64))
         d_pre = np.median(np.linalg.norm(
-            np.asarray(X0, np.float64) - c0_pre[0], axis=-1))
+            np.asarray(X0[:n_pts], np.float64) - c0_pre[0], axis=-1))
         d_post = np.median(np.linalg.norm(X - c[0], axis=-1))
         # stereo mode: scale is pinned by the physical baseline through
         # the metric landmarks — never re-anchor it

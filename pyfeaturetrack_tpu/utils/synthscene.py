@@ -1,0 +1,141 @@
+"""Long synthetic KITTI-style sequences for end-to-end benchmarks.
+
+BASELINE.md config 5 names a KITTI-style forward-motion sequence; no
+real benchmark footage can exist in this environment (empty reference
+mount, zero egress — SURVEY.md §0), so this module renders the longest
+faithful stand-in we can verify against exact ground truth: a CORRIDOR
+of true-3D blob landmarks streaming past a forward-translating,
+gently curving camera. Unlike the short scenes in tests/test_sfm_kitti
+(fixed point cloud, 10 frames) the corridor extends with the path, so
+features continuously enter/leave the FOV and the front-end must keep
+re-selecting, re-triangulating, and re-anchoring scale — the failure
+modes that only show up at 100+ frames.
+
+Shared by bench.py (config5_e2e), tests/test_vo_long.py, and
+examples/example13_kitti_e2e.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def corridor_scene(n_frames: int = 120, h: int = 240, w: int = 320,
+                   step: float = 0.35, curve: float = 2.5,
+                   n_points_per_20u: int = 260, seed: int = 5):
+    """Ground-truth corridor scene.
+
+    Returns (K, Rs, ts, cs, pts): world->cam rotations/translations,
+    camera centers, and the 3D landmark field. The camera advances
+    ``step`` units/frame along +z on a sinusoidal lateral curve with a
+    matching yaw (tangent-following, like a road vehicle).
+    """
+    rng = np.random.default_rng(seed)
+    K = np.array([[260.0, 0, w / 2], [0, 260.0, h / 2], [0, 0, 1]],
+                 np.float64)
+
+    length = step * n_frames + 30.0
+    n_pts = int(n_points_per_20u * length / 20.0)
+    # corridor walls/floor/scatter: denser near the path edges so the
+    # FOV always sees parallax at several depths
+    z = rng.uniform(3.0, length, n_pts)
+    x = rng.uniform(-9.0, 9.0, n_pts)
+    y = rng.uniform(-5.0, 5.0, n_pts)
+    pts = np.stack([x, y, z], -1).astype(np.float32)
+
+    om = 2 * np.pi / max(n_frames, 1)
+    Rs, ts, cs = [], [], []
+    for i in range(n_frames):
+        cx = curve * np.sin(om * i)
+        cz = step * i
+        c = np.array([cx, 0.15 * np.sin(3 * om * i), cz], np.float64)
+        # yaw follows the path tangent: dx/dz = curve*om*cos(om i)/step
+        yaw = np.arctan2(curve * om * np.cos(om * i), 1.0) * \
+            (step / (step + 1e-9)) * 0.5
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy_, 0, -sy], [0, 1, 0], [sy, 0, cy_]],
+                     np.float64)
+        Rs.append(R.astype(np.float32))
+        cs.append(c.astype(np.float32))
+        ts.append((-R @ c).astype(np.float32))
+    return (K, np.stack(Rs), np.stack(ts), np.stack(cs), pts)
+
+
+def render_blobs(K, Rs, ts, pts, h: int, w: int, seed: int = 1,
+                 rad: int = 6, sigma: float = 1.8, bg: float = 20.0):
+    """Render each frame by splatting every visible landmark as a
+    Gaussian blob at its EXACT pinhole projection (sub-pixel center),
+    so the tracker's output can be checked against analytic geometry.
+    Pure NumPy: float64 projection, float32 frames."""
+    rng = np.random.default_rng(seed)
+    amp = rng.uniform(120, 255, pts.shape[0])
+    K = np.asarray(K, np.float64)
+    frames = []
+    yy0, xx0 = np.mgrid[-rad:rad + 1, -rad:rad + 1]
+    for Rk, tk in zip(np.asarray(Rs, np.float64),
+                      np.asarray(ts, np.float64)):
+        pc = pts.astype(np.float64) @ Rk.T + tk
+        depth = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = K[0, 0] * pc[:, 0] / depth + K[0, 2]
+            v = K[1, 1] * pc[:, 1] / depth + K[1, 2]
+        img = np.full((h, w), bg)
+        ok = ((depth > 1.0) & (u > rad) & (u < w - rad - 1) &
+              (v > rad) & (v < h - rad - 1))
+        for j in np.flatnonzero(ok):
+            cu, cv = int(u[j]), int(v[j])
+            du, dv = u[j] - cu, v[j] - cv
+            img[cv - rad:cv + rad + 1, cu - rad:cu + rad + 1] += (
+                amp[j] * np.exp(-((xx0 - du) ** 2 + (yy0 - dv) ** 2) /
+                                (2 * sigma ** 2)))
+        frames.append(np.clip(img, 0, 255).astype(np.float32))
+    return frames
+
+
+def run_vo_on_corridor(n_frames: int = 120, h: int = 240, w: int = 320,
+                       n_features: int = 120, kf_every: int = 2,
+                       window: int = 6, seed: int = 5):
+    """Full config-5 front-end drive: render -> VisualOdometry (track ->
+    bootstrap -> localize -> triangulate -> windowed BA) -> trajectory
+    metrics. Returns a dict with ate (similarity-aligned RMSE), travel,
+    rpe translation stats, keyframe/landmark counts, and wall fps."""
+    import time
+
+    from ..sfm import VisualOdometry
+    from ..sfm.pipeline import ate_rmse_aligned
+    from .trajectory import rpe
+
+    K, Rs, ts, cs, pts = corridor_scene(n_frames, h, w, seed=seed)
+    frames = render_blobs(K, Rs, ts, pts, h, w)
+    vo = VisualOdometry(K, n_features=n_features, kf_every=kf_every,
+                        window=window, min_parallax_px=10.0)
+    t0 = time.perf_counter()
+    for f in frames:
+        vo.feed(f)
+    dt = time.perf_counter() - t0
+    fi, R, t, c = vo.trajectory()
+    gt_c = cs[fi]
+    travel = float(np.linalg.norm(np.diff(gt_c, axis=0),
+                                  axis=1).sum())
+    ate = float(ate_rmse_aligned(c, gt_c))
+    # RPE needs a consistent scale: monocular VO is up-to-scale, so
+    # align by the similarity first (use the ATE alignment's scale via
+    # median landmark-free proxy: ratio of path lengths)
+    est_len = float(np.linalg.norm(np.diff(c, axis=0), axis=1).sum())
+    s = travel / max(est_len, 1e-9)
+    t_scaled = np.asarray(t, np.float64) * s
+    te, re = rpe(np.asarray(R, np.float64), t_scaled,
+                 np.asarray(Rs, np.float64)[fi],
+                 np.asarray(ts, np.float64)[fi], delta=1)
+    return {
+        "n_frames": n_frames,
+        "keyframes": len(fi),
+        "landmarks": int(len(vo.map_points())),
+        "travel_units": round(travel, 3),
+        "ate_units": round(ate, 4),
+        "ate_pct_travel": round(100.0 * ate / max(travel, 1e-9), 3),
+        "rpe_trans_median_units": round(float(np.median(te)), 4),
+        "rpe_rot_median_deg": round(float(np.degrees(np.median(re))),
+                                    4),
+        "wall_fps": round(n_frames / dt, 2),
+    }
