@@ -50,7 +50,12 @@ from ..features import KLT_LARGE_RESIDUE, KLT_OOB, KLT_SMALL_DET, KLT_TRACKED
 
 _ONE_PLUS_EPS = 1.001  # ops/affine._ONE_PLUS_EPS (warp bound check)
 _VMEM_BUDGET = 12 * 1024 * 1024
-_FC = 16               # features per tile
+_FC = 32               # features per tile (scanned 8/16/32 on-chip:
+                       # 0.37/0.31/0.28 us per feature-iteration — the
+                       # sampling dot is MXU-throughput-bound, fc=32
+                       # amortizes the fixed per-tile phases best while
+                       # the VMEM gate still clears at 480p;
+                       # experiments/probe_affine_vec_phases.py)
 _XPAD = 8              # footprint left edge lands at this lane
 
 
