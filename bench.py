@@ -270,7 +270,8 @@ def bench_config3_trace(h=480, w=640, n_features=1000, n_calls=4):
                     "profiler device lane (ROOFLINE.md §0)"}
 
 
-def bench_config4_trace(h=1088, w=1920, n_features=4096, n_calls=3):
+def bench_config4_trace(h=1088, w=1920, n_features=4096, n_calls=3,
+                        image_dtype="float32"):
     """Honest device clock for the config-4 1080p frame step (4-level
     pyramid, subsampling 2). With PFT_PALLAS_LK=vec, level 0 exceeds
     the VMEM gate and runs the vec kernel's HBM-images mode
@@ -283,7 +284,8 @@ def bench_config4_trace(h=1088, w=1920, n_features=4096, n_calls=3):
                                               track_features_pyramids)
     from pyfeaturetrack_tpu.utils.traceview import capture_device_trace
 
-    cfg = create_config().replace(nPyramidLevels=4, subsampling=2)
+    cfg = create_config().replace(nPyramidLevels=4, subsampling=2,
+                                  image_dtype=image_dtype)
 
     @jax.jit
     def frame_step(pyr_prev, img_new, x, y, val):
@@ -318,6 +320,7 @@ def bench_config4_trace(h=1088, w=1920, n_features=4096, n_calls=3):
             "device_fps": (round(1e3 / r["per_call_ms"], 2)
                            if r["per_call_ms"] else None),
             "ops_per_frame": r["ops_per_call"],
+            "image_dtype": image_dtype,
             "lanes": {k: os.environ.get(k, "") for k in
                       ("PFT_PALLAS_LK", "PFT_PALLAS")},
             "note": "1080p 4096-feat 4-level frame step; level 0 via "
@@ -360,6 +363,16 @@ def bench_device_trace_config3(timeout_s=560):
 def bench_device_trace_config4(timeout_s=560):
     return _trace_subprocess(
         "--config4-trace-only",
+        {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1"}, timeout_s)
+
+
+def bench_device_trace_config4_bf16(timeout_s=560):
+    """Config-4 with the bf16 image-storage lane (cfg.image_dtype):
+    halves the HBM-mode per-feature DMA bytes at 1080p — the
+    documented approximate lane (tests/test_track.py bf16 exclusion
+    list), benched separately from the exact default."""
+    return _trace_subprocess(
+        "--config4-bf16-trace-only",
         {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1"}, timeout_s)
 
 
@@ -851,6 +864,8 @@ def main():
                     help=argparse.SUPPRESS)  # bench_device_trace_config3
     ap.add_argument("--config4-trace-only", action="store_true",
                     help=argparse.SUPPRESS)  # bench_device_trace_config4
+    ap.add_argument("--config4-bf16-trace-only", action="store_true",
+                    help=argparse.SUPPRESS)  # bench_device_trace_config4_bf16
     args = ap.parse_args()
     h, w = map(int, args.size.split("x"))
 
@@ -868,6 +883,9 @@ def main():
         return 0
     if args.config4_trace_only:
         print(json.dumps(bench_config4_trace()))
+        return 0
+    if args.config4_bf16_trace_only:
+        print(json.dumps(bench_config4_trace(image_dtype="bfloat16")))
         return 0
 
     from pyfeaturetrack_tpu.config import create_config
@@ -1087,6 +1105,14 @@ def main():
         except Exception as e:
             details["device_trace_config4"] = {"error": str(e)}
             log(f"config4 device trace failed: {e}")
+        try:
+            details["device_trace_config4_bf16"] = \
+                bench_device_trace_config4_bf16()
+            log("config4 bf16 device trace done: "
+                f"{details['device_trace_config4_bf16']}")
+        except Exception as e:
+            details["device_trace_config4_bf16"] = {"error": str(e)}
+            log(f"config4 bf16 device trace failed: {e}")
         try:
             from pyfeaturetrack_tpu.ops.pallas_affine_vec import \
                 bench_vec_affine

@@ -137,6 +137,41 @@ def affine_counts(n_features: int, cfg, h: int = 480, w: int = 640
     return {"bytes": float(bytes_total), "flops": float(flops)}
 
 
+def config4_counts(cfg=None, h: int = 1088, w: int = 1920,
+                   n_features: int = 4096) -> dict:
+    """Config-4 (1080p, 4096 features, 4 levels, subsampling 2) frame
+    step: pyramid build + pyramidal LK, in TWO counting models.
+
+    ``bytes``/``flops`` — the algorithmic once-through lower bound
+    (every image plane streamed once, gathers VMEM-served), the same
+    convention as the other stages: ~252 us SOL on v5e.
+
+    ``fetch_bytes`` — the COMPULSORY traffic of the per-feature-block
+    design actually deployed (ops/pallas_lk_vec HBM-images mode at
+    level 0): every feature DMAs one [rb, 3*256] f32 block per frame
+    side per level; blocks overlap freely so this greatly exceeds the
+    image size at 1080p feature densities (~600 MB/step at f32; the
+    bf16 storage lane halves it). fetch-SOL = fetch_bytes / HBM peak
+    is the floor for THIS formulation — a feature-binned/tiled design
+    would be needed to approach the once-through bound."""
+    from ..config import create_config
+    if cfg is None:
+        cfg = create_config().replace(nPyramidLevels=4, subsampling=2)
+    p = pyramid_counts(h, w, cfg)
+    l = lk_counts(h, w, n_features, cfg)
+    phs = 8 * (-(-(cfg.window_height + 1) // 8))
+    rb = phs + 16                     # ops/pallas_lk_vec._rb
+    blk = rb * 3 * 256 * _F32         # one interleaved block copy
+    # only level 0 exceeds the VMEM gate at 1080p: its per-feature
+    # blocks DMA from HBM (2 frame sides); the smaller levels'
+    # block copies are VMEM->VMEM and cost no HBM traffic beyond the
+    # planes themselves (counted once in the pyramid/once-through term)
+    fetch = n_features * 2 * blk + p["bytes"]
+    return {"bytes": p["bytes"] + l["bytes"],
+            "flops": p["flops"] + l["flops"],
+            "fetch_bytes": float(fetch)}
+
+
 def ba_iter_counts(C: int, L: int, kw: int) -> dict:
     """One windowed GN iteration (sfm/ba_windowed._gn_step_windowed)."""
     obs = L * kw
@@ -313,6 +348,20 @@ def roofline_report(h=480, w=640, n_features=1000, stage_times=None,
     if "flow_s" in stage_times:
         rep["dense_flow"] = summarize(flow_counts(h, w, cfg),
                                       stage_times["flow_s"])
+    # config-4 SOL model (VERDICT r3 item 6): measured time comes from
+    # the honest device lane (BENCH_DETAILS device_trace_config4), so
+    # this entry reports the two bounds rather than a summarize() row
+    c4 = config4_counts()
+    rep["config4_1080p_sol"] = {
+        "once_through_sol_us": round(
+            max(c4["bytes"] / V5E["hbm_bytes_per_s"],
+                c4["flops"] / V5E["f32_flops"]) * 1e6, 1),
+        "block_fetch_sol_us": round(
+            c4["fetch_bytes"] / V5E["hbm_bytes_per_s"] * 1e6, 1),
+        "note": "compare device_trace_config4.per_frame_device_ms: "
+                "block_fetch_sol is the floor of the deployed "
+                "per-feature-block design (see config4_counts)",
+    }
     if ba_iter_s is not None:
         C, L, kw = ba_shape
         rep["ba_iteration"] = summarize(ba_iter_counts(C, L, kw), ba_iter_s)
