@@ -24,6 +24,19 @@ from pyfeaturetrack_tpu.ops.pallas_affine_vec import (
     vec_affine_with_fallback)
 
 
+
+import jax
+
+# CPU suite: interpret mode. Under PFT_TEST_PLATFORM=tpu the REAL
+# kernel runs on the chip (PARITY.md round-4 on-chip sweep).
+_INTERP = jax.default_backend() == "cpu"
+# positions/warps tolerance: near-bitwise in interpret mode; on the
+# real chip the serial fused kernel's documented bar is 0.03 px
+# (DESIGN.md §3) — the vec kernel gets the same on-chip bar. Statuses
+# stay asserted exactly equal on both.
+_ATOL = 1e-3 if _INTERP else 5e-2
+
+
 def _scene(h=120, w=160, n=24, seed=0, shift=(0.5, 1.0), gain=1.0,
            cfg=None):
     cfg = cfg or create_config(affineConsistencyCheck=2)
@@ -54,9 +67,10 @@ def _scene(h=120, w=160, n=24, seed=0, shift=(0.5, 1.0), gain=1.0,
     return cfg, (tmpl, s2, gx2, gy2, x - 0.5, y - 0.5, A0, check)
 
 
-def _compare(cfg, args, atol=1e-3):
+def _compare(cfg, args, atol=None):
+    atol = _ATOL if atol is None else atol
     vx, vy, vA, vs = vec_affine_with_fallback(*args, cfg,
-                                              interpret=True)
+                                              interpret=_INTERP)
     rx, ry, rA, rs = _affine_track_batch(*args, cfg)
     np.testing.assert_array_equal(np.asarray(vs), np.asarray(rs))
     check = np.asarray(args[7])
@@ -83,7 +97,7 @@ def test_vec_affine_unchecked_lanes_pass_through():
     check = jnp.asarray(np.arange(30) % 3 == 0)
     args = args[:7] + (check,)
     vx, vy, vA, vs = vec_affine_with_fallback(*args, cfg,
-                                              interpret=True)
+                                              interpret=_INTERP)
     nc = ~np.asarray(check)
     np.testing.assert_array_equal(np.asarray(vs)[nc], 0)
     np.testing.assert_allclose(np.asarray(vx)[nc],
@@ -131,7 +145,7 @@ def test_vec_affine_stale_lanes_recovered_exactly():
                           (16, 2, 2))
     args = args[:6] + (A0,) + args[7:]
     _, _, _, _, stale = vec_affine_track_batch(*args, cfg,
-                                               interpret=True)
+                                               interpret=_INTERP)
     assert np.asarray(stale).any()  # scenario exercises the stale path
     _compare(cfg, args)
 
@@ -180,6 +194,6 @@ def test_env_dispatch_vec(monkeypatch):
     np.testing.assert_array_equal(np.asarray(vec_fl.val),
                                   np.asarray(base_fl.val))
     np.testing.assert_allclose(np.asarray(vec_fl.x),
-                               np.asarray(base_fl.x), atol=1e-3)
+                               np.asarray(base_fl.x), atol=_ATOL)
     np.testing.assert_allclose(np.asarray(vec_fl.aff.A),
-                               np.asarray(base_fl.aff.A), atol=1e-3)
+                               np.asarray(base_fl.aff.A), atol=_ATOL)

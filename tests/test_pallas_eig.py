@@ -24,6 +24,14 @@ from pyfeaturetrack_tpu.ops.select import quantized_min_eig_map
 from conftest import make_textured_image
 
 
+
+import jax
+
+# CPU suite: interpret mode. Under PFT_TEST_PLATFORM=tpu the REAL
+# kernel runs on the chip (PARITY.md round-4 on-chip sweep).
+_INTERP = jax.default_backend() == "cpu"
+
+
 def _grads(h, w, seed=0):
     img = make_textured_image(h, w, seed=seed)
     return compute_gradients(jnp.asarray(img, jnp.float32), 1.0)
@@ -37,7 +45,7 @@ def test_pallas_eig_matches_conv_within_one_int_step(shape, win):
     assert pallas_eig_available(shape)
     gx, gy = _grads(h, w, seed=h + ww)
     ref = np.asarray(quantized_min_eig_map(gx, gy, ww, wh), np.int64)
-    got = np.asarray(min_eig_map_pallas(gx, gy, ww, wh, interpret=True),
+    got = np.asarray(min_eig_map_pallas(gx, gy, ww, wh, interpret=_INTERP),
                      np.int64)
     diff = np.abs(got - ref)
     # FMA-contraction skew only: never more than ONE quantization step,
@@ -54,7 +62,7 @@ def test_pallas_eig_meets_oracle_bound():
     ogx, ogy = oracle.compute_gradients(img, 1.0)
     oeig = oracle.min_eig_map(ogx, ogy, 7, 7)
     gx, gy = compute_gradients(jnp.asarray(img, jnp.float32), 1.0)
-    got = np.asarray(min_eig_map_pallas(gx, gy, 7, 7, interpret=True),
+    got = np.asarray(min_eig_map_pallas(gx, gy, 7, 7, interpret=_INTERP),
                      np.float64)
     hh = 3 + 4  # window half + gradient kernel support margin
     interior = np.zeros_like(oeig, bool)
@@ -65,7 +73,7 @@ def test_pallas_eig_meets_oracle_bound():
 
 def test_pallas_eig_border_zeroed():
     gx, gy = _grads(64, 128, seed=3)
-    out = np.asarray(min_eig_map_pallas(gx, gy, 7, 7, interpret=True))
+    out = np.asarray(min_eig_map_pallas(gx, gy, 7, 7, interpret=_INTERP))
     assert (out[:3] == 0).all() and (out[-3:] == 0).all()
     assert (out[:, :3] == 0).all() and (out[:, -3:] == 0).all()
     assert (out[10:-10, 10:-10] != 0).any()

@@ -17,6 +17,13 @@ from pyfeaturetrack_tpu.ops.select import select_good_features_arrays
 from pyfeaturetrack_tpu.ops.select_device import select_features_device
 
 
+import jax
+
+# CPU suite: interpret mode. Under PFT_TEST_PLATFORM=tpu the REAL
+# kernel runs on the chip (PARITY.md round-4 on-chip sweep).
+_INTERP = jax.default_backend() == "cpu"
+
+
 def _np_extract(cand, min_eig, dg, budget):
     """Float-free reference: argmax (row-major first occurrence) ->
     record -> zero the (2*dg+1) box -> repeat."""
@@ -43,7 +50,7 @@ def test_kernel_matches_numpy_extraction(dg, budget, min_eig, seed):
     assert extract_available((ny, nx))
     rr, cc, vv, n = greedy_extract_pallas(
         jnp.asarray(cand), min_eig=min_eig, dg=dg,
-        budget=jnp.int32(budget), max_out=256, interpret=True)
+        budget=jnp.int32(budget), max_out=256, interpret=_INTERP)
     got = [(int(rr[i]), int(cc[i]), int(vv[i])) for i in range(int(n))]
     assert got == _np_extract(cand, min_eig, dg, budget)
 
@@ -58,7 +65,7 @@ def test_tie_break_is_row_major_first():
     cand[9, 0] = 7
     rr, cc, vv, n = greedy_extract_pallas(
         jnp.asarray(cand), min_eig=1, dg=0, budget=jnp.int32(4),
-        max_out=128, interpret=True)
+        max_out=128, interpret=_INTERP)
     got = [(int(rr[i]), int(cc[i])) for i in range(int(n))]
     assert got == [(1, 120), (3, 5), (3, 100), (9, 0)]
 

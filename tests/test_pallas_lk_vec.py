@@ -1,5 +1,7 @@
 """Feature-vectorized fused Pallas LK kernel == XLA level loop
-(interpret mode on the CPU backend; TPU measurements in DESIGN.md §3).
+(interpret mode on the CPU backend; under PFT_TEST_PLATFORM=tpu the
+REAL kernel runs on the chip and positions get the documented on-chip
+tolerance — see _INTERP/_ATOL below and PARITY.md round-4).
 
 The XLA path (ops/track.track_feature_level) is oracle-parity-tested in
 test_track.py; these tests pin the vectorized kernel to it. Non-stale
@@ -22,6 +24,18 @@ from pyfeaturetrack_tpu.ops.convolve import (compute_gradients,
 from pyfeaturetrack_tpu.ops.pallas_lk_vec import (
     vec_level_available, vec_track_level, vec_track_level_with_fallback)
 from pyfeaturetrack_tpu.ops.track import track_feature_level
+
+import jax
+
+# CPU suite: interpret mode, near-bitwise tolerances. On the real chip
+# (PFT_TEST_PLATFORM=tpu) the REAL kernel runs; statuses/iterations
+# stay asserted EXACTLY equal, while positions carry the documented
+# on-chip tolerance (0.05 px — TPU fusion/FMA rounding differs between
+# the kernel's VPU ops and the XLA gather path's fused blends; same
+# bar the serial fused kernel met at 0.037 px, DESIGN.md §3).
+_INTERP = jax.default_backend() == "cpu"
+_ATOL = 1e-3 if _INTERP else 5e-2
+_ATOL_TIGHT = 1e-5 if _INTERP else 5e-2
 
 
 def _level_inputs(h, w, shift=(1, 2), seed=0, smooth_passes=1):
@@ -46,9 +60,10 @@ def _prep(cfg, img1, img2):
     return s1, gx1, gy1, s2, gx2, gy2
 
 
-def _assert_matches(cfg, lvl, x, y, act, atol=1e-3):
+def _assert_matches(cfg, lvl, x, y, act, atol=None):
+    atol = _ATOL if atol is None else atol
     vx, vy, vs, vi = vec_track_level_with_fallback(
-        x, y, x, y, *lvl, cfg, act, interpret=True)
+        x, y, x, y, *lvl, cfg, act, interpret=_INTERP)
     rx, ry, rs, ri = track_feature_level(x, y, x, y, *lvl, cfg, act)
     np.testing.assert_array_equal(np.asarray(vs), np.asarray(rs))
     np.testing.assert_array_equal(np.asarray(vi), np.asarray(ri))
@@ -58,7 +73,7 @@ def _assert_matches(cfg, lvl, x, y, act, atol=1e-3):
 
 
 def _compare(cfg, h=120, w=160, n=64, seed=0, shift=(1, 2),
-             active_frac=1.0, near_border=False, atol=1e-3):
+             active_frac=1.0, near_border=False, atol=None):
     assert vec_level_available((h, w), cfg)
     img1, img2 = _level_inputs(h, w, shift=shift, seed=seed)
     lvl = _prep(cfg, img1, img2)
@@ -94,16 +109,16 @@ def test_vec_nonstale_lanes_near_bitwise_equal():
     y = jnp.asarray(rng.uniform(8, h - 9, n), jnp.float32)
     act = jnp.ones((n,), bool)
     vx, vy, vs, vi, stale = vec_track_level(
-        x, y, x, y, *lvl, cfg, act, interpret=True)
+        x, y, x, y, *lvl, cfg, act, interpret=_INTERP)
     rx, ry, rs, ri = track_feature_level(x, y, x, y, *lvl, cfg, act)
     ns = ~np.asarray(stale)
     assert ns.sum() > n // 2  # corridor keeps most lanes vectorized
     np.testing.assert_array_equal(np.asarray(vs)[ns], np.asarray(rs)[ns])
     np.testing.assert_array_equal(np.asarray(vi)[ns], np.asarray(ri)[ns])
     np.testing.assert_allclose(np.asarray(vx)[ns], np.asarray(rx)[ns],
-                               atol=1e-5)
+                               atol=_ATOL_TIGHT)
     np.testing.assert_allclose(np.asarray(vy)[ns], np.asarray(ry)[ns],
-                               atol=1e-5)
+                               atol=_ATOL_TIGHT)
 
 
 def test_vec_stale_lanes_recovered_exactly():
@@ -119,7 +134,7 @@ def test_vec_stale_lanes_recovered_exactly():
     y = jnp.asarray(rng.uniform(12, h - 13, n), jnp.float32)
     act = jnp.ones((n,), bool)
     _, _, _, _, stale = vec_track_level(x, y, x, y, *lvl, cfg, act,
-                                        interpret=True)
+                                        interpret=_INTERP)
     assert np.asarray(stale).any()  # scenario actually exercises stale
     _assert_matches(cfg, lvl, x, y, act)
 
@@ -213,15 +228,15 @@ def test_vec_one_d_matches_fused_one_d():
     y = jnp.asarray(rng.uniform(10, 109, n), jnp.float32)
     act = jnp.ones((n,), bool)
     vx, vy, vs, vi, stale = vec_track_level(
-        x, y, x, y, *lvl, cfg, act, interpret=True, one_d=True)
+        x, y, x, y, *lvl, cfg, act, interpret=_INTERP, one_d=True)
     fx, fy, fs, fi = fused_track_level(x, y, x, y, *lvl, cfg, act,
-                                       interpret=True, one_d=True)
+                                       interpret=_INTERP, one_d=True)
     ns = ~np.asarray(stale)
     assert ns.sum() > n // 2
     np.testing.assert_array_equal(np.asarray(vs)[ns], np.asarray(fs)[ns])
     np.testing.assert_array_equal(np.asarray(vy)[ns], np.asarray(y)[ns])
     np.testing.assert_allclose(np.asarray(vx)[ns], np.asarray(fx)[ns],
-                               atol=1e-3)
+                               atol=_ATOL)
 
 
 def test_vec_full_pyramid_env_dispatch(monkeypatch):
@@ -252,8 +267,8 @@ def test_vec_full_pyramid_env_dispatch(monkeypatch):
         track_features_pyramids.__wrapped__, cfg=cfg))
     vx, vy, vv = vec_fn(p1, p2, x, y, val)
     np.testing.assert_array_equal(np.asarray(vv), np.asarray(rv))
-    np.testing.assert_allclose(np.asarray(vx), np.asarray(rx), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(vy), np.asarray(ry), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(rx), atol=_ATOL)
+    np.testing.assert_allclose(np.asarray(vy), np.asarray(ry), atol=_ATOL)
 
 
 def test_vec_hbm_mode_matches_vmem_mode():
@@ -268,9 +283,9 @@ def test_vec_hbm_mode_matches_vmem_mode():
     x = jnp.asarray(rng.uniform(8, w - 9, n), jnp.float32)
     y = jnp.asarray(rng.uniform(8, h - 9, n), jnp.float32)
     act = jnp.asarray(rng.uniform(size=n) < 0.9)
-    a = vec_track_level(x, y, x, y, *lvl, cfg, act, interpret=True,
+    a = vec_track_level(x, y, x, y, *lvl, cfg, act, interpret=_INTERP,
                         force_hbm=False)
-    b = vec_track_level(x, y, x, y, *lvl, cfg, act, interpret=True,
+    b = vec_track_level(x, y, x, y, *lvl, cfg, act, interpret=_INTERP,
                         force_hbm=True)
     for u, v in zip(a, b):
         np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
@@ -299,7 +314,7 @@ def test_vec_hbm_gate_and_stale_fallback_beyond_fused():
     y = jnp.asarray(rng.uniform(12, h - 13, n), jnp.float32)
     act = jnp.ones((n,), bool)
     _, _, _, _, stale = vec_track_level(x, y, x, y, *lvl, cfg, act,
-                                        interpret=True, force_hbm=True)
+                                        interpret=_INTERP, force_hbm=True)
     assert np.asarray(stale).any()
     _assert_matches(cfg, lvl, x, y, act)
 
@@ -334,5 +349,5 @@ def test_vec_bf16_storage_matches_xla_bf16(monkeypatch):
         track_features_pyramids.__wrapped__, cfg=cfg))
     vx, vy, vv = vec_fn(p1, p2, x, y, val)
     np.testing.assert_array_equal(np.asarray(vv), np.asarray(rv))
-    np.testing.assert_allclose(np.asarray(vx), np.asarray(rx), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(vy), np.asarray(ry), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(rx), atol=_ATOL)
+    np.testing.assert_allclose(np.asarray(vy), np.asarray(ry), atol=_ATOL)

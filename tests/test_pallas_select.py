@@ -15,6 +15,14 @@ from pyfeaturetrack_tpu.ops.select_device import (fill_slots,
                                                   suppress_and_fill)
 
 
+
+import jax
+
+# CPU suite: interpret mode. Under PFT_TEST_PLATFORM=tpu the REAL
+# kernel runs on the chip (PARITY.md round-4 on-chip sweep).
+_INTERP = jax.default_backend() == "cpu"
+
+
 def _numpy_greedy(cx, cy, valid, d, h, w):
     occ = np.zeros((h, w), bool)
     acc = np.zeros(len(cx), bool)
@@ -39,7 +47,7 @@ def test_kernel_matches_host_greedy(mindist, seed):
     got = np.asarray(greedy_suppress_pallas(
         jnp.asarray(cx, jnp.int32), jnp.asarray(cy, jnp.int32),
         jnp.asarray(valid), shape=(h, w), mindist=mindist,
-        interpret=True))
+        interpret=_INTERP))
     want = _numpy_greedy(cx, cy, valid, mindist - 1, h, w)
     np.testing.assert_array_equal(got, want)
 
@@ -58,7 +66,7 @@ def test_kernel_plus_fill_matches_suppress_and_fill():
     free = val < 0
 
     accepted = greedy_suppress_pallas(cx, cy, valid, shape=(h, w),
-                                      mindist=10, interpret=True)
+                                      mindist=10, interpret=_INTERP)
     got = fill_slots(accepted, cx, cy, cval, free, x, y, val)
     want = suppress_and_fill(cx, cy, cval, valid, free, x, y, val, 10)
     for g, wv in zip(got, want):
@@ -130,9 +138,9 @@ def test_budget_early_exit_fill_exact():
     assert 0 < n_free < n
 
     full = greedy_suppress_pallas(cx, cy, valid, shape=(h, w),
-                                  mindist=10, interpret=True)
+                                  mindist=10, interpret=_INTERP)
     budgeted = greedy_suppress_pallas(
-        cx, cy, valid, shape=(h, w), mindist=10, interpret=True,
+        cx, cy, valid, shape=(h, w), mindist=10, interpret=_INTERP,
         budget=jnp.int32(n_free))
     nb = np.asarray(budgeted)
     nf = np.asarray(full)
