@@ -188,27 +188,34 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         jc = lax.broadcasted_iota(jnp.int32, (fc, phs, _CB), 1)
         ic = lax.broadcasted_iota(jnp.int32, (fc, phs, _CB), 2)
         colsel = (ic == jc + dc3).astype(f32)
-        if shared:
-            # one shared [rb, 3*CB] block: a single UNBATCHED dot
-            # serves the whole tile (1 MXU issue instead of fc)
-            rows3 = lax.dot_general(
-                rowsel, blk3_ref[...],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=f32)        # [fc, phs, 3*_CB]
-        else:
-            rows3 = lax.dot_general(
-                rowsel, blk3_ref[pl.ds(0, fc)],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=f32)        # [fc, phs, 3*_CB]
+        # COLUMN dot first (round 4): contracting the lane axis per
+        # SECTION yields [fc, phs, rb] intermediates, so the row stage
+        # contracts only rb — total ~phs*CB*rb + phs*rb*phs MACs per
+        # section vs the row-first order's phs*rb*3CB + phs*CB*phs.
+        # Both stages stay one-hot at HIGHEST: every output element is
+        # a single selected product, bitwise equal to either order.
         out = []
         for sec in sections:
+            if shared:
+                blk_s = blk3_ref[:, sec * _CB:(sec + 1) * _CB]
+                cols = lax.dot_general(
+                    colsel, blk_s,
+                    dimension_numbers=(((2,), (1,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=f32)    # [fc, phs, rb]
+            else:
+                blk_s = blk3_ref[pl.ds(0, fc)][
+                    :, :, sec * _CB:(sec + 1) * _CB]
+                cols = lax.dot_general(
+                    colsel, blk_s,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=f32)    # [fc, phs(col), rb]
             out.append(lax.dot_general(
-                rows3[:, :, sec * _CB:(sec + 1) * _CB], colsel,
+                rowsel, cols,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 precision=lax.Precision.HIGHEST,
-                preferred_element_type=f32))           # [fc, phs, phs]
+                preferred_element_type=f32))       # [fc, phs, phs]
         return out
 
     def blend(patch, ax3, ay3):
