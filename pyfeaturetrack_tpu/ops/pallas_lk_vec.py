@@ -144,7 +144,7 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
                       r1v_ref, c1v_ref, r2v_ref, c2v_ref,
                       ilv1_ref, ilv2_ref, out_ref,
                       blk3_ref, tmp_ref,
-                      w1_ref, g1x_ref, g1y_ref, *dma_sem,
+                      w1_ref, *dma_sem,
                       fc: int, hw: int, hh: int, nrows: int, ncols: int,
                       hp: int, wp: int, max_iterations: int,
                       min_displacement: float, min_determinant: float,
@@ -189,42 +189,52 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         ic = lax.broadcasted_iota(jnp.int32, (fc, phs, _CB), 2)
         colsel = (ic == jc + dc3).astype(f32)
         # COLUMN dot first (round 4): contracting the lane axis per
-        # SECTION yields [fc, phs, rb] intermediates, so the row stage
-        # contracts only rb — total ~phs*CB*rb + phs*rb*phs MACs per
-        # section vs the row-first order's phs*rb*3CB + phs*CB*phs.
-        # Both stages stay one-hot at HIGHEST: every output element is
-        # a single selected product, bitwise equal to either order.
-        out = []
+        # SECTION yields [fc, phs, rb] intermediates; the sections are
+        # then CONCATENATED so ONE row dot emits the lane-PACKED
+        # [fc, phs, ns*phs] patch bundle — the whole downstream blend
+        # runs once on the bundle instead of once per section (the
+        # iteration loop is op-issue-bound, DESIGN.md §8). Both stages
+        # stay one-hot at HIGHEST: every output element is a single
+        # selected product, bitwise equal to any dot order.
+        cols_list = []
         for sec in sections:
             if shared:
                 blk_s = blk3_ref[:, sec * _CB:(sec + 1) * _CB]
-                cols = lax.dot_general(
+                cols_list.append(lax.dot_general(
                     colsel, blk_s,
                     dimension_numbers=(((2,), (1,)), ((), ())),
                     precision=lax.Precision.HIGHEST,
-                    preferred_element_type=f32)    # [fc, phs, rb]
+                    preferred_element_type=f32))   # [fc, phs, rb]
             else:
                 blk_s = blk3_ref[pl.ds(0, fc)][
                     :, :, sec * _CB:(sec + 1) * _CB]
-                cols = lax.dot_general(
+                cols_list.append(lax.dot_general(
                     colsel, blk_s,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     precision=lax.Precision.HIGHEST,
-                    preferred_element_type=f32)    # [fc, phs(col), rb]
-            out.append(lax.dot_general(
-                rowsel, cols,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=f32))       # [fc, phs, phs]
-        return out
+                    preferred_element_type=f32))   # [fc, phs(col), rb]
+        cols3 = (cols_list[0] if len(cols_list) == 1
+                 else jnp.concatenate(cols_list, axis=1))
+        return lax.dot_general(
+            rowsel, cols3,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=f32)        # [fc, phs, ns*phs]
 
-    def blend(patch, ax3, ay3):
-        """Shared-fraction bilinear blend -> [fc, wh, ww] windows
-        (ops/interp.window_from_patch formula)."""
-        p00 = patch[:, :wh, :ww]
-        p01 = patch[:, :wh, 1:ww + 1]
-        p10 = patch[:, 1:wh + 1, :ww]
-        p11 = patch[:, 1:wh + 1, 1:ww + 1]
+    def blend(packed, ax3, ay3):
+        """Shared-fraction bilinear blend on the PACKED patch bundle ->
+        [fc, wh, ns*phs] (ops/interp.window_from_patch formula,
+        elementwise — bitwise equal per lane to a per-section blend).
+        The +1-column taps come from ONE lane shift of the whole
+        bundle: within a section col j+1 is the next lane, and the
+        section-boundary lane is slack (ww odd < phs even), so the
+        shift never crosses meaningful data; lanes j >= ww per section
+        are garbage and never read by the section slices."""
+        shifted = jnp.pad(packed[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+        p00 = packed[:, :wh, :]
+        p01 = shifted[:, :wh, :]
+        p10 = packed[:, 1:wh + 1, :]
+        p11 = shifted[:, 1:wh + 1, :]
         return ((1.0 - ax3) * (1.0 - ay3) * p00 + ax3 * (1.0 - ay3) * p01
                 + (1.0 - ax3) * ay3 * p10 + ax3 * ay3 * p11)
 
@@ -364,16 +374,11 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
     col01 = c1v_ref[pl.ds(0, fc)].reshape(fc, 1).astype(jnp.int32)
     dr1, dc1, ax1, ay1 = patch_offsets(x1, y1, row01, col01)
     dr1, dc1 = clampdd(dr1, dc1)
-    p_i, p_gx, p_gy = extract3(dr1, dc1)
     ax13 = ax1.reshape(fc, 1, 1)
     ay13 = ay1.reshape(fc, 1, 1)
-
-    def pad_win(win):
-        return jnp.pad(win, ((0, 0), (0, phs - wh), (0, phs - ww)))
-
-    w1_ref[pl.ds(0, fc)] = pad_win(blend(p_i, ax13, ay13))
-    g1x_ref[pl.ds(0, fc)] = pad_win(blend(p_gx, ax13, ay13))
-    g1y_ref[pl.ds(0, fc)] = pad_win(blend(p_gy, ax13, ay13))
+    w1_ref[pl.ds(0, fc)] = jnp.pad(
+        blend(extract3(dr1, dc1), ax13, ay13),
+        ((0, 0), (0, phs - wh), (0, 0)))   # packed [fc, phs, 3*phs]
 
     # ---------- phase 1c: serial frame-2 block fetch ---------------------
 
@@ -384,9 +389,14 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
     ok1 = bounds_ok(x1, y1)
     row02 = r2v_ref[pl.ds(0, fc)].reshape(fc, 1).astype(jnp.int32)
     col02 = c2v_ref[pl.ds(0, fc)].reshape(fc, 1).astype(jnp.int32)
-    w1 = w1_ref[pl.ds(0, fc)][:, :wh, :ww]
-    g1x = g1x_ref[pl.ds(0, fc)][:, :wh, :ww]
-    g1y = g1y_ref[pl.ds(0, fc)][:, :wh, :ww]
+    w1p = w1_ref[pl.ds(0, fc)][:, :wh, :]   # packed [fc, wh, 3*phs]
+    w1 = w1p[:, :, 0:ww]
+    g1x = w1p[:, :, phs:phs + ww]
+    g1y = w1p[:, :, 2 * phs:2 * phs + ww]
+    # per-section sign pattern: diff subtracts frame-2, the gradient
+    # sums add it (w1 + signs*w2p is bitwise x-y / x+y per IEEE)
+    lane3 = lax.broadcasted_iota(jnp.int32, (1, 1, 3 * phs), 2)
+    signs = jnp.where(lane3 < phs, -1.0, 1.0).astype(f32)
     zero = jnp.zeros((fc, 1), f32)
 
     def lk_body(carry):
@@ -411,22 +421,23 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         live = live & in_corr
 
         dr, dc = clampdd(dr, dc)
-        p2_i, p2_gx, p2_gy = extract3(dr, dc)
         ax3 = ax.reshape(fc, 1, 1)
         ay3 = ay.reshape(fc, 1, 1)
-        w2 = blend(p2_i, ax3, ay3)
-        g2x = blend(p2_gx, ax3, ay3)
-        g2y = blend(p2_gy, ax3, ay3)
+        w2p = blend(extract3(dr, dc), ax3, ay3)  # packed [fc, wh, 3phs]
 
         if lighting:
+            w2 = w2p[:, :, 0:ww]
+            g2x = w2p[:, :, phs:phs + ww]
+            g2y = w2p[:, :, 2 * phs:2 * phs + ww]
             alpha, beta = li_alpha_beta(w1, w2)
             diff = w1 - w2 * alpha - beta
             gx = g1x + alpha * g2x
             gy = g1y + alpha * g2y
         else:
-            diff = w1 - w2
-            gx = g1x + g2x
-            gy = g1y + g2y
+            comb = w1p + signs * w2p             # [diff | gx | gy]
+            diff = comb[:, :, 0:ww]
+            gx = comb[:, :, phs:phs + ww]
+            gy = comb[:, :, 2 * phs:2 * phs + ww]
 
         gxx = sum2(gx * gx)
         ex = step_factor * sum2(diff * gx)
@@ -495,8 +506,9 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
     drf, dcf, axf, ayf = patch_offsets(x2, y2, row02, col02)
     stale = stale | (act & ~corridor_ok(drf, dcf))
     drf, dcf = clampdd(drf, dcf)
-    (p2f,) = extract3(drf, dcf, sections=(0,))
-    w2f = blend(p2f, axf.reshape(fc, 1, 1), ayf.reshape(fc, 1, 1))
+    w2f = blend(extract3(drf, dcf, sections=(0,)),
+                axf.reshape(fc, 1, 1),
+                ayf.reshape(fc, 1, 1))[:, :, 0:ww]
     if lighting:
         alpha, beta = li_alpha_beta(w1, w2f)
         rdiff = w1 - w2f * alpha - beta
@@ -624,9 +636,9 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
     blk_shape = ((rb, 3 * _CB) if shared_blocks
                  else (fc, rb, 3 * _CB))
     tmp_shape = (rb, 128) if shared_blocks else (fc, rb, 128)
-    scratch = ([pltpu.VMEM(blk_shape, jnp.float32),
-                pltpu.VMEM(tmp_shape, jnp.float32)] +
-               [pltpu.VMEM((fc, phs, phs), jnp.float32)] * 3)
+    scratch = [pltpu.VMEM(blk_shape, jnp.float32),
+               pltpu.VMEM(tmp_shape, jnp.float32),
+               pltpu.VMEM((fc, phs, 3 * phs), jnp.float32)]
     if hbm:
         scratch.append(pltpu.SemaphoreType.DMA((fc, 1)))
     out = pl.pallas_call(
