@@ -52,6 +52,14 @@ stages = [
     ("config1_two_frame_demo_s",
      lambda: round(bench.bench_two_frame_demo(), 4)),
 ]
+
+
+def _config5_e2e():
+    from pyfeaturetrack_tpu.utils.synthscene import run_vo_on_corridor
+    return run_vo_on_corridor(n_frames=100, kf_every=3, n_features=100)
+
+
+stages.append(("config5_e2e_corridor", _config5_e2e))
 for key, fn in stages:
     try:
         details[key] = fn()
@@ -99,6 +107,8 @@ trace_stages = [
     ("device_trace_config2", bench.bench_device_trace_config2),
     ("device_trace_config3", bench.bench_device_trace_config3),
     ("device_trace_config4", bench.bench_device_trace_config4),
+    ("device_trace_config4_bf16", bench.bench_device_trace_config4_bf16),
+    ("scaling_prediction_8dev", bench.bench_scaling_prediction),
     ("device_trace_flow_fused", bench.bench_device_trace_flow_fused),
 ]
 for key, fn in trace_stages:
@@ -108,6 +118,25 @@ for key, fn in trace_stages:
         details[key] = {"error": str(e)[-300:]}
     log(f"{key}: {details[key]}")
     flush(details)
+
+try:
+    from pyfeaturetrack_tpu.ops.pallas_affine_fused import \
+        bench_fused_affine
+    r = bench_fused_affine(device_trace=True)
+    fd, xd = r["pallas_fused_device"], r["xla_batch_device"]
+    details["device_trace_fused_affine"] = {
+        "fused_per_call_ms": fd["per_call_ms"],
+        "fused_ops": fd["ops_per_call"],
+        "xla_per_call_ms": xd["per_call_ms"],
+        "xla_ops": xd["ops_per_call"],
+        "speedup": (round(xd["per_call_ms"] / fd["per_call_ms"], 2)
+                    if fd["per_call_ms"] else None),
+        "note": "mode-2 affine batch, 1000 feat 480x640; "
+                "profiler device lane (ROOFLINE.md §0)"}
+except Exception as e:
+    details["device_trace_fused_affine"] = {"error": str(e)[-300:]}
+log(f"fused affine: {details['device_trace_fused_affine']}")
+flush(details)
 
 try:
     from pyfeaturetrack_tpu.ops.pallas_affine_vec import bench_vec_affine
