@@ -156,11 +156,14 @@ def bench_device_trace_fused(timeout_s=560):
     """bench_device_trace with the fused Pallas LK level kernel +
     Pallas pyramid enabled (PFT_PALLAS_LK=1 PFT_PALLAS=1) — run in a
     subprocess because the env knobs are read at trace time and this
-    process's jit caches already hold the XLA paths. The honest-clock
-    headline for op-count-taxed backends (ops/pallas_lk_fused.py)."""
+    process's jit caches already hold the XLA paths. Measures the
+    SERIAL fused kernel (ops/pallas_lk_fused.py) explicitly:
+    PFT_PALLAS_LK=1 routes to the vec kernel since round 3, so this
+    lane pins lk_mode=fused to keep the serial kernel's clock in the
+    artifact (it is the dense-flow/1-D workhorse)."""
     return _trace_subprocess(
         "--device-trace-only",
-        {"PFT_PALLAS_LK": "1", "PFT_PALLAS": "1"}, timeout_s)
+        {"PFT_PALLAS_LK": "fused", "PFT_PALLAS": "1"}, timeout_s)
 
 
 def bench_device_trace_vec(timeout_s=560):
@@ -219,7 +222,7 @@ def bench_config2_trace(h=480, w=640, n_features=1000, n_calls=6):
                     "profiler device lane (ROOFLINE.md §0)"}
 
 
-def bench_config3_trace(h=480, w=640, n_features=1000, n_calls=4):
+def bench_config3_trace(h=480, w=640, n_features=1000, n_calls=16):
     """Honest device clock for the config-3 FULL affine frame step
     (translation track + mode-2 affine consistency). Respects the
     PFT_PALLAS_* knobs at trace time."""
@@ -242,8 +245,12 @@ def bench_config3_trace(h=480, w=640, n_features=1000, n_calls=4):
         y=jnp.asarray(rng.uniform(40, h - 40, n), jnp.float32),
         val=jnp.zeros((n,), jnp.int32))
     state = {"fl": fl, "cache": None, "i": 0}
-    # warm both frames' jit paths (template capture + steady state)
-    for _ in range(2):
+    # warm both frames' jit paths (template capture + steady state);
+    # then trace a LONG window: the affine reject->refill->recapture
+    # cascade is threshold-sensitive, so short windows sample wildly
+    # different per-frame op mixes (measured 101-304 ops/frame across
+    # 8-call windows)
+    for _ in range(4):
         state["fl"], state["cache"] = KLTTrackFeatures(
             cfg, frames[state["i"] % 4], frames[(state["i"] + 1) % 4],
             state["fl"], pyramid_last=state["cache"])

@@ -50,12 +50,19 @@ from ..features import KLT_LARGE_RESIDUE, KLT_OOB, KLT_SMALL_DET, KLT_TRACKED
 
 _ONE_PLUS_EPS = 1.001  # ops/affine._ONE_PLUS_EPS (warp bound check)
 _VMEM_BUDGET = 12 * 1024 * 1024
-_FC = 32               # features per tile (scanned 8/16/32 on-chip:
-                       # 0.37/0.31/0.28 us per feature-iteration — the
-                       # sampling dot is MXU-throughput-bound, fc=32
-                       # amortizes the fixed per-tile phases best while
-                       # the VMEM gate still clears at 480p;
-                       # experiments/probe_affine_vec_phases.py)
+_FC = 16               # features per tile. Scanned 8/16/32 on-chip at
+                       # FORCED full iterations: 0.37/0.31/0.28 us per
+                       # feature-iteration (fc=32 amortizes fixed
+                       # phases best; probe_affine_vec_phases). But the
+                       # early-exit loop runs each tile to its SLOWEST
+                       # lane, and in the sequential config-3 step
+                       # (carried warps, most lanes converge in 1-3
+                       # GN iterations) the straggler waste of 32-lane
+                       # tiles outweighs the amortization — measured
+                       # 2026-08-20: full step 3.97 ms at fc=32 vs
+                       # 1.0-1.6 ms at fc=16 on the same 8-call
+                       # window. fc=16 also clears the VMEM gate with
+                       # margin.
 _XPAD = 8              # footprint left edge lands at this lane
 
 
