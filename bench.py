@@ -434,6 +434,15 @@ def bench_device_trace_flow_fused(timeout_s=560):
                              {"PFT_PALLAS_LK": "1"}, timeout_s)
 
 
+def bench_device_trace_flow_vec(timeout_s=900):
+    """bench_flow_trace with the feature-vectorized kernel in
+    shared-block dense mode (PFT_PALLAS_LK=vec routes every pixel
+    through ops/pallas_lk_vec with per-tile shared blocks) — the best
+    dense-flow honest clock (~307 ms/pair at 480x640, r3)."""
+    return _trace_subprocess("--flow-trace-only",
+                             {"PFT_PALLAS_LK": "vec"}, timeout_s)
+
+
 def bench_e2e_result(h=480, w=640, n_features=1000, n_frames=12):
     """Time-to-first-result rate: dependent frame-step chain, ONE scalar
     pull at the end. This is what a caller who needs the answers gets on
@@ -1190,6 +1199,14 @@ def main():
         except Exception as e:
             details["device_trace_flow_fused"] = {"error": str(e)}
             log(f"fused dense-flow device trace failed: {e}")
+        try:
+            details["device_trace_flow_vec"] = \
+                bench_device_trace_flow_vec()
+            log("vec dense-flow device trace done: "
+                f"{details['device_trace_flow_vec']}")
+        except Exception as e:
+            details["device_trace_flow_vec"] = {"error": str(e)}
+            log(f"vec dense-flow device trace failed: {e}")
         if args.scaling:
             from pyfeaturetrack_tpu.parallel.scaling import measure_scaling
             sc = measure_scaling()
