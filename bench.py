@@ -373,6 +373,16 @@ def bench_device_trace_config4(timeout_s=560):
         {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1"}, timeout_s)
 
 
+def bench_e2e_result_vec(timeout_s=900):
+    """Time-to-first-result rate WITH the Pallas lanes on — what a
+    caller who needs the answers gets from the fast path on this rig
+    (the plain e2e_result_fps entry measures the XLA default path).
+    Subprocess for the trace-time env knobs."""
+    return _trace_subprocess(
+        "--e2e-result-only",
+        {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1"}, timeout_s)
+
+
 def bench_scaling_prediction(timeout_s=560):
     """HLO-based multi-device scaling prediction (parallel/scaling.
     predict_scaling_efficiency) on an 8-device VIRTUAL CPU mesh — the
@@ -899,6 +909,8 @@ def main():
                     help=argparse.SUPPRESS)  # bench_device_trace_config4_bf16
     ap.add_argument("--scaling-predict-only", action="store_true",
                     help=argparse.SUPPRESS)  # bench_scaling_prediction
+    ap.add_argument("--e2e-result-only", action="store_true",
+                    help=argparse.SUPPRESS)  # bench_e2e_result_vec
     args = ap.parse_args()
     h, w = map(int, args.size.split("x"))
 
@@ -919,6 +931,10 @@ def main():
         return 0
     if args.config4_bf16_trace_only:
         print(json.dumps(bench_config4_trace(image_dtype="bfloat16")))
+        return 0
+    if args.e2e_result_only:
+        print(json.dumps({"e2e_result_fps": round(bench_e2e_result(),
+                                                  3)}))
         return 0
     if args.scaling_predict_only:
         # the axon sitecustomize force-registers the TPU backend at
@@ -1110,6 +1126,12 @@ def main():
             log(f"device trace failed: {e}")
         details["e2e_result_fps"] = round(bench_e2e_result(), 3)
         log(f"e2e-to-result done: {details['e2e_result_fps']} fps")
+        try:
+            details["e2e_result_fps_vec"] = bench_e2e_result_vec()
+            log(f"e2e-to-result vec done: {details['e2e_result_fps_vec']}")
+        except Exception as e:
+            details["e2e_result_fps_vec"] = {"error": str(e)}
+            log(f"e2e-to-result vec failed: {e}")
         try:
             details["device_trace_fused_lk"] = bench_device_trace_fused()
             log("fused-LK device trace done: "
