@@ -373,6 +373,63 @@ def bench_device_trace_config4(timeout_s=560):
         {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1"}, timeout_s)
 
 
+def bench_serving_tick_trace(h=480, w=640, n_features=1000,
+                             n_streams=8, chain=8, n_calls=3):
+    """Honest device clock for ONE batched serving tick: 8 lockstep
+    streams advanced ``chain`` frames in one program, replace-lost ON
+    (serving._step_batch — the shape behind the aggregate-fps serving
+    claims). Aggregate honest fps = n_streams*chain / per-tick time.
+    Respects the PFT_PALLAS_* knobs at trace time."""
+    import jax
+    import jax.numpy as jnp
+    from pyfeaturetrack_tpu.config import create_config
+    from pyfeaturetrack_tpu.serving import _select_batch, _step_batch
+    from pyfeaturetrack_tpu.utils.traceview import capture_device_trace
+
+    cfg = create_config().replace(sequentialMode=True).validated_window()
+    bases = [np.floor(_textured(h, w, seed=10 + b)[:h, :w])
+             for b in range(n_streams)]
+    ticks = [jnp.asarray(np.stack([np.roll(bases[b], 2 * i, axis=1)
+                                   for b in range(n_streams)]
+                                  ).astype(np.float32))
+             for i in range(chain)]
+    pyr, x, y, val, aff, _ = _select_batch(ticks[0], cfg, n_features,
+                                           512)
+    out = _step_batch(pyr, tuple(ticks), x, y, val, cfg, True, 512,
+                      aff, n_steps=chain)
+    jax.block_until_ready(out[2])
+
+    def one():
+        o = _step_batch(pyr, tuple(ticks), x, y, val, cfg, True, 512,
+                        aff, n_steps=chain)
+        return o[2]
+
+    r = capture_device_trace(one, n_calls=n_calls)
+    frames = n_streams * chain
+    import os
+    return {"per_tick_device_ms": r["per_call_ms"],
+            "frames_per_tick": frames,
+            "aggregate_device_fps": (round(
+                frames * 1e3 / r["per_call_ms"], 2)
+                if r["per_call_ms"] else None),
+            "ops_per_tick": r["ops_per_call"],
+            "lanes": {k: os.environ.get(k, "") for k in
+                      ("PFT_PALLAS_LK", "PFT_PALLAS",
+                       "PFT_PALLAS_SELECT")},
+            "note": "8 streams x chain-8 lockstep tick, replace-lost "
+                    "ON; profiler device lane (ROOFLINE.md §0) — the "
+                    "honest counterpart of the dispatch-rate serving "
+                    "claims"}
+
+
+def bench_device_trace_serving(timeout_s=1200):
+    """No Pallas knobs: the batched serving path vmaps the per-stream
+    body, and pallas_call does not support the vmapped SMEM blockspecs
+    (measured: Mosaic rejects the batched [B, chunk] scalar block) —
+    the XLA gather path IS the batched lane's production path."""
+    return _trace_subprocess("--serving-trace-only", {}, timeout_s)
+
+
 def bench_e2e_result_vec(timeout_s=900):
     """Time-to-first-result rate WITH the Pallas lanes on — what a
     caller who needs the answers gets from the fast path on this rig
@@ -911,6 +968,8 @@ def main():
                     help=argparse.SUPPRESS)  # bench_scaling_prediction
     ap.add_argument("--e2e-result-only", action="store_true",
                     help=argparse.SUPPRESS)  # bench_e2e_result_vec
+    ap.add_argument("--serving-trace-only", action="store_true",
+                    help=argparse.SUPPRESS)  # bench_device_trace_serving
     args = ap.parse_args()
     h, w = map(int, args.size.split("x"))
 
@@ -931,6 +990,9 @@ def main():
         return 0
     if args.config4_bf16_trace_only:
         print(json.dumps(bench_config4_trace(image_dtype="bfloat16")))
+        return 0
+    if args.serving_trace_only:
+        print(json.dumps(bench_serving_tick_trace()))
         return 0
     if args.e2e_result_only:
         print(json.dumps({"e2e_result_fps": round(bench_e2e_result(),
@@ -1126,6 +1188,14 @@ def main():
             log(f"device trace failed: {e}")
         details["e2e_result_fps"] = round(bench_e2e_result(), 3)
         log(f"e2e-to-result done: {details['e2e_result_fps']} fps")
+        try:
+            details["device_trace_serving_tick"] = \
+                bench_device_trace_serving()
+            log("serving tick device trace done: "
+                f"{details['device_trace_serving_tick']}")
+        except Exception as e:
+            details["device_trace_serving_tick"] = {"error": str(e)}
+            log(f"serving tick device trace failed: {e}")
         try:
             details["e2e_result_fps_vec"] = bench_e2e_result_vec()
             log(f"e2e-to-result vec done: {details['e2e_result_fps_vec']}")
