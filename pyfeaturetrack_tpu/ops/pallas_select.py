@@ -170,6 +170,18 @@ def greedy_suppress_pallas(cand_x: jax.Array, cand_y: jax.Array,
     return out > 0
 
 
+# ---------------------------------------------------------------------
+# Serial-extraction greedy (round 4): the refill lane's one-op form of
+# selectGoodFeatures.py -> _KLTSelectGoodFeatures + _sortPointList +
+# _enforceMinimumDistance composed — instead of sort-then-scan, extract
+# candidates in value order directly from the map (argmax with the
+# sort's stable row-major tie-break) and stamp the mindist box like
+# _fillFeaturemap. Greedy never consults rejected candidates, so
+# stamping only accepted ones reproduces the reference acceptance
+# sequence exactly over the FULL candidate pool (no top-K prefix).
+# ---------------------------------------------------------------------
+
+
 def extract_available(grid_shape) -> bool:
     """greedy_extract_pallas VMEM gate: the padded candidate map must
     fit in VMEM once (input is donated to the stamped output, so only
@@ -248,7 +260,10 @@ def greedy_extract_pallas(cand: jax.Array, *, min_eig: int, dg: int,
     IS the host greedy's acceptance sequence over ALL candidates — so
     unlike the top-K path there is no exhaustion/divergence case.
     ``dg`` is the stamp radius in lattice steps ((mindist-1)//step,
-    min 0: a candidate always excludes at least its own cell)."""
+    min 0: a candidate always excludes at least its own cell).
+    ``budget`` must be <= max_out (in-repo callers pass the free-slot
+    count, bounded by the feature array length = max_out; acceptances
+    beyond the output capacity would be silently dropped)."""
     ny, nx = cand.shape
     hp = 8 * (-(-ny // 8))
     wp = 128 * (-(-nx // 128))
