@@ -123,7 +123,7 @@ def predict_scaling_efficiency(device_counts=None,
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from .sharding import FRAME_AXIS, FEATURE_AXIS, _track_pair_batch
+    from .sharding import FRAME_AXIS, _track_pair_batch
 
     if cfg is None:
         cfg = create_config()
