@@ -484,6 +484,12 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         return carry[1] > 0
 
     def lk_step(carry):
+        # NB a 2x-unrolled trip (lk_body(lk_body(c)) — exact, since
+        # every update is live-masked) was tried in round 4 to attack
+        # the per-trip floor and OOMs the Mosaic VMEM STACK at fc=32:
+        # the compiler keeps both evaluations' extraction transients
+        # live (21.2M vs the 16M scoped limit). Revisit only together
+        # with a transient-size reduction.
         tile = lk_body(carry[0])
         n = jnp.sum(tile[:, 4:5], axis=0, keepdims=True)
         return tile, n[0, 0].astype(jnp.int32)
