@@ -145,7 +145,8 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
                       ilv1_ref, ilv2_ref, out_ref,
                       blk3_ref, tmp_ref,
                       w1_ref, *dma_sem,
-                      fc: int, hw: int, hh: int, nrows: int, ncols: int,
+                      fc: int, unroll: int, hw: int, hh: int,
+                      nrows: int, ncols: int,
                       hp: int, wp: int, max_iterations: int,
                       min_displacement: float, min_determinant: float,
                       max_residue: float, step_factor: float,
@@ -484,13 +485,18 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         return carry[1] > 0
 
     def lk_step(carry):
-        # NB a 2x-unrolled trip (lk_body(lk_body(c)) — exact, since
-        # every update is live-masked) was tried in round 4 to attack
-        # the per-trip floor and OOMs the Mosaic VMEM STACK at fc=32:
-        # the compiler keeps both evaluations' extraction transients
-        # live (21.2M vs the 16M scoped limit). Revisit only together
-        # with a transient-size reduction.
-        tile = lk_body(carry[0])
+        # ``unroll`` body evaluations per while trip — EXACT for any
+        # unroll: every update in lk_body is live-masked, so an
+        # evaluation past the last live lane is an identity; lanes
+        # self-freeze at max_iterations regardless of trip grouping.
+        # Attacks the measured per-TRIP floor (pipeline flush + the
+        # serialized liveness reduction — DESIGN.md §8). VMEM bound:
+        # the Mosaic stack holds every unrolled evaluation's extraction
+        # transients live (fc=32 x unroll=2 OOMs at 21.2M vs the 16M
+        # scoped limit), so deep unrolls need small fc.
+        tile = carry[0]
+        for _ in range(unroll):
+            tile = lk_body(tile)
         n = jnp.sum(tile[:, 4:5], axis=0, keepdims=True)
         return tile, n[0, 0].astype(jnp.int32)
 
@@ -536,12 +542,12 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "one_d",
                                              "fc", "force_hbm",
-                                             "shared_blocks"))
+                                             "shared_blocks", "unroll"))
 def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
                     cfg, active, *, interpret: bool = False,
                     one_d: bool = False, fc: int | None = None,
                     force_hbm: bool | None = None,
-                    shared_blocks: bool = False):
+                    shared_blocks: bool = False, unroll: int = 1):
     """Feature-vectorized fused LK level. Same contract as
     ops/pallas_lk_fused.fused_track_level plus a 5th return:
     (x2, y2, status, iteration, stale) — ``stale`` lanes drifted
@@ -617,7 +623,8 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
            else 6 * hp * wp * 4 > _VMEM_BUDGET)
 
     kernel = functools.partial(
-        _vec_level_kernel, fc=fc, hw=hw, hh=hh, nrows=nrows,
+        _vec_level_kernel, fc=fc, unroll=unroll, hw=hw, hh=hh,
+        nrows=nrows,
         ncols=ncols, hp=hp, wp=wp, max_iterations=cfg.max_iterations,
         min_displacement=cfg.min_displacement,
         min_determinant=cfg.min_determinant,
