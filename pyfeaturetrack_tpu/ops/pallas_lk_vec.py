@@ -69,7 +69,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..features import (KLT_LARGE_RESIDUE, KLT_MAX_ITERATIONS, KLT_OOB,
                         KLT_SMALL_DET, KLT_TRACKED)
 
-_CB = 256              # lane width of each feature's block
+_CB = 256              # lane width of each feature's block; deinterleave
+                       # hard-codes two tile-triplets per block (see the
+                       # static assert at deinterleave_tile)
 _ONE_PLUS_EPS = 1.001  # ops/track._ONE_PLUS_EPS (reference bound check)
 _VMEM_BUDGET = 10 * 1024 * 1024   # images only; scratch/stack headroom
 _FC = 32               # features per tile (VMEM-stack bound; tuned)
@@ -100,6 +102,13 @@ def _window_fits(shape, cfg) -> bool:
     nrows, ncols = shape
     ww, wh = cfg.window_width, cfg.window_height
     if ww + 2 > _CB - 192 or wh + 2 > _rb(wh):
+        return False
+    # The packed patch bundle allots _phs(wh) LANES per section but the
+    # blend reads ww+1 columns (the +1-shift tap); an asymmetric window
+    # with ww + 1 > _phs(wh) would silently read across the section
+    # boundary (ADVICE r4). Such configs fall back to the serial/XLA
+    # path, which has no packed layout.
+    if ww + 1 > _phs(wh):
         return False
     return nrows >= wh + 2 and ncols >= ww + 2
 
@@ -288,6 +297,10 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         done in-place with one temp — 5 STATIC vectorized lane-section
         copies per tile (vs 2*fc extra dynamic copies if the fetch
         pulled the planes separately)."""
+        # the 6-slot permutation below is only correct for exactly two
+        # tile-triplets per block; retuning _CB must rewrite it (ADVICE
+        # r4 — fetch width scales with _CB but this permutation doesn't)
+        assert _CB == 256, "deinterleave_tile hard-codes _CB == 256"
         def s(k):
             sl = slice(128 * k, 128 * (k + 1))
             return (slice(None), sl) if shared else \

@@ -341,6 +341,46 @@ def test_vec_hbm_gate_and_stale_fallback_beyond_fused():
     _assert_matches(cfg, lvl, x, y, act)
 
 
+def test_vec_gate_rejects_window_wider_than_patch_slot(monkeypatch):
+    """ADVICE r4 (medium): an asymmetric window with
+    ww + 1 > _phs(wh) (e.g. 9x7 -> patch slot 8 lanes/section) would
+    silently read across the packed bundle's section boundary. The
+    availability gate must reject it so the dispatcher falls back to
+    the XLA path — end-to-end results must equal the no-Pallas run
+    bitwise."""
+    from pyfeaturetrack_tpu.ops.pallas_lk_vec import (
+        _phs, vec_level_available_hbm)
+    from pyfeaturetrack_tpu.ops.track import (build_track_pyramids,
+                                              track_features_pyramids)
+    cfg = create_config().replace(window_width=9, window_height=7)
+    assert cfg.window_width + 1 > _phs(cfg.window_height)
+    assert not vec_level_available((120, 160), cfg)
+    assert not vec_level_available_hbm((120, 160), cfg)
+    # a taller-than-wide window still fits (slot 16 >= 7+1) — the gate
+    # must not over-reject
+    cfg_tall = create_config().replace(window_width=7, window_height=9)
+    assert vec_level_available((120, 160), cfg_tall)
+
+    h, w, n = 120, 160, 32
+    img1, img2 = _level_inputs(h, w, seed=31)
+    build = jax.jit(build_track_pyramids, static_argnames=("cfg",))
+    p1, p2 = build(img1, cfg), build(img2, cfg)
+    rng = np.random.default_rng(32)
+    x = jnp.asarray(rng.uniform(cfg.borderx + 1, w - cfg.borderx - 2, n),
+                    jnp.float32)
+    y = jnp.asarray(rng.uniform(cfg.bordery + 1, h - cfg.bordery - 2, n),
+                    jnp.float32)
+    val = jnp.ones((n,), jnp.int32)
+    monkeypatch.delenv("PFT_PALLAS_LK", raising=False)
+    ref = track_features_pyramids(p1, p2, x, y, val, cfg)
+    monkeypatch.setenv("PFT_PALLAS_LK", "vec")
+    vec_fn = jax.jit(functools.partial(
+        track_features_pyramids.__wrapped__, cfg=cfg))
+    got = vec_fn(p1, p2, x, y, val)
+    for u, v in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
 def test_vec_bf16_storage_matches_xla_bf16(monkeypatch):
     """bf16 image storage through the vec lane == the XLA bf16 path:
     both upcast the stored bf16 arrays to f32 before sampling (the vec
