@@ -114,12 +114,13 @@ def bench_device_trace(h=480, w=640, n_features=1000, n_calls=8):
     from pyfeaturetrack_tpu.utils.traceview import capture_device_trace
 
     cfg = create_config()
+    from pyfeaturetrack_tpu.ops.track import track_features_pyramids_carry
 
     @jax.jit
-    def frame_step(pyr_prev, img_new, x, y, val):
+    def frame_step(pyr_prev, img_new, x, y, val, carry):
         pyr_new = build_track_pyramids(img_new, cfg)
-        return pyr_new, track_features_pyramids(pyr_prev, pyr_new, x, y,
-                                                val, cfg)
+        return pyr_new, track_features_pyramids_carry(
+            pyr_prev, pyr_new, x, y, val, cfg, carry=carry)
 
     base = _textured(h, w)
     frames = [jnp.asarray(base[i:i + h, i:i + w], jnp.float32)
@@ -132,16 +133,27 @@ def bench_device_trace(h=480, w=640, n_features=1000, n_calls=8):
     val = jnp.ones((n_features,), jnp.int32)
     pyr = jax.jit(build_track_pyramids, static_argnames=("cfg",))(
         frames[0], cfg)
-    p2, out = frame_step(pyr, frames[1], x, y, val)
-    jax.block_until_ready(out)
-
-    state = {"cur": pyr, "i": 0}
+    # sequential harness (round 5): positions ADVANCE frame to frame —
+    # the reference's sequentialMode shape, and what lets the level-0
+    # window carry engage. Dead lanes stay dead (no replacement in the
+    # headline config); the warm loop below reaches the steady state.
+    state = {"cur": pyr, "x": x, "y": y, "val": val, "carry": None,
+             "i": 0}
 
     def one():
-        state["i"] += 1
-        state["cur"], o = frame_step(state["cur"],
-                                     frames[state["i"] % 4], x, y, val)
-        return o
+        s = state
+        s["i"] += 1
+        s["cur"], (nx, ny, nv, carry) = frame_step(
+            s["cur"], frames[s["i"] % 4], s["x"], s["y"], s["val"],
+            s["carry"])
+        # lost lanes hold -1 sentinels; keep tracking the live ones
+        # (reference sequential semantics)
+        s["x"], s["y"], s["val"], s["carry"] = nx, ny, nv, carry
+        return nv
+
+    for _ in range(3):   # warm both carry structures (None + TrackCarry)
+        one()
+    jax.block_until_ready(state["val"])
 
     r = capture_device_trace(one, n_calls=n_calls)
     return {"per_frame_device_ms": r["per_call_ms"],
@@ -149,7 +161,8 @@ def bench_device_trace(h=480, w=640, n_features=1000, n_calls=8):
             "device_fps": (round(1e3 / r["per_call_ms"], 2)
                            if r["per_call_ms"] else None),
             "note": "profiler device lane; relay executes modules "
-                    "op-by-op (ROOFLINE.md §0)"}
+                    "op-by-op (ROOFLINE.md §0); sequential harness "
+                    "(positions advance; level-0 window carry active)"}
 
 
 def bench_device_trace_fused(timeout_s=560):
@@ -195,17 +208,20 @@ def bench_config2_trace(h=480, w=640, n_features=1000, n_calls=6):
            for i in range(16)]
     frames = cyc + cyc[-2:0:-1]
     pyr, x, y, val, _, _ = select_step_device(frames[0], cfg, n_features)
+    carry = None
     for i in range(1, 3):
-        pyr, x, y, val, *_ = sequence_step_device(
-            pyr, frames[i], x, y, val, cfg, True)
+        pyr, x, y, val, _, _, carry = sequence_step_device(
+            pyr, frames[i], x, y, val, cfg, True, carry=carry)
     jax.block_until_ready(val)
-    state = {"pyr": pyr, "x": x, "y": y, "val": val, "i": 3}
+    state = {"pyr": pyr, "x": x, "y": y, "val": val, "carry": carry,
+             "i": 3}
 
     def one():
         s = state
-        s["pyr"], s["x"], s["y"], s["val"], *_ = sequence_step_device(
+        (s["pyr"], s["x"], s["y"], s["val"], _, _,
+         s["carry"]) = sequence_step_device(
             s["pyr"], frames[s["i"] % len(frames)], s["x"], s["y"],
-            s["val"], cfg, True)
+            s["val"], cfg, True, carry=s["carry"])
         s["i"] += 1
         return s["val"]
 
@@ -244,23 +260,25 @@ def bench_config3_trace(h=480, w=640, n_features=1000, n_calls=16):
         x=jnp.asarray(rng.uniform(40, w - 40, n), jnp.float32),
         y=jnp.asarray(rng.uniform(40, h - 40, n), jnp.float32),
         val=jnp.zeros((n,), jnp.int32))
-    state = {"fl": fl, "cache": None, "i": 0}
+    state = {"fl": fl, "cache": None, "carry": None, "i": 0}
     # warm both frames' jit paths (template capture + steady state);
     # then trace a LONG window: the affine reject->refill->recapture
     # cascade is threshold-sensitive, so short windows sample wildly
     # different per-frame op mixes (measured 101-304 ops/frame across
     # 8-call windows)
     for _ in range(4):
-        state["fl"], state["cache"] = KLTTrackFeatures(
+        state["fl"], state["cache"], state["carry"] = KLTTrackFeatures(
             cfg, frames[state["i"] % 4], frames[(state["i"] + 1) % 4],
-            state["fl"], pyramid_last=state["cache"])
+            state["fl"], pyramid_last=state["cache"],
+            carry_last=state["carry"], return_carry=True)
         state["i"] += 1
     jax.block_until_ready(state["fl"].x)
 
     def one():
-        state["fl"], state["cache"] = KLTTrackFeatures(
+        state["fl"], state["cache"], state["carry"] = KLTTrackFeatures(
             cfg, frames[state["i"] % 4], frames[(state["i"] + 1) % 4],
-            state["fl"], pyramid_last=state["cache"])
+            state["fl"], pyramid_last=state["cache"],
+            carry_last=state["carry"], return_carry=True)
         state["i"] += 1
         return state["fl"].x
 
@@ -293,12 +311,13 @@ def bench_config4_trace(h=1088, w=1920, n_features=4096, n_calls=3,
 
     cfg = create_config().replace(nPyramidLevels=4, subsampling=2,
                                   image_dtype=image_dtype)
+    from pyfeaturetrack_tpu.ops.track import track_features_pyramids_carry
 
     @jax.jit
-    def frame_step(pyr_prev, img_new, x, y, val):
+    def frame_step(pyr_prev, img_new, x, y, val, carry):
         pyr_new = build_track_pyramids(img_new, cfg)
-        return pyr_new, track_features_pyramids(pyr_prev, pyr_new, x, y,
-                                                val, cfg)
+        return pyr_new, track_features_pyramids_carry(
+            pyr_prev, pyr_new, x, y, val, cfg, carry=carry)
 
     base = _textured(h, w)
     frames = [jnp.asarray(base[i:i + h, i:i + w], jnp.float32)
@@ -311,15 +330,23 @@ def bench_config4_trace(h=1088, w=1920, n_features=4096, n_calls=3,
     val = jnp.ones((n_features,), jnp.int32)
     pyr = jax.jit(build_track_pyramids, static_argnames=("cfg",))(
         frames[0], cfg)
-    p2, out = frame_step(pyr, frames[1], x, y, val)
-    jax.block_until_ready(out)
-    state = {"cur": pyr, "i": 0}
+    # sequential harness (round 5, same shape as bench_device_trace):
+    # positions advance; the level-0 window carry engages
+    state = {"cur": pyr, "x": x, "y": y, "val": val, "carry": None,
+             "i": 0}
 
     def one():
-        state["i"] += 1
-        state["cur"], o = frame_step(state["cur"],
-                                     frames[state["i"] % 3], x, y, val)
-        return o
+        s = state
+        s["i"] += 1
+        s["cur"], (nx, ny, nv, carry) = frame_step(
+            s["cur"], frames[s["i"] % 3], s["x"], s["y"], s["val"],
+            s["carry"])
+        s["x"], s["y"], s["val"], s["carry"] = nx, ny, nv, carry
+        return nv
+
+    for _ in range(2):
+        one()
+    jax.block_until_ready(state["val"])
 
     r = capture_device_trace(one, n_calls=n_calls)
     import os
@@ -577,7 +604,7 @@ def bench_sequence_replace(h=480, w=640, n_features=1000, n_frames=48,
                 pyr, frames[i % len(frames)], x, y, val, cfg, True)
             return out[0], out[1], out[2], out[3]
         imgs = tuple(frames[(i + j) % len(frames)] for j in range(chain))
-        pyr, _, (fx, fy, fv), _, _ = sequence_chain_device(
+        pyr, _, (fx, fy, fv), _, _, _ = sequence_chain_device(
             pyr, imgs, x, y, val, cfg, True)
         return pyr, fx, fy, fv
 

@@ -76,17 +76,22 @@ def select_step_device(img: jax.Array, cfg, n_features: int,
 def _sequence_step_body(pyr_prev: TrackPyramids, img_new: jax.Array,
                         x: jax.Array, y: jax.Array, val: jax.Array,
                         cfg, replace_lost: bool,
-                        top_k: int, aff):
+                        top_k: int, aff, carry=None):
     """Traceable one-frame body shared by the per-step and micro-chained
-    drivers. Returns (pyr_new, x, y, val, aff, exhausted) — ``exhausted``
-    is True when a refill ran out of top-K candidates with free slots
-    left (the one case where the device path can fill fewer slots than
-    the host's full candidate scan; drivers surface it as a warning)."""
+    drivers. Returns (pyr_new, x, y, val, aff, exhausted, carry) —
+    ``exhausted`` is True when a refill ran out of top-K candidates with
+    free slots left (the one case where the device path can fill fewer
+    slots than the host's full candidate scan; drivers surface it as a
+    warning); ``carry`` is the level-0 sequential window carry
+    (ops/pallas_lk_vec.TrackCarry, None on non-vec paths) to pass back
+    next step alongside ``pyr_new``. Refilled lanes' new positions
+    auto-invalidate their carry entry (position-match validation)."""
     from ..features import FeatureState, reset_affine
+    from ..ops.track import track_features_pyramids_carry
     img_new = jnp.asarray(img_new, jnp.float32)
     pyr_new = build_track_pyramids(img_new, cfg)
-    nx, ny, nval = track_features_pyramids(pyr_prev, pyr_new, x, y, val,
-                                           cfg)
+    nx, ny, nval, carry = track_features_pyramids_carry(
+        pyr_prev, pyr_new, x, y, val, cfg, carry=carry)
 
     if cfg.affineConsistencyCheck >= 0:
         from ..ops.affine import affine_consistency_check
@@ -113,7 +118,7 @@ def _sequence_step_body(pyr_prev: TrackPyramids, img_new: jax.Array,
         nx, ny, nval, aff, exhausted = lax.cond(
             jnp.any(nval < 0), refill, lambda op: op,
             (nx, ny, nval, aff, exhausted))
-    return pyr_new, nx, ny, nval, aff, exhausted
+    return pyr_new, nx, ny, nval, aff, exhausted, carry
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "replace_lost",
@@ -121,12 +126,15 @@ def _sequence_step_body(pyr_prev: TrackPyramids, img_new: jax.Array,
 def sequence_step_device(pyr_prev: TrackPyramids, img_new: jax.Array,
                          x: jax.Array, y: jax.Array, val: jax.Array,
                          cfg, replace_lost: bool = True,
-                         top_k: int = DEFAULT_TOP_K, aff=None):
+                         top_k: int = DEFAULT_TOP_K, aff=None,
+                         carry=None):
     """One frame step: track into img_new, run the affine consistency
     stage when configured, then (conditionally) refill lost slots — all
-    device-side. Returns (pyr_new, x, y, val, aff, exhausted)."""
+    device-side. Returns (pyr_new, x, y, val, aff, exhausted, carry);
+    thread ``carry`` back with ``pyr_new`` for the level-0 sequential
+    window reuse (results are bitwise identical either way)."""
     return _sequence_step_body(pyr_prev, img_new, x, y, val, cfg,
-                               replace_lost, top_k, aff)
+                               replace_lost, top_k, aff, carry)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "replace_lost",
@@ -134,7 +142,8 @@ def sequence_step_device(pyr_prev: TrackPyramids, img_new: jax.Array,
 def sequence_chain_device(pyr_prev: TrackPyramids, imgs: tuple,
                           x: jax.Array, y: jax.Array, val: jax.Array,
                           cfg, replace_lost: bool = True,
-                          top_k: int = DEFAULT_TOP_K, aff=None):
+                          top_k: int = DEFAULT_TOP_K, aff=None,
+                          carry=None):
     """Micro-chained steps: advance len(imgs) frames in ONE program.
 
     Amortizes the per-dispatch floor (~40 us on relay rigs — see
@@ -152,14 +161,14 @@ def sequence_chain_device(pyr_prev: TrackPyramids, imgs: tuple,
     pyr = pyr_prev
     exhausted = jnp.asarray(False)
     for img in imgs:
-        pyr, x, y, val, aff, ex = _sequence_step_body(
-            pyr, img, x, y, val, cfg, replace_lost, top_k, aff)
+        pyr, x, y, val, aff, ex, carry = _sequence_step_body(
+            pyr, img, x, y, val, cfg, replace_lost, top_k, aff, carry)
         exhausted = exhausted | ex
         xs.append(x)
         ys.append(y)
         vs.append(val)
     hist = (jnp.stack(xs), jnp.stack(ys), jnp.stack(vs))
-    return pyr, hist, (x, y, val), aff, exhausted
+    return pyr, hist, (x, y, val), aff, exhausted, carry
 
 
 def warn_selection_exhausted(where: str, top_k: int) -> None:
@@ -216,18 +225,21 @@ def track_sequence_device(frames: Iterable, cfg: Optional[TrackerConfig]
     # history accumulates as whole device chunks ([k, N] per chain call,
     # [N] rows per single step) — concatenated once on host at the end
     chunks = [(x, y, val)]
+    carry = None
     i = 1
     while i < len(frames):
         k = len(frames) - i
         if chain > 1 and k >= chain:
-            pyr, hist, (x, y, val), aff, ex = sequence_chain_device(
-                pyr, tuple(dev(i + j) for j in range(chain)), x, y, val,
-                cfg, replace_lost, top_k, aff)
+            pyr, hist, (x, y, val), aff, ex, carry = \
+                sequence_chain_device(
+                    pyr, tuple(dev(i + j) for j in range(chain)), x, y,
+                    val, cfg, replace_lost, top_k, aff, carry)
             chunks.append(hist)
             i += chain
         else:
-            pyr, x, y, val, aff, ex = sequence_step_device(
-                pyr, dev(i), x, y, val, cfg, replace_lost, top_k, aff)
+            pyr, x, y, val, aff, ex, carry = sequence_step_device(
+                pyr, dev(i), x, y, val, cfg, replace_lost, top_k, aff,
+                carry)
             chunks.append((x, y, val))
             i += 1
         exhausted = exhausted | ex

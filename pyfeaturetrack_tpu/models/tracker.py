@@ -84,7 +84,8 @@ def KLTPrintTrackingContext(cfg: TrackerConfig) -> str:
 
 
 def KLTTrackFeatures(cfg: TrackerConfig, img1, img2, fl: FeatureState,
-                     pyramid_last: Optional[TrackPyramids] = None
+                     pyramid_last: Optional[TrackPyramids] = None,
+                     carry_last=None, return_carry: bool = False
                      ) -> tuple[FeatureState, TrackPyramids]:
     """Reference parity: trackFeatures.py -> KLTTrackFeatures.
 
@@ -92,6 +93,11 @@ def KLTTrackFeatures(cfg: TrackerConfig, img1, img2, fl: FeatureState,
     mutable context; here they are returned and passed back explicitly
     (``pyramid_last``). When ``cfg.affineConsistencyCheck >= 0`` the affine
     consistency stage runs after translational tracking.
+
+    ``carry_last``/``return_carry`` (beyond-reference, perf): thread the
+    level-0 sequential window carry (ops/pallas_lk_vec.TrackCarry)
+    alongside ``pyramid_last``; with ``return_carry`` the return gains a
+    third element. Results are bitwise identical either way.
     """
     from ..errors import KLTError
     # shape-only check: no np.asarray here (it would pull device arrays
@@ -105,10 +111,14 @@ def KLTTrackFeatures(cfg: TrackerConfig, img1, img2, fl: FeatureState,
     pyr1 = pyramid_last
     if pyr1 is None:
         pyr1 = build_track_pyramids_jit(stage_f32(img1), cfgv)
-    fl_after, pyr2 = track_features(img1, img2, fl, cfgv, pyr1=pyr1)
+    fl_after, pyr2, carry = track_features(img1, img2, fl, cfgv,
+                                           pyr1=pyr1, carry=carry_last,
+                                           return_carry=True)
     if cfgv.affineConsistencyCheck >= 0:
         from ..ops.affine import affine_consistency_check
         fl_after = affine_consistency_check(pyr1, pyr2, fl, fl_after, cfgv)
+    if return_carry:
+        return fl_after, pyr2, carry
     return fl_after, pyr2
 
 

@@ -399,18 +399,17 @@ def _affine_vec_kernel(row0s_ref, col0s_ref, rolls_ref, acts_ref,
     status = jnp.where(act, status, float(KLT_TRACKED))
     out_ref[pl.ds(0, fc)] = jnp.concatenate(
         [x, y, a11, a12, a21, a22, status,
-         (stale & act).astype(f32)], axis=1)
+         (stale & act).astype(f32), fin[:, 7:8],
+         jnp.zeros((fc, 7), f32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "fc"))
-def vec_affine_track_batch(tmpl, img2, gx2, gy2, x0, y0, A0, check,
-                           cfg, *, interpret: bool = False,
-                           fc: int | None = None):
-    """Feature-vectorized fused affine batch. Same contract as
-    pallas_affine_fused.fused_affine_track_batch minus the built-in
-    fallback: returns (x, y, A, status, stale) where ``stale`` lanes
-    drifted/grew outside their entry-state compact block and must be
-    recomputed (see vec_affine_with_fallback)."""
+def _vec_affine_raw(tmpl, img2, gx2, gy2, x0, y0, A0, check,
+                    cfg, *, interpret: bool = False,
+                    fc: int | None = None):
+    """Kernel invocation returning the raw [npad, 16] output tile
+    (cols: x, y, a11, a12, a21, a22, status, stale, nit, 0...). The
+    public wrappers below slice it."""
     mode = int(cfg.affineConsistencyCheck)
     hw, hh = cfg.affine_window_width // 2, cfg.affine_window_height // 2
     ww, wh = cfg.affine_window_width, cfg.affine_window_height
@@ -461,25 +460,53 @@ def vec_affine_track_batch(tmpl, img2, gx2, gy2, x0, y0, A0, check,
     out = pl.pallas_call(
         kernel,
         grid=(npad // fc,),
-        out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((npad, 16), jnp.float32),
         in_specs=[smem] * 4 + [vmem1] * 9
         + [pl.BlockSpec((fc, tt), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)]
         + [vimg] * 3,
-        out_specs=pl.BlockSpec((fc, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((fc, 16), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((fc, 3 * _rb_a(wh), _cw(ww)),
                                    jnp.float32)],
         interpret=interpret,
     )(row0p, col0p, rollp, actp, *vecs, tmpl2,
       padded(img2), padded(gx2), padded(gy2))
+    return out
 
+
+def vec_affine_track_batch(tmpl, img2, gx2, gy2, x0, y0, A0, check,
+                           cfg, *, interpret: bool = False,
+                           fc: int | None = None):
+    """Feature-vectorized fused affine batch. Same contract as
+    pallas_affine_fused.fused_affine_track_batch minus the built-in
+    fallback: returns (x, y, A, status, stale) where ``stale`` lanes
+    drifted/grew outside their entry-state compact block and must be
+    recomputed (see vec_affine_with_fallback)."""
+    n = x0.shape[0]
+    out = _vec_affine_raw(tmpl, img2, gx2, gy2, x0, y0, A0, check, cfg,
+                          interpret=interpret, fc=fc)
     x = out[:n, 0]
     y = out[:n, 1]
     A = out[:n, 2:6].reshape(n, 2, 2)
     status = out[:n, 6].astype(jnp.int32)
     stale = (out[:n, 7] > 0.0) & check
     return x, y, A, status, stale
+
+
+def vec_affine_track_batch_with_iters(tmpl, img2, gx2, gy2, x0, y0, A0,
+                                      check, cfg, *,
+                                      interpret: bool = False,
+                                      fc: int | None = None):
+    """Diagnostic variant returning (x, y, A, status, stale, nit) —
+    nit is each lane's Gauss-Newton iteration count (out col 8), used
+    by the straggler-waste probes (experiments/probe_affine_iters.py)."""
+    n = x0.shape[0]
+    out = _vec_affine_raw(tmpl, img2, gx2, gy2, x0, y0, A0, check, cfg,
+                          interpret=interpret, fc=fc)
+    return (out[:n, 0], out[:n, 1], out[:n, 2:6].reshape(n, 2, 2),
+            out[:n, 6].astype(jnp.int32), (out[:n, 7] > 0.0) & check,
+            out[:n, 8].astype(jnp.int32))
 
 
 def vec_affine_with_fallback(tmpl, img2, gx2, gy2, x0, y0, A0, check,

@@ -59,6 +59,7 @@ Mosaic constraints discovered on this rig and honored here
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +78,39 @@ _VMEM_BUDGET = 10 * 1024 * 1024   # images only; scratch/stack headroom
 _FC = 32               # features per tile (VMEM-stack bound; tuned)
 _SMEM_CHUNK = 2048     # scalar-array features per SMEM block (~1 MB
                        # SMEM total; dense flow sends H*W lanes here)
+
+
+class TrackCarry(NamedTuple):
+    """Sequential-mode frame-1 window carry (VERDICT r4 item 3).
+
+    In sequential mode, step t's frame-1 windows at (x1, y1) are
+    exactly step t-1's final-position frame-2 windows — the kernel's
+    post-loop extraction, widened to all three sections. Carrying them
+    skips the per-feature frame-1 block fetch + phase-1b extraction.
+
+    ``bundle``: [N, phs, 3*phs] packed (img | gx | gy) blended windows.
+    ``x``/``y``: the positions each lane's bundle was extracted at —
+    the next step validates ``ok & (x1 == x) & (y1 == y)`` per lane, so
+    replaced/edited features auto-invalidate. The IMAGE identity is the
+    caller's contract: pass a carry only alongside the matching
+    ``pyramid_last`` cache (same frame-2 -> frame-1 handoff).
+    ``ok``: lanes whose bundle is usable (active, not stale-fallback).
+    """
+    bundle: jax.Array
+    x: jax.Array
+    y: jax.Array
+    ok: jax.Array
+
+
+def empty_track_carry(n: int, cfg):
+    """Structure-stable 'no carry' value (ok all-False): jitted
+    sequential drivers thread this from their first step so the carried
+    pytree keeps one structure across the warm and steady frames."""
+    p = _phs(cfg.window_height)
+    return TrackCarry(bundle=jnp.zeros((n, p, 3 * p), jnp.float32),
+                      x=jnp.full((n,), -1e30, jnp.float32),
+                      y=jnp.full((n,), -1e30, jnp.float32),
+                      ok=jnp.zeros((n,), bool))
 
 
 def _rb(wh: int) -> int:
@@ -147,20 +181,35 @@ def _block_origins(x, y, *, hw, hh, hp, wp, rb):
     return row0, col0
 
 
-def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
-                      r1s_ref, c1s_ref, r2s_ref, c2s_ref,
-                      x1v_ref, y1v_ref, x2v_ref, y2v_ref, actv_ref,
-                      r1v_ref, c1v_ref, r2v_ref, c2v_ref,
-                      ilv1_ref, ilv2_ref, out_ref,
-                      blk3_ref, tmp_ref,
-                      w1_ref, *dma_sem,
+def _vec_level_kernel(*refs,
                       fc: int, unroll: int, hw: int, hh: int,
                       nrows: int, ncols: int,
                       hp: int, wp: int, max_iterations: int,
                       min_displacement: float, min_determinant: float,
                       max_residue: float, step_factor: float,
                       lighting: bool, one_d: bool, hbm: bool = False,
-                      shared: bool = False):
+                      shared: bool = False, carry: bool = False,
+                      emit: bool = False):
+    # positional refs vary with the ``carry``/``emit``/``hbm`` statics:
+    # SMEM scalars, [fc,1,1] vec copies, images, (carry bundle), out,
+    # (carry-out bundle), scratch, (dma semaphore)
+    it_refs = iter(refs)
+
+    def take(k):
+        return [next(it_refs) for _ in range(k)]
+
+    (x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref) = take(5)
+    carrs_ref = next(it_refs) if carry else None
+    (r1s_ref, c1s_ref, r2s_ref, c2s_ref) = take(4)
+    (x1v_ref, y1v_ref, x2v_ref, y2v_ref, actv_ref) = take(5)
+    carrv_ref = next(it_refs) if carry else None
+    (r1v_ref, c1v_ref, r2v_ref, c2v_ref) = take(4)
+    (ilv1_ref, ilv2_ref) = take(2)
+    w1in_ref = next(it_refs) if carry else None
+    out_ref = next(it_refs)
+    w1out_ref = next(it_refs) if emit else None
+    (blk3_ref, tmp_ref, w1_ref) = take(3)
+    dma_sem = take(1) if hbm else []
     ww = 2 * hw + 1
     wh = 2 * hh + 1
     rb = _rb(wh)
@@ -277,6 +326,17 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
 
     base = pl.program_id(1) * fc  # tile within the SMEM chunk
 
+    if carry:
+        # lanes whose frame-1 windows arrive via the carried bundle
+        # (sequential-mode reuse: step t's frame-1 windows ARE step
+        # t-1's final-position frame-2 windows) skip the serial fetch
+        # AND the phase-1b extraction; uncnt_s counts lanes that still
+        # need them (tile-wide skip when zero)
+        un0 = ((actv_ref[pl.ds(0, fc)].reshape(fc, 1) > 0.0) &
+               ~(carrv_ref[pl.ds(0, fc)].reshape(fc, 1) > 0.0))
+        uncnt_s = jnp.sum(un0.astype(jnp.float32), axis=0,
+                          keepdims=True)[0, 0]
+
     def _origin(f, rs_ref, cs_ref):
         # origins precomputed host-side (_block_origins), read as
         # scalars; alignment facts re-asserted for Mosaic
@@ -311,13 +371,21 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         blk3_ref[s(4)] = blk3_ref[s(2)]        # gy0  -> slot 4
         blk3_ref[s(2)] = tmp_ref[...]          # gx0  -> slot 2
 
-    def fetch_loop(ilv_ref, rs_ref, cs_ref):
+    def fetch_loop(ilv_ref, rs_ref, cs_ref, skip_carried=False):
         """ONE aligned [rb, 3*_CB] copy per feature (per tile when
         ``shared``) from the interleaved image: the img/gx/gy planes of
         the window neighbourhood arrive together — a third of the
         serial copies the plane-separate layout needed (the dominant
         phase of this kernel on the honest clock, VERDICT r3 item 1) —
-        then one whole-tile static de-interleave."""
+        then one whole-tile static de-interleave. With ``skip_carried``
+        (frame-1 fetch under the carry static), lanes whose windows
+        arrive via the carried bundle skip their copy/DMA."""
+        def _want(f):
+            w = acts_ref[base + f] > 0
+            if skip_carried:
+                w = w & (carrs_ref[base + f] == 0)
+            return w
+
         if shared and not hbm:
             # dense grids: adjacent lanes share their window
             # neighbourhood; origins are per-tile mins
@@ -337,7 +405,7 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
             return
         if not hbm:
             def body(f, c):
-                @pl.when(acts_ref[base + f] > 0)
+                @pl.when(_want(f))
                 def _():
                     row0, col0 = _origin(f, rs_ref, cs_ref)
                     blk3_ref[f] = ilv_ref[pl.ds(row0, rb),
@@ -359,13 +427,13 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
                 blk3_ref.at[f], dma_sem[0].at[f, 0])
 
         def start(f, c):
-            @pl.when(acts_ref[base + f] > 0)
+            @pl.when(_want(f))
             def _():
                 dma(f).start()
             return c
 
         def wait(f, c):
-            @pl.when(acts_ref[base + f] > 0)
+            @pl.when(_want(f))
             def _():
                 dma(f).wait()
             return c
@@ -374,7 +442,12 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
         lax.fori_loop(0, fc, wait, 0)
         deinterleave_tile()
 
-    fetch_loop(ilv1_ref, r1s_ref, c1s_ref)
+    if carry:
+        @pl.when(uncnt_s > 0.0)
+        def _():
+            fetch_loop(ilv1_ref, r1s_ref, c1s_ref, skip_carried=True)
+    else:
+        fetch_loop(ilv1_ref, r1s_ref, c1s_ref)
 
     # ---------- phase 1b: vectorized frame-1 window extraction ----------
 
@@ -386,13 +459,30 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
 
     row01 = r1v_ref[pl.ds(0, fc)].reshape(fc, 1).astype(jnp.int32)
     col01 = c1v_ref[pl.ds(0, fc)].reshape(fc, 1).astype(jnp.int32)
-    dr1, dc1, ax1, ay1 = patch_offsets(x1, y1, row01, col01)
-    dr1, dc1 = clampdd(dr1, dc1)
-    ax13 = ax1.reshape(fc, 1, 1)
-    ay13 = ay1.reshape(fc, 1, 1)
-    w1_ref[pl.ds(0, fc)] = jnp.pad(
-        blend(extract3(dr1, dc1), ax13, ay13),
-        ((0, 0), (0, phs - wh), (0, 0)))   # packed [fc, phs, 3*phs]
+
+    def extract_w1():
+        dr1, dc1, ax1, ay1 = patch_offsets(x1, y1, row01, col01)
+        dr1, dc1 = clampdd(dr1, dc1)
+        return jnp.pad(
+            blend(extract3(dr1, dc1), ax1.reshape(fc, 1, 1),
+                  ay1.reshape(fc, 1, 1)),
+            ((0, 0), (0, phs - wh), (0, 0)))  # packed [fc, phs, 3*phs]
+
+    if carry:
+        # carried lanes' bundles are BITWISE what extract_w1 would
+        # produce (the previous step's post-loop ran the same one-hot
+        # extraction + blend at the same positions on the same image);
+        # copy them in, then extract only if some active lane lacks one
+        w1_ref[pl.ds(0, fc)] = w1in_ref[pl.ds(0, fc)]
+
+        @pl.when(uncnt_s > 0.0)
+        def _():
+            carr3 = (carrv_ref[pl.ds(0, fc)].reshape(fc, 1) >
+                     0.0).reshape(fc, 1, 1)
+            w1_ref[pl.ds(0, fc)] = jnp.where(
+                carr3, w1_ref[pl.ds(0, fc)], extract_w1())
+    else:
+        w1_ref[pl.ds(0, fc)] = extract_w1()
 
     # ---------- phase 1c: serial frame-2 block fetch ---------------------
 
@@ -531,9 +621,17 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
     drf, dcf, axf, ayf = patch_offsets(x2, y2, row02, col02)
     stale = stale | (act & ~corridor_ok(drf, dcf))
     drf, dcf = clampdd(drf, dcf)
-    w2f = blend(extract3(drf, dcf, sections=(0,)),
-                axf.reshape(fc, 1, 1),
-                ayf.reshape(fc, 1, 1))[:, :, 0:ww]
+    # when emitting the sequential carry, the residue extraction widens
+    # to all three sections so the FULL final-position bundle (img, gx,
+    # gy) can ship to the next step as its frame-1 windows; section 0
+    # of the bundle equals the 1-section extraction bitwise (every
+    # element is a single one-hot-selected product)
+    pkf = blend(extract3(drf, dcf, sections=(0, 1, 2) if emit else (0,)),
+                axf.reshape(fc, 1, 1), ayf.reshape(fc, 1, 1))
+    w2f = pkf[:, :, 0:ww]
+    if emit:
+        w1out_ref[pl.ds(0, fc)] = jnp.pad(
+            pkf, ((0, 0), (0, phs - wh), (0, 0)))
     if lighting:
         alpha, beta = li_alpha_beta(w1, w2f)
         rdiff = w1 - w2f * alpha - beta
@@ -548,24 +646,35 @@ def _vec_level_kernel(x1s_ref, y1s_ref, x2s_ref, y2s_ref, acts_ref,
     status = jnp.where(tracked & (it >= float(max_iterations)),
                        float(KLT_MAX_ITERATIONS), status)
 
+    # col 5: carry-ok — this lane's emitted bundle was extracted at its
+    # final (x2, y2) by THIS kernel (stale lanes' final positions come
+    # from the fallback, so their bundles don't correspond)
     out_ref[pl.ds(0, fc)] = jnp.concatenate(
         [x2, y2, status, it, stale.astype(f32),
-         jnp.zeros((fc, 3), f32)], axis=1)
+         (act & ~stale).astype(f32), jnp.zeros((fc, 2), f32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "one_d",
                                              "fc", "force_hbm",
-                                             "shared_blocks", "unroll"))
+                                             "shared_blocks", "unroll",
+                                             "emit_carry"))
 def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
                     cfg, active, *, interpret: bool = False,
                     one_d: bool = False, fc: int | None = None,
                     force_hbm: bool | None = None,
-                    shared_blocks: bool = False, unroll: int = 1):
+                    shared_blocks: bool = False, unroll: int = 1,
+                    carry_in: TrackCarry | None = None,
+                    emit_carry: bool = False):
     """Feature-vectorized fused LK level. Same contract as
     ops/pallas_lk_fused.fused_track_level plus a 5th return:
     (x2, y2, status, iteration, stale) — ``stale`` lanes drifted
     outside their block corridor and must be recomputed (see
-    vec_track_level_with_fallback)."""
+    vec_track_level_with_fallback).
+
+    ``carry_in``/``emit_carry``: sequential-mode frame-1 window reuse
+    (see TrackCarry). With ``emit_carry`` a 6th return (the TrackCarry
+    for the next step) is appended. Results are bitwise independent of
+    the carry (carried bundles equal the extraction they replace)."""
     nrows, ncols = img1.shape
     hw, hh = cfg.window_width // 2, cfg.window_height // 2
     wh = cfg.window_height
@@ -599,7 +708,14 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
     chunk = _SMEM_CHUNK if n > _SMEM_CHUNK else -(-n // fc) * fc
     npad = -(-n // chunk) * chunk
     act = active.astype(jnp.int32)
+    use_carry = carry_in is not None
+    if (use_carry or emit_carry) and shared_blocks:
+        raise ValueError("carry is a sparse-mode feature")
     feats = (x1, y1, x2, y2, act)
+    if use_carry:
+        carr = (carry_in.ok & (x1 == carry_in.x) & (y1 == carry_in.y)
+                & active).astype(jnp.int32)
+        feats = feats + (carr,)
     if npad != n:
         feats = tuple(jnp.pad(a, (0, npad - n)) for a in feats)
 
@@ -624,9 +740,10 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
 
     r1o, c1o = origins(feats[0], feats[1])
     r2o, c2o = origins(feats[2], feats[3])
+    nscal = 6 if use_carry else 5
     feats = feats + (r1o, c1o, r2o, c2o)
     vecs = tuple(a.astype(jnp.float32).reshape(npad, 1, 1)
-                 for a in feats[:5] + (r1o, c1o, r2o, c2o))
+                 for a in feats[:nscal] + (r1o, c1o, r2o, c2o))
     tiles_per_chunk = chunk // fc
 
     # images beyond the VMEM budget stay in ANY memory; the kernel's
@@ -643,7 +760,7 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
         min_determinant=cfg.min_determinant,
         max_residue=cfg.max_residue, step_factor=cfg.step_factor,
         lighting=cfg.lighting_insensitive, one_d=one_d, hbm=hbm,
-        shared=shared_blocks)
+        shared=shared_blocks, carry=use_carry, emit=emit_carry)
 
     # SMEM blocks must be full-array or %128-sized: pass one `chunk`
     # of the scalar arrays per leading grid index; the kernel offsets
@@ -667,27 +784,52 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
                pltpu.VMEM((fc, phs, 3 * phs), jnp.float32)]
     if hbm:
         scratch.append(pltpu.SemaphoreType.DMA((fc, 1)))
-    out = pl.pallas_call(
+    bspec = pl.BlockSpec(
+        (fc, phs, 3 * phs),
+        lambda i, j, t=tiles_per_chunk: (i * t + j, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((npad, 8), jnp.float32)
+    out_spec = pl.BlockSpec(
+        (fc, 8), lambda i, j, t=tiles_per_chunk: (i * t + j, 0),
+        memory_space=pltpu.VMEM)
+    if emit_carry:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((npad, phs, 3 * phs),
+                                          jnp.float32))
+        out_spec = (out_spec, bspec)
+    args = [*feats, *vecs,
+            interleave(img1, gx1, gy1), interleave(img2, gx2, gy2)]
+    if use_carry:
+        cb = carry_in.bundle.astype(jnp.float32)
+        if npad != n:
+            cb = jnp.pad(cb, ((0, npad - n), (0, 0), (0, 0)))
+        args.append(cb)
+    res = pl.pallas_call(
         kernel,
         grid=(npad // chunk, tiles_per_chunk),
-        out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
-        in_specs=[smem] * 9 + [vmem1] * 9 + [vimg] * 2,
-        out_specs=pl.BlockSpec(
-            (fc, 8), lambda i, j, t=tiles_per_chunk: (i * t + j, 0),
-            memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        in_specs=([smem] * (nscal + 4) + [vmem1] * (nscal + 4)
+                  + [vimg] * 2 + ([bspec] if use_carry else [])),
+        out_specs=out_spec,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*feats, *vecs,
-      interleave(img1, gx1, gy1), interleave(img2, gx2, gy2))
-    return (out[:n, 0], out[:n, 1], out[:n, 2].astype(jnp.int32),
-            out[:n, 3].astype(jnp.int32), out[:n, 4] > 0.0)
+    )(*args)
+    out, w1next = res if emit_carry else (res, None)
+    ret = (out[:n, 0], out[:n, 1], out[:n, 2].astype(jnp.int32),
+           out[:n, 3].astype(jnp.int32), out[:n, 4] > 0.0)
+    if emit_carry:
+        ret = ret + (TrackCarry(bundle=w1next[:n], x=out[:n, 0],
+                                y=out[:n, 1], ok=out[:n, 5] > 0.0),)
+    return ret
 
 
 def vec_track_level_with_fallback(x1, y1, x2, y2, img1, gx1, gy1,
                                   img2, gx2, gy2, cfg, active, *,
                                   interpret: bool = False,
                                   one_d: bool = False,
-                                  shared_blocks: bool = False):
+                                  shared_blocks: bool = False,
+                                  carry_in: TrackCarry | None = None,
+                                  emit_carry: bool = False):
     """vec_track_level + exact recomputation of stale lanes.
 
     Drop-in replacement for fused_track_level: returns (x2, y2, status,
@@ -698,9 +840,14 @@ def vec_track_level_with_fallback(x1, y1, x2, y2, img1, gx1, gy1,
     level 0 in the HBM-images mode). All three implementations
     replicate the same semantics, so the merge is exact."""
     from .pallas_lk_fused import fused_level_available, fused_track_level
-    nx, ny, status, it, stale = vec_track_level(
+    res = vec_track_level(
         x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2, cfg, active,
-        interpret=interpret, one_d=one_d, shared_blocks=shared_blocks)
+        interpret=interpret, one_d=one_d, shared_blocks=shared_blocks,
+        carry_in=carry_in, emit_carry=emit_carry)
+    nx, ny, status, it, stale = res[:5]
+    # the emitted carry's ok flag already excludes stale lanes, so the
+    # fallback merge below never invalidates a usable bundle
+    carry_out = res[5] if emit_carry else None
     args = (x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2)
     use_fused = fused_level_available(img1.shape, cfg)
 
@@ -720,8 +867,14 @@ def vec_track_level_with_fallback(x1, y1, x2, y2, img1, gx1, gy1,
         return (jnp.where(stale, sx, nx), jnp.where(stale, sy, ny),
                 jnp.where(stale, ss, status), jnp.where(stale, si, it))
 
-    return lax.cond(jnp.any(stale & active), rerun,
-                    lambda _: (nx, ny, status, it), 0)
+    merged = lax.cond(jnp.any(stale & active), rerun,
+                      lambda _: (nx, ny, status, it), 0)
+    if emit_carry:
+        # carry x/y must match the MERGED final positions for the ok
+        # lanes (they do: ok lanes are never stale, and non-stale lanes
+        # pass through the merge untouched)
+        return merged + (carry_out,)
+    return merged
 
 
 def bench_vec_lk(h=480, w=640, n_features=1000, iters=20,

@@ -234,6 +234,34 @@ def track_feature_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
     return st.x2, st.y2, status, st.iteration
 
 
+def _carry_supported(cfg) -> bool:
+    """Sequential-mode frame-1 window carry is exact only when the
+    level-scale round-trip x -> x/s**n -> (*s)*n is bitwise identity —
+    true for power-of-two subsampling (all reference configs)."""
+    s = cfg.subsampling
+    return float(s).is_integer() and int(s) > 0 and \
+        (int(s) & (int(s) - 1)) == 0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_features_pyramids_carry(
+        pyr1: TrackPyramids, pyr2: TrackPyramids,
+        x: jax.Array, y: jax.Array, val: jax.Array,
+        cfg, *, x_init=None, y_init=None, carry=None
+        ) -> tuple[jax.Array, jax.Array, jax.Array, object]:
+    """track_features_pyramids + the sequential-mode level-0 window
+    carry (ops/pallas_lk_vec.TrackCarry): pass the carry returned by
+    the previous step (whose frame-2 pyramid is this step's ``pyr1`` —
+    the caller's cache contract, same as pyramid_last) and the vec
+    kernel skips the per-feature frame-1 fetch + extraction for every
+    lane that still sits at its previous final position. Returns
+    (x, y, val, carry_out); carry_out is None on non-vec paths.
+    Results are bitwise identical with or without a carry."""
+    return _track_features_pyramids_impl(pyr1, pyr2, x, y, val, cfg,
+                                         x_init=x_init, y_init=y_init,
+                                         carry=carry)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
                             x: jax.Array, y: jax.Array, val: jax.Array,
@@ -252,6 +280,18 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
     beyond the pyramid search range. Default (None) is exactly the
     reference behavior.
     """
+    nx, ny, nval, _ = _track_features_pyramids_impl(
+        pyr1, pyr2, x, y, val, cfg, x_init=x_init, y_init=y_init,
+        carry=None)
+    return nx, ny, nval
+
+
+def _track_features_pyramids_impl(pyr1: TrackPyramids,
+                                  pyr2: TrackPyramids,
+                                  x: jax.Array, y: jax.Array,
+                                  val: jax.Array,
+                                  cfg, *, x_init=None, y_init=None,
+                                  carry=None):
     nrows, ncols = pyr1.img[0].shape
     s = float(cfg.subsampling)
     n_levels = cfg.nPyramidLevels
@@ -272,6 +312,7 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
     # 'broken' freezes lanes that hit SMALL_DET / OOB at a coarser level
     # (the reference breaks out of the level loop for those two codes only).
     broken = jnp.zeros_like(live)
+    carry_out = None
 
     # Opt-in fused Pallas level kernel (whole iteration loop as ONE op —
     # ops/pallas_lk_fused.py): the big lever on op-count-taxed backends
@@ -309,8 +350,22 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
                   and vec_level_available_hbm(pyr1.img[r].shape, cfg))
         fused_ok = (use_fused and f32_imgs
                     and fused_level_available(pyr1.img[r].shape, cfg))
+        # level-0 sequential window carry (TrackCarry): exact skip of
+        # the frame-1 fetch/extract for lanes still at their previous
+        # final position; emitted every step so sequential callers can
+        # thread it alongside pyramid_last
+        lvl_carry = (r == 0 and vec_ok and _carry_supported(cfg))
         with jax.named_scope(f"pft.lk_level_{r}"):
-            if vec_ok:
+            if vec_ok and lvl_carry:
+                nx, ny, lvl_status, _, carry_out = \
+                    vec_track_level_with_fallback(
+                        xloc, yloc, xout, yout,
+                        pyr1.img[r], pyr1.gradx[r], pyr1.grady[r],
+                        pyr2.img[r], pyr2.gradx[r], pyr2.grady[r], cfg,
+                        active,
+                        interpret=jax.default_backend() == "cpu",
+                        carry_in=carry, emit_carry=True)
+            elif vec_ok:
                 nx, ny, lvl_status, _ = vec_track_level_with_fallback(
                     xloc, yloc, xout, yout,
                     pyr1.img[r], pyr1.gradx[r], pyr1.grady[r],
@@ -345,7 +400,12 @@ def track_features_pyramids(pyr1: TrackPyramids, pyr2: TrackPyramids,
     new_x = jnp.where(live, jnp.where(lost, -1.0, xout), x)
     new_y = jnp.where(live, jnp.where(lost, -1.0, yout), y)
     new_val = jnp.where(live, final_status, val)
-    return new_x, new_y, new_val
+    if carry is not None and carry_out is None:
+        # caller threads a carry but this trace has no vec level-0
+        # (config/env routed elsewhere): keep the pytree structure
+        # stable with an all-invalid carry
+        carry_out = carry._replace(ok=jnp.zeros_like(carry.ok))
+    return new_x, new_y, new_val, carry_out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",
@@ -399,12 +459,18 @@ def track_features_pyramids_fb(pyr1: TrackPyramids, pyr2: TrackPyramids,
                      fb_max_displacement=fb_max_displacement)
 
 
-def track_features(img1, img2, fl, cfg, pyr1: TrackPyramids | None = None):
+def track_features(img1, img2, fl, cfg, pyr1: TrackPyramids | None = None,
+                   carry=None, return_carry: bool = False):
     """High-level tracking entry: images in, updated FeatureState out.
 
     Reference parity: trackFeatures.py -> KLTTrackFeatures. Returns
     (new_fl, pyr2) where ``pyr2`` is the frame-2 pyramid cache to pass back
     in sequential mode (the reference stashes it on the context).
+
+    ``carry``/``return_carry`` (beyond-reference, perf): thread the
+    level-0 TrackCarry alongside the pyramid cache in sequential mode
+    (see track_features_pyramids_carry); results are bitwise identical
+    either way.
     """
     from ..errors import KLTGetVerbosity, verbose_print
     cfg = cfg.validated_window()
@@ -414,10 +480,13 @@ def track_features(img1, img2, fl, cfg, pyr1: TrackPyramids | None = None):
     nrows, ncols = pyr2.img[0].shape
     verbose_print(f"(KLT) Tracking {fl.nFeatures} features in a "
                   f"{ncols} by {nrows} image...  ")
-    nx, ny, nval = track_features_pyramids(pyr1, pyr2, fl.x, fl.y, fl.val, cfg)
+    nx, ny, nval, carry_out = track_features_pyramids_carry(
+        pyr1, pyr2, fl.x, fl.y, fl.val, cfg, carry=carry)
     out = fl._replace(x=nx, y=ny, val=nval)
     if KLTGetVerbosity() > 0:
         import numpy as _np
         verbose_print(f"\t{int((_np.asarray(nval) >= 0).sum())} features "
                       "successfully tracked.")
+    if return_carry:
+        return out, pyr2, carry_out
     return out, pyr2

@@ -144,6 +144,7 @@ class _StreamingBase:
         self.chain = int(chain)
         self._pyr = None
         self._aff = None
+        self._carry = None          # level-0 sequential window carry
         self._state = None          # (x, y, val) device arrays
         self._pending: list = []    # staged items awaiting a chain
         self._chunks: list = []     # device history chunks
@@ -257,6 +258,7 @@ class StreamingTracker(_StreamingBase):
             select_step_device(frame, self.cfg, self.n_features,
                                self.top_k)
         self._state = (x, y, val)
+        self._carry = None
         self._chunks.append((x, y, val))
 
     def _advance(self, frames: list) -> None:
@@ -265,19 +267,20 @@ class StreamingTracker(_StreamingBase):
         # policy as track_sequence_device's tail handling)
         if len(frames) == self.chain and self.chain > 1:
             x, y, val = self._state
-            self._pyr, hist, (x, y, val), self._aff, ex = \
-                sequence_chain_device(
-                    self._pyr, tuple(frames), x, y, val, self.cfg,
-                    self.replace_lost, self.top_k, self._aff)
+            (self._pyr, hist, (x, y, val), self._aff, ex,
+             self._carry) = sequence_chain_device(
+                self._pyr, tuple(frames), x, y, val, self.cfg,
+                self.replace_lost, self.top_k, self._aff, self._carry)
             self._chunks.append(hist)
             self._state = (x, y, val)
             self._note_exhausted(ex)
             return
         for f in frames:
             x, y, val = self._state
-            self._pyr, x, y, val, self._aff, ex = sequence_step_device(
+            (self._pyr, x, y, val, self._aff, ex,
+             self._carry) = sequence_step_device(
                 self._pyr, f, x, y, val, self.cfg,
-                self.replace_lost, self.top_k, self._aff)
+                self.replace_lost, self.top_k, self._aff, self._carry)
             self._chunks.append((x, y, val))
             self._state = (x, y, val)
             self._note_exhausted(ex)
@@ -328,8 +331,11 @@ def _step_batch(pyr, imgs, x, y, val, cfg, replace_lost: bool,
     from .ops.select_device import select_features_from_eig_device
 
     def track_one(p, im, xx, yy, vv, af):
+        # the level-0 window carry is not threaded through the vmapped
+        # batch tick (Pallas kernels don't vmap on this backend, so the
+        # vec path is never active here anyway)
         return _sequence_step_body(p, im, xx, yy, vv, cfg, False,
-                                   top_k, af)
+                                   top_k, af)[:6]
 
     imgs_b = jnp.stack(imgs, axis=0)          # [n_steps, B, H, W]
     hx, hy, hv = [], [], []
