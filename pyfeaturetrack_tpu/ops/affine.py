@@ -53,6 +53,7 @@ def make_affine_state(n_features: int, cfg) -> AffineState:
         A=jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32),
                            (n_features, 2, 2)),
         valid=jnp.zeros((n_features,), bool),
+        nit=jnp.zeros((n_features,), jnp.int32),
     )
 
 
@@ -190,6 +191,8 @@ def affine_consistency_check(pyr1, pyr2, fl_before: FeatureState,
     aff = fl_after.aff
     if aff is None or aff.img.shape[-1] != cfg.affine_window_width:
         aff = make_affine_state(fl_after.nFeatures, cfg)
+    if aff.nit is None:   # pre-round-5 checkpoint: normalize the hint
+        aff = aff._replace(nit=jnp.zeros(aff.valid.shape, jnp.int32))
 
     tracked = fl_after.val == KLT_TRACKED
     # Lanes lost by translational tracking lose their template (the
@@ -220,6 +223,10 @@ def affine_consistency_check(pyr1, pyr2, fl_before: FeatureState,
             y=jnp.where(need_capture, fl_before.y, a.y),
             A=jnp.where(cap, jnp.eye(2, dtype=jnp.float32)[None], a.A),
             valid=a.valid | need_capture,
+            # fresh templates take a few GN iterations on their first
+            # check — seed the tile-ordering hint mid-range so they
+            # group away from the 1-iteration steady lanes
+            nit=jnp.where(need_capture, 5, a.nit),
         )
 
     aff = lax.cond(jnp.any(need_capture), capture, lambda a: a, aff)
@@ -247,10 +254,12 @@ def affine_consistency_check(pyr1, pyr2, fl_before: FeatureState,
                                             vec_affine_with_fallback)
             vec_ok = vec_affine_available(pyr2.img[0].shape, cfg)
     if vec_ok:
-        x, y, A, status = vec_affine_with_fallback(
+        x, y, A, status, knit = vec_affine_with_fallback(
             aff.img, pyr2.img[0], pyr2.gradx[0], pyr2.grady[0],
             fl_after.x, fl_after.y, aff.A, check, cfg,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            order_hint=aff.nit, return_nit=True)
+        aff = aff._replace(nit=jnp.where(check, knit, aff.nit))
     elif fused_ok and use_fused:
         x, y, A, status = fused_affine_track_batch(
             aff.img, pyr2.img[0], pyr2.gradx[0], pyr2.grady[0],

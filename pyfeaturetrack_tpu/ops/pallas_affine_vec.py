@@ -510,14 +510,45 @@ def vec_affine_track_batch_with_iters(tmpl, img2, gx2, gy2, x0, y0, A0,
 
 
 def vec_affine_with_fallback(tmpl, img2, gx2, gy2, x0, y0, A0, check,
-                             cfg, *, interpret: bool = False):
+                             cfg, *, interpret: bool = False,
+                             order_hint=None, return_nit: bool = False):
     """vec_affine_track_batch + exact serial recomputation of stale
     lanes. Drop-in replacement for _affine_track_batch /
-    fused_affine_track_batch: returns (x, y, A, status)."""
+    fused_affine_track_batch: returns (x, y, A, status)
+    (+ per-lane GN iteration counts when ``return_nit``).
+
+    ``order_hint`` (perf only, DESIGN.md §9): per-lane predicted
+    iteration counts — typically last frame's (AffineState.nit). Tiles
+    run to their SLOWEST lane, and ~5% of lanes persistently hit the
+    iteration cap, so ordering lanes by the hint clusters stragglers
+    into few tiles (measured 2.11 -> 1.41 ms of iteration work on the
+    config-3 window). Per-lane results are grouping-invariant (every
+    update is lane-masked), so any hint — even garbage — changes
+    nothing but speed; the permutation is undone on output."""
     from .pallas_affine_fused import fused_affine_track_batch
-    x, y, A, status, stale = vec_affine_track_batch(
-        tmpl, img2, gx2, gy2, x0, y0, A0, check, cfg,
-        interpret=interpret)
+    n = x0.shape[0]
+    if order_hint is not None:
+        # inactive lanes sort last (they cost no iterations but would
+        # otherwise dilute the active tiles)
+        key = jnp.where(check, order_hint.astype(jnp.float32), -1.0)
+        perm = jnp.argsort(-key)
+        inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+            jnp.arange(n, dtype=jnp.int32))
+        out = _vec_affine_raw(tmpl[perm], img2, gx2, gy2, x0[perm],
+                              y0[perm], A0[perm], check[perm], cfg,
+                              interpret=interpret)[:n][inv]
+    else:
+        out = _vec_affine_raw(tmpl, img2, gx2, gy2, x0, y0, A0, check,
+                              cfg, interpret=interpret)[:n]
+    x = out[:, 0]
+    y = out[:, 1]
+    A = out[:, 2:6].reshape(n, 2, 2)
+    status = out[:, 6].astype(jnp.int32)
+    stale = (out[:, 7] > 0.0) & check
+    # stale lanes re-run serially below; mark them cap-iteration for
+    # the next frame's ordering hint (they behaved like stragglers)
+    nit = jnp.where(stale, cfg.affine_max_iterations,
+                    out[:, 8].astype(jnp.int32))
 
     def rerun(_):
         xb, yb, Ab, sb = fused_affine_track_batch(
@@ -527,8 +558,11 @@ def vec_affine_with_fallback(tmpl, img2, gx2, gy2, x0, y0, A0, check,
                 jnp.where(stale[:, None, None], Ab, A),
                 jnp.where(stale, sb, status))
 
-    return lax.cond(jnp.any(stale), rerun,
-                    lambda _: (x, y, A, status), None)
+    merged = lax.cond(jnp.any(stale), rerun,
+                      lambda _: (x, y, A, status), None)
+    if return_nit:
+        return merged + (nit,)
+    return merged
 
 
 def bench_vec_affine(h=480, w=640, n_features=1000, iters=10,

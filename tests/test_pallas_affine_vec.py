@@ -197,3 +197,79 @@ def test_env_dispatch_vec(monkeypatch):
                                np.asarray(base_fl.x), atol=_ATOL)
     np.testing.assert_allclose(np.asarray(vec_fl.aff.A),
                                np.asarray(base_fl.aff.A), atol=_ATOL)
+
+
+def test_vec_affine_order_hint_grouping_invariant():
+    """Tile ordering by ``order_hint`` is a pure perf lever: results
+    (and the returned per-lane iteration counts) must be BITWISE
+    identical to the unsorted run for arbitrary — even adversarial —
+    hints, because every kernel update is lane-masked and the output
+    permutation is undone."""
+    cfg, args = _scene(n=40)
+    base = vec_affine_with_fallback(*args, cfg, interpret=_INTERP,
+                                    return_nit=True)
+    rng = np.random.default_rng(7)
+    for hint in (jnp.zeros((40,), jnp.int32),
+                 jnp.asarray(rng.integers(0, 11, 40), jnp.int32),
+                 jnp.arange(40, dtype=jnp.int32)[::-1]):
+        got = vec_affine_with_fallback(*args, cfg, interpret=_INTERP,
+                                       order_hint=hint, return_nit=True)
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(np.asarray(base[4]).max()) >= 1  # nit actually measured
+
+
+def test_affine_stage_nit_hint_threads_through(monkeypatch):
+    """affine_consistency_check under PFT_PALLAS_AFFINE=vec stores the
+    measured iteration counts in AffineState.nit and produces the same
+    features as the XLA stage."""
+    import functools
+
+    from pyfeaturetrack_tpu.features import FeatureState
+    from pyfeaturetrack_tpu.ops.affine import affine_consistency_check
+    from pyfeaturetrack_tpu.ops.track import (build_track_pyramids,
+                                              track_features_pyramids)
+
+    cfg = create_config(affineConsistencyCheck=2, sequentialMode=True)
+    h, w, n = 120, 160, 32
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0, 255, (h + 6, w + 6))
+    k = np.array([1.0, 4, 6, 4, 1]) / 16.0
+    for axis in (0, 1):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), axis, base)
+    frames = [jnp.asarray(base[i:i + h, i:i + w], jnp.float32)
+              for i in range(3)]
+    build = jax.jit(build_track_pyramids, static_argnames=("cfg",))
+    pyrs = [build(f, cfg) for f in frames]
+    x = jnp.asarray(rng.uniform(12, w - 13, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(12, h - 13, n), jnp.float32)
+    fl = FeatureState(x=x, y=y, val=jnp.zeros((n,), jnp.int32), aff=None)
+
+    def run(env):
+        if env:
+            monkeypatch.setenv("PFT_PALLAS_AFFINE", "vec")
+        else:
+            monkeypatch.delenv("PFT_PALLAS_AFFINE", raising=False)
+        cur, nits = fl, []
+        for i in range(2):
+            nx, ny, nv = jax.jit(functools.partial(
+                track_features_pyramids.__wrapped__, cfg=cfg))(
+                pyrs[i], pyrs[i + 1], cur.x, cur.y, cur.val)
+            after = cur._replace(x=nx, y=ny, val=nv)
+            after = affine_consistency_check(pyrs[i], pyrs[i + 1], cur,
+                                             after, cfg)
+            nits.append(None if after.aff is None else
+                        np.asarray(after.aff.nit))
+            cur = after
+        return cur, nits
+
+    ref, _ = run(False)
+    got, nits = run(True)
+    np.testing.assert_array_equal(np.asarray(got.val), np.asarray(ref.val))
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=_ATOL)
+    # second frame runs the vec check on carried templates: its nit
+    # hints must be the measured counts (>=1 for checked lanes)
+    checked = np.asarray(got.val) == 0
+    assert nits[1] is not None and (nits[1][checked] >= 1).all()
