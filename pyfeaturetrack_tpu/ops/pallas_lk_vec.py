@@ -74,7 +74,14 @@ _CB = 256              # lane width of each feature's block; deinterleave
                        # hard-codes two tile-triplets per block (see the
                        # static assert at deinterleave_tile)
 _ONE_PLUS_EPS = 1.001  # ops/track._ONE_PLUS_EPS (reference bound check)
-_VMEM_BUDGET = 10 * 1024 * 1024   # images only; scratch/stack headroom
+# Images-resident budget (both frames' interleaved stacks). Round 5: a
+# v5e has 128 MB VMEM and Mosaic accepts vmem_limit_bytes raises; a
+# VMEM-resident fetch measured 8x cheaper than the per-feature HBM DMA
+# (0.062 vs 0.49 ms per 4096 blocks — experiments/probe_fetch_modes),
+# so 1080p level 0 (53.9 MB pair) now stays resident; HBM mode remains
+# for beyond-budget sizes (4K, dense shared-block callers).
+_VMEM_BUDGET = 56 * 1024 * 1024
+_VMEM_LIMIT = 120 * 1024 * 1024   # Mosaic vmem_limit_bytes raise
 _FC = 32               # features per tile (VMEM-stack bound; tuned)
 _SMEM_CHUNK = 2048     # scalar-array features per SMEM block (~1 MB
                        # SMEM total; dense flow sends H*W lanes here)
@@ -404,14 +411,15 @@ def _vec_level_kernel(*refs,
             deinterleave_tile()
             return
         if not hbm:
-            def body(f, c):
+            # STATIC unroll (round 5): the fori trip overhead dominated
+            # the VMEM copies 3x (0.112 -> 0.036 ms per 4096 blocks,
+            # experiments/probe_fetch_modes)
+            for f in range(fc):
                 @pl.when(_want(f))
-                def _():
+                def _(f=f):
                     row0, col0 = _origin(f, rs_ref, cs_ref)
                     blk3_ref[f] = ilv_ref[pl.ds(row0, rb),
                                           pl.ds(_lane0(col0), 3 * _CB)]
-                return c
-            lax.fori_loop(0, fc, body, 0)
             deinterleave_tile()
             return
 
@@ -426,20 +434,14 @@ def _vec_level_kernel(*refs,
                 ilv_ref.at[pl.ds(row0, rb), pl.ds(_lane0(col0), 3 * _CB)],
                 blk3_ref.at[f], dma_sem[0].at[f, 0])
 
-        def start(f, c):
+        for f in range(fc):
             @pl.when(_want(f))
-            def _():
+            def _(f=f):
                 dma(f).start()
-            return c
-
-        def wait(f, c):
+        for f in range(fc):
             @pl.when(_want(f))
-            def _():
+            def _(f=f):
                 dma(f).wait()
-            return c
-
-        lax.fori_loop(0, fc, start, 0)
-        lax.fori_loop(0, fc, wait, 0)
         deinterleave_tile()
 
     if carry:
@@ -812,6 +814,8 @@ def vec_track_level(x1, y1, x2, y2, img1, gx1, gy1, img2, gx2, gy2,
                   + [vimg] * 2 + ([bspec] if use_carry else [])),
         out_specs=out_spec,
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
     out, w1next = res if emit_carry else (res, None)

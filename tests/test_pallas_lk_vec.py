@@ -315,10 +315,11 @@ def test_vec_hbm_mode_matches_vmem_mode():
 
 def test_vec_hbm_gate_and_stale_fallback_beyond_fused():
     """1080p level 0 is beyond the serial fused kernel's VMEM gate but
-    inside the HBM vec gate; the stale fallback there routes through
-    the XLA level loop and still matches it exactly. (Small image with
-    forced HBM + a large shift exercises the same code path without a
-    1080p compile in the suite.)"""
+    (round 5) inside the vec kernel's raised VMEM-resident budget; 4K
+    exceeds it and takes the HBM-images mode. The stale fallback beyond
+    the fused gate routes through the XLA level loop and still matches
+    it exactly. (Small image with forced HBM + a large shift exercises
+    the same code path without a 1080p compile in the suite.)"""
     from pyfeaturetrack_tpu.ops.pallas_lk_fused import \
         fused_level_available
     from pyfeaturetrack_tpu.ops.pallas_lk_vec import \
@@ -326,7 +327,9 @@ def test_vec_hbm_gate_and_stale_fallback_beyond_fused():
     cfg = create_config()
     assert not fused_level_available((1088, 1920), cfg)
     assert vec_level_available_hbm((1088, 1920), cfg)
-    assert not vec_level_available((1088, 1920), cfg)
+    assert vec_level_available((1088, 1920), cfg)      # round-5 budget
+    assert not vec_level_available((2176, 3840), cfg)  # 4K -> HBM mode
+    assert vec_level_available_hbm((2176, 3840), cfg)
 
     h, w, n = 120, 160, 64
     img1, img2 = _level_inputs(h, w, shift=(5, 9), seed=2)
