@@ -306,6 +306,17 @@ class StreamingTracker(_StreamingBase):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_features", "top_k"))
 def _select_batch(imgs, cfg, n_features: int, top_k: int):
+    import os
+    if os.environ.get("PFT_PALLAS_SELECT", "").lower() in ("1", "on",
+                                                           "true"):
+        # Pallas selection kernels don't vmap: loop the streams inside
+        # the one program (same trace-time gating as _step_batch)
+        outs = [select_step_device(imgs[s], cfg, n_features, top_k)
+                for s in range(imgs.shape[0])]
+        def stk(*xs):
+            return jnp.stack(xs, axis=0)
+        return tuple(jax.tree.map(stk, *[o[k] for o in outs])
+                     for k in range(6))
     return jax.vmap(
         lambda im: select_step_device(im, cfg, n_features, top_k))(imgs)
 
@@ -313,48 +324,99 @@ def _select_batch(imgs, cfg, n_features: int, top_k: int):
 @functools.partial(jax.jit, static_argnames=("cfg", "replace_lost",
                                              "top_k", "n_steps"))
 def _step_batch(pyr, imgs, x, y, val, cfg, replace_lost: bool,
-                top_k: int, aff, n_steps: int = 1):
-    """Advance every stream ``n_steps`` frames in ONE program: vmap of
-    the shared per-frame body (track -> affine check), then a
-    BATCH-WIDE cond-gated refill. ``imgs`` is a tuple of n_steps
+                top_k: int, aff, n_steps: int = 1, carry=None):
+    """Advance every stream ``n_steps`` frames in ONE program: the
+    shared per-frame body (track -> affine check) over the stream axis,
+    then a BATCH-WIDE cond-gated refill. ``imgs`` is a tuple of n_steps
     [B, H, W] frame batches.
 
-    The refill gate lives OUTSIDE the vmap on purpose: a lax.cond with
-    a batched predicate lowers to select (both branches always run),
-    so gating per-stream inside the body would pay the full selection
-    cost (eig map + top-K sort) every frame. One scalar any-stream-lost
-    predicate per frame step preserves the skip; when it fires, the
-    refill is an exact identity on streams with nothing lost (same
-    argument as models/chunked.track_chunks_batched)."""
+    Stream-axis form (round 5, VERDICT r4 item 4): with a Pallas LK
+    lane enabled (PFT_PALLAS_LK, trace-time like everywhere else) the
+    body runs PER STREAM inside the one program — Mosaic kernels don't
+    vmap, so the vmapped form silently fell back to the XLA path
+    (12,103 ops and 10.7 aggregate fps honest on the relay, ROOFLINE.md
+    r4 note). A Python loop over the B streams keeps every stream on
+    the fused kernels (incl. the level-0 window carry, threaded
+    per-stream) at ~B x the per-stream honest step. Without a Pallas
+    lane the vmapped body remains — batched XLA gathers are the right
+    shape on direct-attached silicon.
+
+    The refill gate lives OUTSIDE the per-stream body on purpose: a
+    lax.cond with a batched predicate lowers to select (both branches
+    always run), so gating per-stream inside the body would pay the
+    full selection cost (eig map + top-K sort) every frame. One scalar
+    any-stream-lost predicate per frame step preserves the skip; when
+    it fires, the refill is an exact identity on streams with nothing
+    lost (same argument as models/chunked.track_chunks_batched)."""
+    import os
+
     from .features import reset_affine
     from .models.device_sequence import _selection_eig_from_pyr
     from .ops.select_device import select_features_from_eig_device
 
+    use_stream_loop = os.environ.get("PFT_PALLAS_LK", "").lower() in (
+        "vec", "1", "on", "true", "fused")
+
     def track_one(p, im, xx, yy, vv, af):
-        # the level-0 window carry is not threaded through the vmapped
-        # batch tick (Pallas kernels don't vmap on this backend, so the
-        # vec path is never active here anyway)
         return _sequence_step_body(p, im, xx, yy, vv, cfg, False,
                                    top_k, af)[:6]
+
+    def track_tick(pyr, img_b, x, y, val, aff, carry):
+        if not use_stream_loop:
+            pyr, x, y, val, aff, _ = jax.vmap(
+                track_one, in_axes=(0, 0, 0, 0, 0, 0))(
+                pyr, img_b, x, y, val, aff)
+            return pyr, x, y, val, aff, carry
+        B = x.shape[0]
+        outs = []
+        for s in range(B):
+            sl = lambda a: a[s]  # noqa: E731
+            outs.append(_sequence_step_body(
+                jax.tree.map(sl, pyr), img_b[s], x[s], y[s], val[s],
+                cfg, False, top_k,
+                None if aff is None else jax.tree.map(sl, aff),
+                None if carry is None else jax.tree.map(sl, carry)))
+        def stk(*xs):
+            return jnp.stack(xs, axis=0)
+        pyr = jax.tree.map(stk, *[o[0] for o in outs])
+        x = jnp.stack([o[1] for o in outs])
+        y = jnp.stack([o[2] for o in outs])
+        val = jnp.stack([o[3] for o in outs])
+        aff = (None if outs[0][4] is None
+               else jax.tree.map(stk, *[o[4] for o in outs]))
+        carry = (None if outs[0][6] is None
+                 else jax.tree.map(stk, *[o[6] for o in outs]))
+        return pyr, x, y, val, aff, carry
 
     imgs_b = jnp.stack(imgs, axis=0)          # [n_steps, B, H, W]
     hx, hy, hv = [], [], []
     exhausted = jnp.asarray(False)
     for i in range(n_steps):
-        pyr, x, y, val, aff, _ = jax.vmap(
-            track_one, in_axes=(0, 0, 0, 0, 0, 0))(
-            pyr, imgs_b[i], x, y, val, aff)
+        pyr, x, y, val, aff, carry = track_tick(pyr, imgs_b[i], x, y,
+                                                val, aff, carry)
         if replace_lost:
-            def refill(op):
+            def refill(op, i=i):
                 xx, yy, vv, av, ex = op
                 def one(im, p, sx, sy, sv):
                     eig = _selection_eig_from_pyr(im, p, cfg)
                     return select_features_from_eig_device(
                         eig, sx, sy, sv, cfg, replacing=True,
                         top_k=top_k)
-                rx, ry, rv, _, exs = jax.vmap(one)(
-                    jnp.asarray(imgs_b[i], jnp.float32), pyr,
-                    xx, yy, vv)
+                if use_stream_loop:
+                    # per-stream selection (Pallas select lanes don't
+                    # vmap either), same one-program structure
+                    outs = [one(jnp.asarray(imgs_b[i][s], jnp.float32),
+                                jax.tree.map(lambda a: a[s], pyr),
+                                xx[s], yy[s], vv[s])
+                            for s in range(xx.shape[0])]
+                    rx = jnp.stack([o[0] for o in outs])
+                    ry = jnp.stack([o[1] for o in outs])
+                    rv = jnp.stack([o[2] for o in outs])
+                    exs = jnp.stack([o[4] for o in outs])
+                else:
+                    rx, ry, rv, _, exs = jax.vmap(one)(
+                        jnp.asarray(imgs_b[i], jnp.float32), pyr,
+                        xx, yy, vv)
                 if av is not None:
                     av = jax.vmap(reset_affine)(av, vv < 0)
                 return rx, ry, rv, av, ex | jnp.any(exs)
@@ -367,7 +429,7 @@ def _step_batch(pyr, imgs, x, y, val, cfg, replace_lost: bool,
         hv.append(val)
     hist = (jnp.stack(hx, axis=1), jnp.stack(hy, axis=1),
             jnp.stack(hv, axis=1))            # [B, n_steps, N]
-    return pyr, hist, (x, y, val), aff, exhausted
+    return pyr, hist, (x, y, val), aff, exhausted, carry
 
 
 class BatchedStreamingTracker(_StreamingBase):
@@ -404,6 +466,7 @@ class BatchedStreamingTracker(_StreamingBase):
         self._pyr, x, y, val, self._aff, ex = _select_batch(
             batch, self.cfg, self.n_features, self.top_k)
         self._state = (x, y, val)
+        self._carry = None
         self._chunks.append((x[:, None], y[:, None], val[:, None]))
         self._exhausted = jnp.any(ex)
 
@@ -415,10 +478,11 @@ class BatchedStreamingTracker(_StreamingBase):
                 self._advance([b])
             return
         x, y, val = self._state
-        self._pyr, hist, (x, y, val), self._aff, ex = _step_batch(
+        (self._pyr, hist, (x, y, val), self._aff, ex,
+         self._carry) = _step_batch(
             self._pyr, tuple(batches), x, y, val, self.cfg,
             self.replace_lost, self.top_k, self._aff,
-            n_steps=len(batches))
+            n_steps=len(batches), carry=self._carry)
         self._chunks.append(hist)
         self._state = (x, y, val)
         self._note_exhausted(jnp.any(ex))

@@ -204,3 +204,35 @@ def test_prefetch_to_device_relays_source_exception():
 def test_prefetch_depth_validation():
     with pytest.raises(KLTError):
         list(prefetch_to_device([], depth=0))
+
+
+def test_batched_streaming_stream_loop_matches_vmapped(monkeypatch):
+    """Round 5 (VERDICT r4 item 4): with a Pallas LK lane enabled the
+    batched tick runs each stream through the fused kernels in a
+    Python loop inside one program (Mosaic kernels don't vmap). Same
+    math: statuses must equal the vmapped XLA tick exactly, positions
+    to the kernels' interpret-mode tolerance."""
+    B, n = 3, 20
+    cfg = create_config(mindist=8)
+    streams = [_rolling_frames(n_frames=6, shift=3 + b, seed=40 + b)
+               for b in range(B)]
+
+    def run():
+        bt = BatchedStreamingTracker(cfg, n_streams=B, n_features=n,
+                                     replace_lost=True, chain=2)
+        for i in range(6):
+            bt.feed(np.stack([streams[b][i] for b in range(B)]))
+        return bt.table()
+
+    monkeypatch.delenv("PFT_PALLAS_LK", raising=False)
+    monkeypatch.delenv("PFT_PALLAS_SELECT", raising=False)
+    rx, ry, rv = run()
+    monkeypatch.setenv("PFT_PALLAS_LK", "vec")
+    monkeypatch.setenv("PFT_PALLAS_SELECT", "1")
+    import jax
+    jax.clear_caches()   # env knobs are trace-time
+    gx, gy, gv = run()
+    jax.clear_caches()
+    np.testing.assert_array_equal(gv, rv)
+    np.testing.assert_allclose(gx, rx, atol=1e-3)
+    np.testing.assert_allclose(gy, ry, atol=1e-3)
