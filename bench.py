@@ -1042,7 +1042,20 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         from pyfeaturetrack_tpu.parallel.scaling import \
             predict_scaling_efficiency
-        print(json.dumps(predict_scaling_efficiency()))
+        out = {"track": predict_scaling_efficiency()}
+        # round 5 (VERDICT r4 item 8): the expensive shapes. config4 =
+        # one 1080p/4096 pair per device; serving_tick = one lockstep
+        # camera stream per device at the serving bench shape (the
+        # batch-wide refill predicate is a cross-stream all-reduce —
+        # constant small bytes per step, so it amortizes with compute).
+        for wl, kw in (("config4", {}),
+                       ("serving_tick", {"image_shape": (480, 640),
+                                         "n_features": 1000})):
+            try:
+                out[wl] = predict_scaling_efficiency(workload=wl, **kw)
+            except Exception as e:  # pragma: no cover - surface, don't die
+                out[wl] = {"error": str(e)[:300]}
+        print(json.dumps(out))
         return 0
 
     from pyfeaturetrack_tpu.config import create_config

