@@ -92,6 +92,122 @@ def render_blobs(K, Rs, ts, pts, h: int, w: int, seed: int = 1,
     return frames
 
 
+def circuit_scene(n_frames: int = 520, h: int = 240, w: int = 320,
+                  ax_a: float = 14.0, ax_b: float = 9.0,
+                  n_points_per_20u: int = 300, seed: int = 7,
+                  laps: float = 1.08):
+    """Closed-circuit ground truth for LONG runs with a genuine
+    revisit: the camera drives ``laps`` laps of an ellipse (tangent
+    yaw), so past ~1 lap it re-enters previously mapped territory —
+    the loop-closure shape — while the landmark band streams past for
+    hundreds of keyframes before that (VERDICT r4 item 7).
+
+    Returns (K, Rs, ts, cs, pts) like corridor_scene."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[260.0, 0, w / 2], [0, 260.0, h / 2], [0, 0, 1]],
+                 np.float64)
+    # landmark band around the ellipse: points at radial offsets from
+    # the path so the forward FOV always sees parallax at mixed depths
+    n_pts = int(n_points_per_20u * (np.pi * (ax_a + ax_b)) / 20.0)
+    th = rng.uniform(0, 2 * np.pi, n_pts)
+    rad_off = rng.uniform(1.5, 8.0, n_pts)
+    side = rng.choice([-1.0, 1.0], n_pts)
+    px = (ax_a + side * rad_off) * np.cos(th)
+    pz = (ax_b + side * rad_off) * np.sin(th)
+    py = rng.uniform(-4.0, 4.0, n_pts)
+    pts = np.stack([px, py, pz], -1).astype(np.float32)
+
+    om = 2 * np.pi * laps / max(n_frames, 1)
+    Rs, ts, cs = [], [], []
+    for i in range(n_frames):
+        a = om * i
+        c = np.array([ax_a * np.cos(a), 0.1 * np.sin(5 * a),
+                      ax_b * np.sin(a)], np.float64)
+        # forward = path tangent: d/da (a_x cos, ., b sin) ∝
+        # (-a_x sin a, 0, b cos a); yaw about +y with +z forward
+        tx, tz = -ax_a * np.sin(a), ax_b * np.cos(a)
+        yaw = np.arctan2(tx, tz)
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy_, 0, -sy], [0, 1, 0], [sy, 0, cy_]],
+                     np.float64)
+        Rs.append(R.astype(np.float32))
+        cs.append(c.astype(np.float32))
+        ts.append((-R @ c).astype(np.float32))
+    return (K, np.stack(Rs), np.stack(ts), np.stack(cs), pts)
+
+
+def apply_photometric_drift(frames, gain_amp: float = 0.25,
+                            bias_amp: float = 12.0,
+                            gain_period: float = 90.0,
+                            bias_period: float = 137.0):
+    """Slowly varying exposure gain/bias over a frame list (the
+    tests/test_sfm_stress nuisance, extended to long sequences): frame
+    i -> clip(gain_i * frame + bias_i). Defeats plain LK over long
+    horizons; the lighting-insensitive residuals recover it."""
+    out = []
+    for i, f in enumerate(frames):
+        g = 1.0 + gain_amp * np.sin(2 * np.pi * i / gain_period)
+        b = bias_amp * np.sin(2 * np.pi * i / bias_period)
+        out.append(np.clip(g * np.asarray(f, np.float32) + b, 0,
+                           255).astype(np.float32))
+    return out
+
+
+def run_vo_on_circuit(n_frames: int = 520, h: int = 240, w: int = 320,
+                      n_features: int = 120, kf_every: int = 4,
+                      window: int = 6, seed: int = 7,
+                      photometric: bool = True,
+                      loop_closure: bool = True):
+    """Config-5 LONG-horizon stress (VERDICT r4 item 7): 500+ frame
+    closed circuit with a genuine revisit, photometric gain/bias
+    drift, loop closure, and KITTI-format ATE/RPE gates. Returns the
+    run_vo_on_corridor metric dict plus loop/photometric flags."""
+    import time
+
+    from ..sfm import VisualOdometry
+    from ..sfm.pipeline import ate_rmse_aligned
+    from .trajectory import rpe
+
+    K, Rs, ts, cs, pts = circuit_scene(n_frames, h, w, seed=seed)
+    frames = render_blobs(K, Rs, ts, pts, h, w)
+    if photometric:
+        frames = apply_photometric_drift(frames)
+    vo = VisualOdometry(K, n_features=n_features, kf_every=kf_every,
+                        window=window, min_parallax_px=10.0,
+                        robust=photometric,
+                        loop_closure=loop_closure, loop_min_gap=25,
+                        loop_radius=3.0)
+    t0 = time.perf_counter()
+    for f in frames:
+        vo.feed(f)
+    dt = time.perf_counter() - t0
+    fi, R, t, c = vo.trajectory()
+    gt_c = cs[fi]
+    travel = float(np.linalg.norm(np.diff(gt_c, axis=0), axis=1).sum())
+    ate = float(ate_rmse_aligned(c, gt_c))
+    est_len = float(np.linalg.norm(np.diff(c, axis=0), axis=1).sum())
+    s = travel / max(est_len, 1e-9)
+    te, re = rpe(np.asarray(R, np.float64),
+                 np.asarray(t, np.float64) * s,
+                 np.asarray(Rs, np.float64)[fi],
+                 np.asarray(ts, np.float64)[fi], delta=1)
+    return {
+        "n_frames": n_frames,
+        "keyframes": len(fi),
+        "landmarks": int(len(vo.map_points())),
+        "loop_closures": len(getattr(vo, "loops_closed", [])),
+        "photometric_drift": bool(photometric),
+        "travel_units": round(travel, 3),
+        "ate_units": round(ate, 4),
+        "ate_pct_travel": round(100.0 * ate / max(travel, 1e-9), 3),
+        "rpe_trans_median_units": round(float(np.median(te)), 4),
+        "rpe_trans_p90_units": round(float(np.percentile(te, 90)), 4),
+        "rpe_rot_median_deg": round(float(np.degrees(np.median(re))),
+                                    4),
+        "wall_fps": round(n_frames / dt, 2),
+    }
+
+
 def run_vo_on_corridor(n_frames: int = 120, h: int = 240, w: int = 320,
                        n_features: int = 120, kf_every: int = 2,
                        window: int = 6, seed: int = 5):
