@@ -259,7 +259,15 @@ def affine_consistency_check(pyr1, pyr2, fl_before: FeatureState,
             fl_after.x, fl_after.y, aff.A, check, cfg,
             interpret=jax.default_backend() == "cpu",
             order_hint=aff.nit, return_nit=True)
-        aff = aff._replace(nit=jnp.where(check, knit, aff.nit))
+        # sticky-with-decay hint update: hint = max(measured, 0.9*old).
+        # Straggler lanes oscillate (85% frame-to-frame cap overlap but
+        # 15% churn — probe_affine_persistence); remembering slowness
+        # for ~20 frames keeps intermittent stragglers grouped.
+        # Measured on the nit-history replay: prev-frame-only 1.41 ms
+        # of iteration work, sticky-decay 1.18, oracle 0.72.
+        decayed = (aff.nit * 9) // 10
+        aff = aff._replace(
+            nit=jnp.where(check, jnp.maximum(knit, decayed), decayed))
     elif fused_ok and use_fused:
         x, y, A, status = fused_affine_track_batch(
             aff.img, pyr2.img[0], pyr2.gradx[0], pyr2.grady[0],

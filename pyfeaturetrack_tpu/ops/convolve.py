@@ -69,6 +69,14 @@ def _conv1d(img: jax.Array, kernel: np.ndarray, axis: int) -> jax.Array:
     k = np.asarray(kernel, dtype=np.float32)
     radius = k.shape[0] // 2
     *batch, h, w = img.shape
+    # degenerate case: kernel wider than the image along the conv axis
+    # (deep KLTChangeTCPyramid configs on small frames, e.g. search
+    # range 60+ at 240x320 -> subsampling 8 with sigma 7.2 smoothing a
+    # 30x40 level). The reference zeroes a ``radius`` border; when
+    # 2*radius >= extent the border covers everything — return zeros
+    # instead of handing XLA a negative-size valid conv.
+    if 2 * radius >= (w if axis == 1 else h):
+        return jnp.zeros_like(img)
     x = img.reshape((-1, 1, h, w))
 
     if axis == 1:  # horizontal

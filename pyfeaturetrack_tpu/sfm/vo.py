@@ -748,21 +748,38 @@ class VisualOdometry:
                else self._tr.cfg).validated_window()
         pyr_a = build_track_pyramids_jit(stage_f32(kf_a["img"]), cfg)
         pyr_b = build_track_pyramids_jit(stage_f32(kf_b["img"]), cfg)
-        xb, yb, ok, _ = guided_retrack(
-            pyr_a, pyr_b, uv_a[vis, 0], uv_a[vis, 1],
-            uv_init[vis, 0], uv_init[vis, 1], cfg,
-            fb_max_displacement=1.0)
-        if ok.sum() < self.loop_min_inliers:
+        # TWO association hypotheses, best-of (round 5): (a) the map
+        # projected through the CURRENT pose — right when drift is
+        # small (relocalization after short gaps); (b) kf_a's own pixel
+        # positions — right at a genuine revisit, where the viewpoint
+        # difference is small but accumulated drift has pushed the
+        # projections onto the wrong texture (measured on the 520-frame
+        # circuit: projected init associated to aliased blobs and PnP
+        # found ~0 inliers; same-viewpoint init found 62/81, and wrong
+        # loop candidates are rejected by the inlier gate).
+        best = None
+        for init_x, init_y, msk in (
+                (uv_init[vis, 0], uv_init[vis, 1], vis),
+                (uv_a[vis, 0], uv_a[vis, 1], vis)):
+            xb, yb, ok, _ = guided_retrack(
+                pyr_a, pyr_b, uv_a[msk, 0], uv_a[msk, 1],
+                init_x, init_y, cfg, fb_max_displacement=1.0)
+            if ok.sum() < self.loop_min_inliers:
+                continue
+            uv_b = np.stack([xb[ok], yb[ok]], -1)
+            try:
+                Rm_c, tm_c, inl = pnp_ransac(self.K, X[msk][ok], uv_b,
+                                             thresh_px=2 * self.thresh_px,
+                                             seed=self.seed)
+            except ValueError:
+                continue
+            n_inl = int(inl.sum())
+            if best is None or n_inl > best[0]:
+                best = (n_inl, Rm_c, tm_c)
+        if best is None or best[0] < self.loop_min_inliers:
             return
-        uv_b = np.stack([xb[ok], yb[ok]], -1)
-        try:
-            Rm, tm, inl = pnp_ransac(self.K, X[vis][ok], uv_b,
-                                     thresh_px=2 * self.thresh_px,
-                                     seed=self.seed)
-        except ValueError:
-            return
-        if int(inl.sum()) < self.loop_min_inliers:
-            return
+        _, Rm, tm = best
+        inl_count = best[0]
         R_all = np.stack([p[0] for p in self.poses])
         t_all = np.stack([p[1] for p in self.poses])
         drift = float(np.linalg.norm(
@@ -773,7 +790,7 @@ class VisualOdometry:
         self._window_ba(n_kf=len(self.kf))
         self.loops_closed.append((i, j))
         self.events.append(
-            f"loop closed kf {i} -> kf {j}: {int(inl.sum())} inliers, "
+            f"loop closed kf {i} -> kf {j}: {inl_count} inliers, "
             f"drift {drift:.4f} units redistributed")
 
     # ----------------------------------------------------------- output

@@ -60,3 +60,32 @@ def test_batched_leading_dims(textured_image):
     single = np.asarray(C.convolve_horiz(img, g))
     np.testing.assert_allclose(out[0], single, rtol=1e-6)
     np.testing.assert_allclose(out[1], single * 0.5, rtol=1e-5, atol=1e-4)
+
+
+def test_conv_kernel_wider_than_image_returns_zeros():
+    """Deep KLTChangeTCPyramid configs on small frames produce pyramid
+    levels narrower than the smoothing kernel (e.g. search_range 60 at
+    240x320 -> subsampling 8, sigma 7.2 on a 30x40 level). The
+    reference zeroes a radius-wide border; when the border covers the
+    whole image the conv must return zeros instead of crashing
+    (round-5 regression: negative-size valid conv)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pyfeaturetrack_tpu.config import change_pyramid, create_config
+    from pyfeaturetrack_tpu.ops.convolve import compute_smoothed_image
+    from pyfeaturetrack_tpu.ops.kernels import compute_kernels
+    from pyfeaturetrack_tpu.ops.track import build_track_pyramids
+
+    img = jnp.asarray(np.arange(30 * 40, dtype=np.float32
+                                ).reshape(30, 40))
+    k, _ = compute_kernels(7.2)
+    assert k.shape[0] > 40  # the degenerate premise
+    out = compute_smoothed_image(img, 7.2)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    # and the whole pyramid build survives the config that hit it
+    cfg = change_pyramid(create_config(), search_range=60)
+    pyr = build_track_pyramids(jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (240, 320)),
+        jnp.float32), cfg)
+    assert len(pyr.img) == cfg.nPyramidLevels
