@@ -1196,6 +1196,18 @@ def main():
         except Exception as e:
             details["config5_e2e_corridor"] = {"error": str(e)[-300:]}
             log(f"config5 e2e FAILED: {e}")
+        try:
+            # config-5 LONG-horizon stress (VERDICT r4 item 7): 520
+            # frames, closed circuit with a genuine revisit, exposure
+            # gain/bias drift, loop closure, KITTI-format ATE/RPE.
+            from pyfeaturetrack_tpu.utils.synthscene import \
+                run_vo_on_circuit
+            details["config5_e2e_long"] = run_vo_on_circuit(
+                n_frames=520)
+            log(f"config5 long e2e done: {details['config5_e2e_long']}")
+        except Exception as e:
+            details["config5_e2e_long"] = {"error": str(e)[-300:]}
+            log(f"config5 long e2e FAILED: {e}")
         # roofline + honest clocks LAST (ROOFLINE.md §0): the profiler
         # capture inside roofline_report flips this process into
         # synchronously-observed execution (measured: config5 after a
@@ -1292,9 +1304,10 @@ def main():
         try:
             details["scaling_prediction_8dev"] = bench_scaling_prediction()
             log("scaling prediction done: " + json.dumps(
-                {d: r["predicted_weak_efficiency"]
-                 for d, r in details["scaling_prediction_8dev"][
-                     "per_device"].items()}))
+                {wl: {d: r["predicted_weak_efficiency"]
+                      for d, r in v["per_device"].items()}
+                 for wl, v in details["scaling_prediction_8dev"].items()
+                 if isinstance(v, dict) and "per_device" in v}))
         except Exception as e:
             details["scaling_prediction_8dev"] = {"error": str(e)}
             log(f"scaling prediction failed: {e}")

@@ -172,11 +172,16 @@ def run_vo_on_circuit(n_frames: int = 520, h: int = 240, w: int = 320,
     frames = render_blobs(K, Rs, ts, pts, h, w)
     if photometric:
         frames = apply_photometric_drift(frames)
+    # loop_radius is in the ESTIMATED gauge and must exceed the
+    # accumulated drift at the revisit (vo._try_close_loop docstring):
+    # ~4.7% of 77 units of pre-closure travel measured ≈ 5-6 estimated
+    # units at 520 frames; wrong candidates die at the PnP inlier gate
+    # so a generous radius costs only rejected attempts.
     vo = VisualOdometry(K, n_features=n_features, kf_every=kf_every,
                         window=window, min_parallax_px=10.0,
                         robust=photometric,
                         loop_closure=loop_closure, loop_min_gap=25,
-                        loop_radius=3.0)
+                        loop_radius=8.0)
     t0 = time.perf_counter()
     for f in frames:
         vo.feed(f)
