@@ -52,6 +52,25 @@ from .pnp import pnp_ransac, refine_pose
 from .triangulate import triangulate_dlt
 
 
+def _place_signature(img: np.ndarray, gh: int = 12, gw: int = 16
+                     ) -> np.ndarray:
+    """Appearance signature for loop-closure place recognition: a
+    mean-pooled gh x gw thumbnail, zero-mean and unit-norm so the dot
+    product of two signatures is their NCC — invariant to the
+    gain/bias exposure drift the robust tracker tolerates. Metric
+    proximity in the ESTIMATED map cannot gate revisits once
+    accumulated drift exceeds the scene scale (measured on the
+    520-frame circuit: 11+ estimated units of drift vs an 8-unit
+    radius); appearance is drift-free."""
+    img = np.asarray(img, np.float64)
+    h, w = img.shape
+    ph, pw = h // gh, w // gw
+    t = img[:ph * gh, :pw * gw].reshape(gh, ph, gw, pw).mean((1, 3))
+    t -= t.mean()
+    n = np.linalg.norm(t)
+    return (t / n if n > 0 else t).astype(np.float32).ravel()
+
+
 def _bucket(n: int, q: int = 64) -> int:
     """Round ``n`` up to a multiple of ``q`` (min ``q``): the geometry
     stages (refine_pose, triangulate_dlt, bundle_adjust) are jitted on
@@ -270,6 +289,7 @@ class VisualOdometry:
                             np.asarray(val) >= 0, img=kf_img)
 
     def _push_keyframe(self, x, y, live, img=None) -> None:
+        keep_img = self.loop_closure and img is not None
         self.kf.append({"frame": self.n_frames - 1,
                         "x": np.asarray(x, np.float64).copy(),
                         "y": np.asarray(y, np.float64).copy(),
@@ -278,8 +298,12 @@ class VisualOdometry:
                         # retained only for loop closure (re-observation
                         # needs the old keyframe's pixels)
                         "img": (np.asarray(img, np.float32).copy()
-                                if self.loop_closure and img is not None
-                                else None)})
+                                if keep_img else None),
+                        # appearance signature for place recognition:
+                        # mean-pooled, zero-mean, unit-norm thumbnail
+                        # (NCC metric) — exposure drift normalizes away
+                        "sig": (_place_signature(np.asarray(img))
+                                if keep_img else None)})
         self._left = np.asarray(img) if img is not None else None
         if self.stereo_baseline is not None:
             if not self.initialized:
@@ -709,7 +733,7 @@ class VisualOdometry:
         from ..ops.track import build_track_pyramids_jit
         from ..utils.staging import stage_f32
         from .geometry import project
-        from .loop import close_loop_poses, guided_retrack
+        from .loop import close_loop_sim3, guided_retrack
         from .pnp import pnp_ransac
 
         j = len(self.kf) - 1
@@ -724,68 +748,108 @@ class VisualOdometry:
                 and not self.kf[i].get("held")]
         if not cand or self.kf[j].get("img") is None:
             return
+        # TWO candidate channels (round 5): metric proximity in the
+        # current estimate (right while drift is small) and appearance
+        # NCC of the place signatures (drift-free — the only channel
+        # that still sees the revisit once drift exceeds loop_radius).
+        # False candidates die at the geometric verification below.
+        picks = []
         d = np.linalg.norm(c[cand] - c[j], axis=-1)
-        i = int(cand[int(np.argmin(d))])
-        if float(d.min()) > self.loop_radius:
-            return
-        kf_a, kf_b = self.kf[i], self.kf[j]
-        slots, X, uv_a = self._visible_landmarks(kf_a)
-        if len(slots) < self.loop_min_inliers:
-            return
-        R_j, t_j = self.poses[j]
-        uv_init, depth = project(
-            jnp.asarray(self.K, jnp.float32),
-            jnp.asarray(R_j, jnp.float32), jnp.asarray(t_j, jnp.float32),
-            jnp.asarray(X, jnp.float32))
-        uv_init = np.asarray(uv_init, np.float64)
-        h, w = kf_b["img"].shape
-        vis = ((np.asarray(depth) > 0.1) &
-               (uv_init[:, 0] > 8) & (uv_init[:, 0] < w - 9) &
-               (uv_init[:, 1] > 8) & (uv_init[:, 1] < h - 9))
-        if vis.sum() < self.loop_min_inliers:
+        if float(d.min()) <= self.loop_radius:
+            picks.append(int(cand[int(np.argmin(d))]))
+        sig_j = self.kf[j].get("sig")
+        sigs = [self.kf[i].get("sig") for i in cand]
+        if sig_j is not None and all(s is not None for s in sigs):
+            ncc = np.asarray([float(s @ sig_j) for s in sigs])
+            # loose gate on purpose: the geometric verification below
+            # (guided retrack -> PnP inlier count) is the real filter;
+            # this only bounds wasted verifications. Measured on the
+            # 520-frame circuit: true revisits score 0.74-0.84 (blob
+            # scenes at 12x16 pooling), non-revisits < 0.6.
+            if float(ncc.max()) >= 0.7:
+                best = int(cand[int(np.argmax(ncc))])
+                if best not in picks:
+                    picks.append(best)
+        if not picks:
             return
         cfg = (self.cfg if self.device_loop
                else self._tr.cfg).validated_window()
-        pyr_a = build_track_pyramids_jit(stage_f32(kf_a["img"]), cfg)
+        kf_b = self.kf[j]
+        h, w = kf_b["img"].shape
         pyr_b = build_track_pyramids_jit(stage_f32(kf_b["img"]), cfg)
-        # TWO association hypotheses, best-of (round 5): (a) the map
-        # projected through the CURRENT pose — right when drift is
-        # small (relocalization after short gaps); (b) kf_a's own pixel
-        # positions — right at a genuine revisit, where the viewpoint
-        # difference is small but accumulated drift has pushed the
-        # projections onto the wrong texture (measured on the 520-frame
-        # circuit: projected init associated to aliased blobs and PnP
-        # found ~0 inliers; same-viewpoint init found 62/81, and wrong
-        # loop candidates are rejected by the inlier gate).
         best = None
-        for init_x, init_y, msk in (
-                (uv_init[vis, 0], uv_init[vis, 1], vis),
-                (uv_a[vis, 0], uv_a[vis, 1], vis)):
-            xb, yb, ok, _ = guided_retrack(
-                pyr_a, pyr_b, uv_a[msk, 0], uv_a[msk, 1],
-                init_x, init_y, cfg, fb_max_displacement=1.0)
-            if ok.sum() < self.loop_min_inliers:
+        for i in picks:
+            kf_a = self.kf[i]
+            slots, X, uv_a = self._visible_landmarks(kf_a)
+            if len(slots) < self.loop_min_inliers:
                 continue
-            uv_b = np.stack([xb[ok], yb[ok]], -1)
-            try:
-                Rm_c, tm_c, inl = pnp_ransac(self.K, X[msk][ok], uv_b,
-                                             thresh_px=2 * self.thresh_px,
-                                             seed=self.seed)
-            except ValueError:
-                continue
-            n_inl = int(inl.sum())
-            if best is None or n_inl > best[0]:
-                best = (n_inl, Rm_c, tm_c)
+            R_j, t_j = self.poses[j]
+            uv_init, depth = project(
+                jnp.asarray(self.K, jnp.float32),
+                jnp.asarray(R_j, jnp.float32),
+                jnp.asarray(t_j, jnp.float32),
+                jnp.asarray(X, jnp.float32))
+            uv_init = np.asarray(uv_init, np.float64)
+            vis = ((np.asarray(depth) > 0.1) &
+                   (uv_init[:, 0] > 8) & (uv_init[:, 0] < w - 9) &
+                   (uv_init[:, 1] > 8) & (uv_init[:, 1] < h - 9))
+            pyr_a = build_track_pyramids_jit(stage_f32(kf_a["img"]),
+                                             cfg)
+            # TWO association hypotheses, best-of (round 5): (a) the
+            # map projected through the CURRENT pose — right when drift
+            # is small (relocalization after short gaps); (b) kf_a's
+            # own pixel positions — right at a genuine revisit, where
+            # the viewpoint difference is small but accumulated drift
+            # has pushed the projections onto the wrong texture
+            # (measured on the 520-frame circuit: projected init
+            # associated to aliased blobs and PnP found ~0 inliers;
+            # same-viewpoint init found 62/81, and wrong candidates
+            # are rejected by the inlier gate). Hypothesis (a) needs
+            # the projections in-frame; (b) needs no projection at all.
+            hyps = []
+            if vis.sum() >= self.loop_min_inliers:
+                hyps.append((uv_init[vis, 0], uv_init[vis, 1], vis))
+            allm = np.ones(len(uv_a), bool)
+            hyps.append((uv_a[:, 0], uv_a[:, 1], allm))
+            for init_x, init_y, msk in hyps:
+                xb, yb, ok, _ = guided_retrack(
+                    pyr_a, pyr_b, uv_a[msk, 0], uv_a[msk, 1],
+                    init_x, init_y, cfg, fb_max_displacement=1.0)
+                if ok.sum() < self.loop_min_inliers:
+                    continue
+                uv_b = np.stack([xb[ok], yb[ok]], -1)
+                try:
+                    Rm_c, tm_c, inl = pnp_ransac(
+                        self.K, X[msk][ok], uv_b,
+                        thresh_px=2 * self.thresh_px, seed=self.seed)
+                except ValueError:
+                    continue
+                n_inl = int(inl.sum())
+                if best is None or n_inl > best[0]:
+                    best = (n_inl, Rm_c, tm_c, i)
         if best is None or best[0] < self.loop_min_inliers:
             return
-        _, Rm, tm = best
-        inl_count = best[0]
+        inl_count, Rm, tm, i = best
         R_all = np.stack([p[0] for p in self.poses])
         t_all = np.stack([p[1] for p in self.poses])
         drift = float(np.linalg.norm(
             (-Rm.T @ tm) - c[j]))
-        Rn, tn = close_loop_poses(R_all, t_all, i, j, Rm, tm)
+        # Sim(3)-style geodesic redistribution (round 5): monocular
+        # drift is dominated by SCALE drift the rigid pose graph
+        # cannot absorb — see close_loop_sim3's docstring
+        Rn, tn, A, bvec = close_loop_sim3(R_all, t_all, i, j, Rm, tm)
         self.poses = [(Rn[k], tn[k]) for k in range(len(self.poses))]
+        # move every landmark with the keyframe chain (anchor = last
+        # keyframe that observed it) so the map stays consistent with
+        # the corrected poses before the global re-convergence
+        anchor: dict = {}
+        for k, w_kf in enumerate(self.kf):
+            for sl in np.nonzero(w_kf["live"])[0]:
+                anchor[(int(sl), int(w_kf["gen"][sl]))] = k
+        for key, X in self.landmarks.items():
+            k = anchor.get(key)
+            if k is not None:
+                self.landmarks[key] = A[k] @ np.asarray(X) + bvec[k]
         # re-converge landmarks against the corrected chain
         self._window_ba(n_kf=len(self.kf))
         self.loops_closed.append((i, j))
@@ -794,6 +858,21 @@ class VisualOdometry:
             f"drift {drift:.4f} units redistributed")
 
     # ----------------------------------------------------------- output
+
+    def finalize(self, n_iters: Optional[int] = None) -> None:
+        """One global bundle adjustment over ALL keyframes — the
+        standard end-of-sequence polish (offline SfM semantics; the
+        online estimate is untouched until called). Cheap relative to
+        the run: one bucketed BA solve over the full chain."""
+        if not self.initialized:
+            return
+        old = self.ba_iters
+        if n_iters is not None:
+            self.ba_iters = int(n_iters)
+        try:
+            self._window_ba(n_kf=len(self.kf))
+        finally:
+            self.ba_iters = old
 
     def trajectory(self):
         """Keyframe trajectory: (frame_indices [M], R [M,3,3] world->cam,

@@ -157,7 +157,8 @@ def run_vo_on_circuit(n_frames: int = 520, h: int = 240, w: int = 320,
                       n_features: int = 120, kf_every: int = 4,
                       window: int = 6, seed: int = 7,
                       photometric: bool = True,
-                      loop_closure: bool = True):
+                      loop_closure: bool = True, laps: float = 1.08,
+                      finalize: bool = True):
     """Config-5 LONG-horizon stress (VERDICT r4 item 7): 500+ frame
     closed circuit with a genuine revisit, photometric gain/bias
     drift, loop closure, and KITTI-format ATE/RPE gates. Returns the
@@ -168,7 +169,8 @@ def run_vo_on_circuit(n_frames: int = 520, h: int = 240, w: int = 320,
     from ..sfm.pipeline import ate_rmse_aligned
     from .trajectory import rpe
 
-    K, Rs, ts, cs, pts = circuit_scene(n_frames, h, w, seed=seed)
+    K, Rs, ts, cs, pts = circuit_scene(n_frames, h, w, seed=seed,
+                                       laps=laps)
     frames = render_blobs(K, Rs, ts, pts, h, w)
     if photometric:
         frames = apply_photometric_drift(frames)
@@ -185,6 +187,8 @@ def run_vo_on_circuit(n_frames: int = 520, h: int = 240, w: int = 320,
     t0 = time.perf_counter()
     for f in frames:
         vo.feed(f)
+    if finalize:
+        vo.finalize(n_iters=12)   # end-of-sequence global BA polish
     dt = time.perf_counter() - t0
     fi, R, t, c = vo.trajectory()
     gt_c = cs[fi]
