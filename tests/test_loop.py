@@ -293,3 +293,68 @@ def test_vo_loop_closure_end_to_end():
     ate = ate_rmse_aligned(t, ts[fi])
     travel = float(np.linalg.norm(np.diff(cs, axis=0), axis=-1).sum())
     assert ate < 0.02 * travel, (ate, travel, vo.events)
+
+
+def test_close_loop_sim3_restores_known_drift():
+    """Synthetic chain with KNOWN progressive yaw + scale drift about
+    the anchor: the Sim(3) geodesic correction must restore
+    orientations to well under a degree and substantially shrink the
+    center error (scale clamp caps the rest), with the endpoint exact."""
+    from pyfeaturetrack_tpu.sfm.loop import close_loop_sim3
+
+    def yaw(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+
+    m = 30
+    ths = np.linspace(0, 2 * np.pi, m)
+    c_true = np.stack([10 * np.cos(ths), 0 * ths, 10 * np.sin(ths)], -1)
+    R_true = np.stack([yaw(-ths[k]) for k in range(m)])
+    t_true = np.stack([-R_true[k] @ c_true[k] for k in range(m)])
+
+    drift_yaw = np.deg2rad(25)
+    drift_s = 1.2
+    c_est = np.zeros_like(c_true)
+    R_est = R_true.copy()
+    for k in range(m):
+        w = k / (m - 1)
+        W = yaw(w * drift_yaw)
+        c_est[k] = c_true[0] + (drift_s ** w) * (W @ (c_true[k] -
+                                                      c_true[0]))
+        R_est[k] = R_true[k] @ W.T
+    t_est = np.stack([-R_est[k] @ c_est[k] for k in range(m)])
+
+    Rn, tn, A, b = close_loop_sim3(R_est, t_est, 0, m - 1,
+                                   R_true[-1], t_true[-1])
+    cn = np.einsum("kij,kj->ki", -np.transpose(Rn, (0, 2, 1)), tn)
+    err_before = np.linalg.norm(c_est - c_true, axis=1).max()
+    err_after = np.linalg.norm(cn - c_true, axis=1).max()
+    assert err_after < 0.5 * err_before
+    # endpoint pinned to the measurement exactly
+    np.testing.assert_allclose(cn[-1], c_true[-1], atol=1e-9)
+    rot_err = [np.degrees(np.arccos(np.clip(
+        (np.trace(Rn[k] @ R_true[k].T) - 1) / 2, -1, 1)))
+        for k in range(m)]
+    assert max(rot_err) < 1.0
+    # the exported point affines move a point exactly like the
+    # keyframe centers (landmark co-warp contract)
+    for k in (5, 15, m - 1):
+        np.testing.assert_allclose(A[k] @ c_est[k] + b[k], cn[k],
+                                   atol=1e-9)
+
+
+def test_place_signature_exposure_invariant():
+    """The loop-closure place signature must be invariant to the
+    gain/bias drift the robust tracker tolerates, and discriminative
+    between different views."""
+    from pyfeaturetrack_tpu.sfm.vo import _place_signature
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (240, 320))
+    s0 = _place_signature(img)
+    s1 = _place_signature(np.clip(1.3 * img + 17.0, 0, 255))
+    # 0.98 measured (the 255 clip breaks pure linearity slightly);
+    # the loop gate is 0.7
+    assert float(s0 @ s1) > 0.95
+    other = _place_signature(rng.uniform(0, 255, (240, 320)))
+    assert float(s0 @ other) < 0.5
+    assert abs(float(np.linalg.norm(s0)) - 1.0) < 1e-5
