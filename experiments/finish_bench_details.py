@@ -99,6 +99,11 @@ except Exception as e:
     details["roofline"] = {"error": str(e)[-300:]}
 flush(details)
 
+def _config5_long():
+    from pyfeaturetrack_tpu.utils.synthscene import run_vo_on_circuit
+    return run_vo_on_circuit(n_frames=520)
+
+
 trace_stages = [
     ("device_trace", bench.bench_device_trace),
     ("e2e_result_fps", lambda: round(bench.bench_e2e_result(), 3)),
@@ -110,6 +115,9 @@ trace_stages = [
     ("device_trace_config4_bf16", bench.bench_device_trace_config4_bf16),
     ("scaling_prediction_8dev", bench.bench_scaling_prediction),
     ("device_trace_flow_fused", bench.bench_device_trace_flow_fused),
+    ("device_trace_flow_vec", bench.bench_device_trace_flow_vec),
+    ("device_trace_serving_tick", bench.bench_device_trace_serving),
+    ("config5_e2e_long", _config5_long),
 ]
 for key, fn in trace_stages:
     try:
