@@ -450,11 +450,15 @@ def bench_serving_tick_trace(h=480, w=640, n_features=1000,
 
 
 def bench_device_trace_serving(timeout_s=1200):
-    """No Pallas knobs: the batched serving path vmaps the per-stream
-    body, and pallas_call does not support the vmapped SMEM blockspecs
-    (measured: Mosaic rejects the batched [B, chunk] scalar block) —
-    the XLA gather path IS the batched lane's production path."""
-    return _trace_subprocess("--serving-trace-only", {}, timeout_s)
+    """Round-5 lanes ON: the batched tick loops streams INSIDE the one
+    program (serving._step_batch — Mosaic kernels don't vmap, so the
+    old vmapped body silently ran the 12k-op XLA path at 10.7 aggregate
+    fps honest; DESIGN.md §9). With the knobs the per-stream fused
+    kernels run for every stream: ~105 ms/tick = ~609 aggregate fps."""
+    return _trace_subprocess(
+        "--serving-trace-only",
+        {"PFT_PALLAS_LK": "vec", "PFT_PALLAS": "1",
+         "PFT_PALLAS_SELECT": "1"}, timeout_s)
 
 
 def bench_e2e_result_vec(timeout_s=900):
